@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference runs a tokio topology with bounded buffers and
+per-transform concurrency (src/topology/builder.rs:60-65); here the
+equivalents are AQE, shuffle-partition sizing, and Arrow batching.
+Every knob below is chosen for "would survive 100 TB": AQE coalesces
+and splits skewed partitions at runtime, Arrow moves pandas-UDF
+batches zero-copy, and UTC pins timestamp semantics to the oracle's.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS: dict[str, str] = {
+    # correctness-critical: DuckDB oracle timestamps are UTC-naive
+    "spark.sql.session.timeZone": "UTC",
+    # runtime re-planning: partition coalescing + skew-join splitting
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow is the only sanctioned Python<->JVM path (no per-row UDFs)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # local-mode shuffle sizing; on a cluster this is set per-job
+    "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+
+def get_spark(
+    app_name: str = "vector-spark",
+    master: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    master defaults to local[N] where N = $SPARK_GRAFT_CPUS or all
+    cores. On a real cluster, pass master=None and let spark-submit
+    own it.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = dict(DEFAULT_CONFS)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
