@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship pipeline result DataFrame at sf0.001
+queries()      -> {name: (spark, sf_dir) -> DataFrame} per operator
+oracle_sql()   -> {name: DuckDB SQL} equivalent over the same parquet
+
+The transcripts input table (BASELINE.json input_hint) is derived
+deterministically from the `events` parquet with SQL portable
+between Spark and DuckDB (vector_spark/transcripts.py), so every
+pipeline stage has a true cross-engine oracle.
 """
 
 from __future__ import annotations
@@ -12,27 +15,641 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark.conditions import check_fields
+from vector_spark.dataops.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from vector_spark.dataops.similarity import brute_force_topk
+from vector_spark.dataops.text import text_stats, fingerprint, token_estimate
+from vector_spark.enrich import enrich_transcripts, ROLE_DIM_SQL, TOOL_DIM_SQL
+from vector_spark.functions import parse_transcripts
+from vector_spark.operators.dedupe import dedupe
+from vector_spark.operators.log_to_metric import log_to_metric, MetricSpec
+from vector_spark.operators.reduce import reduce_groups, MergeStrategy
+from vector_spark.operators.route import route_single_pass
+from vector_spark.operators.sample import sample
+from vector_spark.operators.tag_cardinality import tag_cardinality_limit
+from vector_spark.operators.throttle import throttle
+from vector_spark.runner_batch import build_flagship, flagship_aggregate, flagship_routes
+from vector_spark.transcripts import (
+    TRANSCRIPTS_DUCKDB_CTE,
+    load_transcripts,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments for the DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_PAT = r"^\[(\w+)\] reqid=([0-9a-f]{8}) latency_ms=(\d+) msg=(.*)$"
+
+PARSED_CTE = f"""
+SELECT conv_id, turn_idx, role, tool, ts, text,
+  NULLIF(regexp_extract(text, '{_PAT}', 1), '') AS level,
+  NULLIF(regexp_extract(text, '{_PAT}', 2), '') AS req_id,
+  CAST(NULLIF(regexp_extract(text, '{_PAT}', 3), '') AS BIGINT) AS latency_ms,
+  CASE WHEN regexp_matches(text, '{_PAT}') THEN regexp_extract(text, '{_PAT}', 4) END AS msg,
+  NULLIF(regexp_extract(text, '{_PAT}', 1), '') IS NULL AS parse_error
+FROM transcripts
+"""
+
+ROUTE_CONDS_SQL = {
+    "assistant_tool": "role = 'assistant' AND tool IS NOT NULL AND tool != 'none'",
+    "errors": "level = 'ERROR'",
+    "human_long": "role = 'user' AND length(text) > 120",
+}
+_UNMATCHED_SQL = "NOT (COALESCE({a}, FALSE) OR COALESCE({e}, FALSE) OR COALESCE({h}, FALSE))".format(
+    a=ROUTE_CONDS_SQL["assistant_tool"],
+    e=ROUTE_CONDS_SQL["errors"],
+    h=ROUTE_CONDS_SQL["human_long"],
+)
+
+ROUTED_CTE = "\nUNION ALL\n".join(
+    f"SELECT '{name}' AS _route, * FROM parsed WHERE {cond}"
+    for name, cond in ROUTE_CONDS_SQL.items()
+) + f"\nUNION ALL\nSELECT '_unmatched' AS _route, * FROM parsed WHERE {_UNMATCHED_SQL}"
+
+
+def _with(body: str, extra_ctes: str = "") -> str:
+    """Oracle preamble: transcripts + parsed (+ extras) CTEs."""
+    return (
+        f"WITH transcripts AS ({TRANSCRIPTS_DUCKDB_CTE}),\n"
+        f"parsed AS ({PARSED_CTE}){extra_ctes}\n{body}"
+    )
+
+
+def _with_routed(body: str) -> str:
+    return _with(body, extra_ctes=f",\nrouted AS ({ROUTED_CTE})")
+
+
+# ---------------------------------------------------------------------------
+# Spark query callables
+# ---------------------------------------------------------------------------
+
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse_transcripts(load_transcripts(spark, sf_dir))
+
+
+def q_parse(spark, sf_dir):
+    return _parsed(spark, sf_dir).select(
+        "conv_id", "turn_idx", "level", "req_id", "latency_ms", "msg",
+        F.col("_parse_error").alias("parse_error"),
+    )
+
+
+def q_enrich(spark, sf_dir):
+    return enrich_transcripts(spark, _parsed(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "role", "role_group", "is_human", "priority",
+        "tool", "tool_family", "billable",
+    )
+
+
+def q_route_counts(spark, sf_dir):
+    routed = route_single_pass(_parsed(spark, sf_dir), flagship_routes())
+    return routed.groupBy(F.col("_route").alias("sink")).agg(
+        F.count(F.lit(1)).alias("rows")
+    )
+
+
+def q_route_assistant_tool(spark, sf_dir):
+    routed = route_single_pass(_parsed(spark, sf_dir), flagship_routes())
+    return routed.filter(F.col("_route") == "assistant_tool").select(
+        "conv_id", "turn_idx", "text", "tool"
+    )
+
+
+def q_route_unmatched(spark, sf_dir):
+    routed = route_single_pass(_parsed(spark, sf_dir), flagship_routes())
+    return routed.filter(F.col("_route") == "_unmatched").select(
+        "conv_id", "turn_idx", "text"
+    )
+
+
+def q_aggregate_hourly(spark, sf_dir):
+    routed = build_flagship(spark, sf_dir)
+    return flagship_aggregate(routed)
+
+
+def q_filter_errors(spark, sf_dir):
+    return (
+        _parsed(spark, sf_dir)
+        .filter(check_fields(level__eq="ERROR"))
+        .select("conv_id", "turn_idx", "req_id", "latency_ms")
+    )
+
+
+def q_reduce_conversations(spark, sf_dir):
+    parsed = _parsed(spark, sf_dir)
+    red = reduce_groups(
+        parsed,
+        group_by=["conv_id"],
+        strategies={
+            "first_text": (MergeStrategy.DISCARD, "text"),
+            "latency_sum": (MergeStrategy.SUM, "latency_ms"),
+            "max_turn": (MergeStrategy.MAX, "turn_idx"),
+            "roles_arr": (MergeStrategy.ARRAY, "role"),
+            "transcript": (MergeStrategy.CONCAT_NEWLINE, "text"),
+            "tools_arr": (MergeStrategy.FLAT_UNIQUE, "tool"),
+            "ts_start": (MergeStrategy.FIRST_TS, "ts"),
+            "ts_end": (MergeStrategy.LAST_TS, "ts"),
+        },
+        order_by="turn_idx",
+    )
+    return red.select(
+        "conv_id",
+        (F.col("max_turn") + 1).cast("int").alias("n_turns"),
+        "first_text",
+        "latency_sum",
+        F.array_join("roles_arr", ",").alias("roles_concat"),
+        "transcript",
+        F.array_join(F.array_sort(F.array_compact("tools_arr")), ",").alias("tools_concat"),
+        "ts_start",
+        "ts_end",
+    )
+
+
+def q_sample_keyed(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    # portable arithmetic hash on the conv number (Vector's
+    # seahash(key)%rate semantics with a SQL-expressible hash)
+    h = (
+        F.substring("conv_id", 6, 8).cast("bigint") * 2654435761 % 4294967296
+    )
+    return sample(t, rate=10, key="conv_id", hash_expr=h).select(
+        "conv_id", "turn_idx", "sample_rate"
+    )
+
+
+def q_throttle(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    return throttle(
+        t, threshold=2, window_secs=3600, key=["conv_id"], order_by=["turn_idx"]
+    ).select("conv_id", "turn_idx")
+
+
+def q_log_to_metric_hourly(spark, sf_dir):
+    parsed = _parsed(spark, sf_dir)
+    out = log_to_metric(
+        parsed,
+        specs=[
+            MetricSpec(kind="counter", name="error_count",
+                       condition=F.col("level") == "ERROR"),
+            MetricSpec(kind="set", name="uniq_req", field_="req_id"),
+            MetricSpec(kind="summary", name="latency", field_="latency_ms"),
+        ],
+        tags=[],
+        interval="1 hour",
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "error_count", "uniq_req",
+        "latency_min", "latency_max", "latency_count",
+    )
+
+
+def q_tag_cardinality(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    limited = tag_cardinality_limit(
+        t, tag_col="tool", value_limit=2, order_by="ts", mode="drop_tag"
+    )
+    return limited.groupBy("tool").agg(F.count(F.lit(1)).alias("rows"))
+
+
+def q_dedupe(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    dup = t.filter(F.col("turn_idx") < 3)
+    return dedupe(
+        t.unionByName(dup), match=["conv_id", "turn_idx"], order_by=["text"]
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return sess.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_q1_pricing(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity") * 100).cast("bigint").alias("sum_qty_e2"),
+            F.round(F.sum("l_extendedprice") * 100).cast("bigint").alias("sum_base_e2"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+            ).cast("bigint").alias("sum_disc_e4"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_q3_revenue(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(seg), orders.o_custkey == seg.c_custkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+            ).cast("bigint").alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_events_tumbling(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window("ts", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value") * 100).cast("bigint").alias("value_sum_e2"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "value_sum_e2"
+        )
+    )
+
+
+def q_docs_fingerprint(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")).alias("n_tokens"),
+        token_estimate(F.col("text")).alias("token_est"),
+    )
+
+
+def q_docs_text_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_stats(docs, "doc_id", "text")
+
+
+def q_docs_exact_dedup(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    return exact_dedup(corpus, "doc_id", "text")
+
+
+def q_docs_ngram_jaccard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    return ngram_jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+def q_docs_minhash_lsh(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    return minhash_lsh_pairs(corpus, "doc_id", "text", n=3, threshold=0.8)
+
+
+def q_docs_simhash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    return simhash_near_pairs(corpus, "doc_id", "text", max_hamming=3)
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return brute_force_topk(emb, queries_df, k=10)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: parse -> enrich -> route -> hourly aggregate at sf0.001."""
+    routed = build_flagship(spark, SF0001)
+    return flagship_aggregate(routed)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "parse": q_parse,
+        "enrich": q_enrich,
+        "route_counts": q_route_counts,
+        "route_assistant_tool": q_route_assistant_tool,
+        "route_unmatched": q_route_unmatched,
+        "aggregate_hourly": q_aggregate_hourly,
+        "filter_errors": q_filter_errors,
+        "reduce_conversations": q_reduce_conversations,
+        "sample_keyed": q_sample_keyed,
+        "throttle": q_throttle,
+        "log_to_metric_hourly": q_log_to_metric_hourly,
+        "tag_cardinality": q_tag_cardinality,
+        "dedupe": q_dedupe,
+        "events_sessionize": q_events_sessionize,
+        "q1_pricing": q_q1_pricing,
+        "q3_revenue": q_q3_revenue,
+        "events_tumbling": q_events_tumbling,
+        "docs_fingerprint": q_docs_fingerprint,
+        "docs_text_stats": q_docs_text_stats,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "docs_minhash_lsh": q_docs_minhash_lsh,
+        "docs_simhash": q_docs_simhash,
+        "ann_topk": q_ann_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this']"
+
+_DOC_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["parse"] = _with(
+        "SELECT conv_id, turn_idx, level, req_id, latency_ms, msg, parse_error FROM parsed"
+    )
+
+    o["enrich"] = _with(
+        f"""
+SELECT p.conv_id, p.turn_idx, p.role, r.role_group, r.is_human, r.priority,
+       p.tool, t.tool_family, t.billable
+FROM parsed p
+LEFT JOIN ({ROLE_DIM_SQL}) r ON p.role = r.role
+LEFT JOIN ({TOOL_DIM_SQL}) t ON p.tool = t.tool
+"""
+    )
+
+    o["route_counts"] = _with_routed(
+        "SELECT _route AS sink, CAST(count(*) AS BIGINT) AS rows FROM routed GROUP BY _route"
+    )
+
+    o["route_assistant_tool"] = _with_routed(
+        "SELECT conv_id, turn_idx, text, tool FROM routed WHERE _route = 'assistant_tool'"
+    )
+
+    o["route_unmatched"] = _with_routed(
+        "SELECT conv_id, turn_idx, text FROM routed WHERE _route = '_unmatched'"
+    )
+
+    o["aggregate_hourly"] = _with_routed(
+        """
+SELECT _route AS sink, role, date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS turns,
+       CAST(sum(latency_ms) AS BIGINT) AS latency_ms_sum,
+       max(latency_ms) AS latency_ms_max
+FROM routed GROUP BY 1, 2, 3
+"""
+    )
+
+    o["filter_errors"] = _with(
+        "SELECT conv_id, turn_idx, req_id, latency_ms FROM parsed WHERE level = 'ERROR'"
+    )
+
+    o["reduce_conversations"] = _with(
+        """
+SELECT conv_id,
+  CAST(max(turn_idx) + 1 AS INT) AS n_turns,
+  min_by(text, turn_idx) AS first_text,
+  CAST(sum(latency_ms) AS BIGINT) AS latency_sum,
+  string_agg(role, ',' ORDER BY turn_idx) AS roles_concat,
+  string_agg(text, chr(10) ORDER BY turn_idx) AS transcript,
+  coalesce(array_to_string(list_sort(list_distinct(list(tool) FILTER (tool IS NOT NULL))), ','), '') AS tools_concat,
+  min(ts) AS ts_start,
+  max(ts) AS ts_end
+FROM parsed GROUP BY conv_id
+"""
+    )
+
+    o["sample_keyed"] = _with(
+        """
+SELECT conv_id, turn_idx, 10 AS sample_rate
+FROM transcripts
+WHERE (CAST(substr(conv_id, 6, 8) AS BIGINT) * 2654435761 % 4294967296) % 10 = 0
+"""
+    )
+
+    o["throttle"] = _with(
+        """
+SELECT conv_id, turn_idx FROM (
+  SELECT conv_id, turn_idx,
+         row_number() OVER (PARTITION BY conv_id, date_trunc('hour', ts)
+                            ORDER BY turn_idx) AS rn
+  FROM transcripts
+) WHERE rn <= 2
+"""
+    )
+
+    o["log_to_metric_hourly"] = _with(
+        """
+SELECT date_trunc('hour', ts) AS window_start,
+  CAST(count(*) FILTER (level = 'ERROR') AS BIGINT) AS error_count,
+  CAST(count(DISTINCT req_id) AS BIGINT) AS uniq_req,
+  min(latency_ms) AS latency_min,
+  max(latency_ms) AS latency_max,
+  CAST(count(latency_ms) AS BIGINT) AS latency_count
+FROM parsed GROUP BY 1
+"""
+    )
+
+    o["tag_cardinality"] = _with(
+        """
+SELECT CASE WHEN a.tool IS NOT NULL THEN t.tool END AS tool,
+       CAST(count(*) AS BIGINT) AS rows
+FROM transcripts t
+LEFT JOIN (
+  SELECT tool FROM (
+    SELECT tool, row_number() OVER (ORDER BY min(ts), tool) AS rnk
+    FROM transcripts WHERE tool IS NOT NULL GROUP BY tool
+  ) WHERE rnk <= 2
+) a ON t.tool = a.tool
+GROUP BY 1
+"""
+    )
+
+    o["dedupe"] = _with(
+        """
+SELECT DISTINCT conv_id, turn_idx, text FROM (
+  SELECT conv_id, turn_idx, text FROM transcripts
+  UNION ALL
+  SELECT conv_id, turn_idx, text FROM transcripts WHERE turn_idx < 3
+)
+"""
+    )
+
+    o["events_sessionize"] = """
+SELECT user_id,
+  CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+GROUP BY user_id
+"""
+
+    o["q1_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2,
+  CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_e2,
+  CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS sum_disc_e4,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    o["q3_revenue"] = """
+SELECT o_orderkey, o_orderpriority,
+  CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS revenue_e4,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderpriority
+"""
+
+    o["events_tumbling"] = """
+SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start, event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(round(sum(value) * 100) AS BIGINT) AS value_sum_e2
+FROM events GROUP BY 1, 2
+"""
+
+    o["docs_fingerprint"] = f"""
+SELECT doc_id,
+  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+  CAST(len({_DOC_TOKS}) AS INT) AS n_tokens,
+  CAST(ceil(length(regexp_replace(text, '[^\\w]', '', 'g')) / 4.0) AS BIGINT)
+    + length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS token_est
+FROM documents
+"""
+
+    o["docs_text_stats"] = f"""
+SELECT doc_id,
+  CAST(len({_DOC_TOKS}) AS INT) AS n_tokens,
+  CAST(length(text) AS INT) AS n_chars,
+  round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+        / greatest(length(text), 1), 6) AS punct_ratio,
+  round(len(list_filter({_DOC_TOKS}, t -> list_contains({_STOPWORDS_SQL}, t)))
+        / greatest(len({_DOC_TOKS}), 1), 6) AS stopword_ratio,
+  round(list_sum(list_transform({_DOC_TOKS}, t -> length(t)))
+        / greatest(len({_DOC_TOKS}), 1), 6) AS mean_token_len,
+  round(
+    (CASE WHEN len({_DOC_TOKS}) BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.3 END) * 0.3
+    + (CASE WHEN list_sum(list_transform({_DOC_TOKS}, t -> length(t)))
+            / greatest(len({_DOC_TOKS}), 1) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.3
+    + (CASE WHEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+            / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
+    + (CASE WHEN len(list_filter({_DOC_TOKS}, t -> list_contains({_STOPWORDS_SQL}, t)))
+            / greatest(len({_DOC_TOKS}), 1) >= 0.05 THEN 1.0 ELSE 0.6 END) * 0.2
+  , 6) AS quality_score
+FROM documents
+"""
+
+    _corpus = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)"""
+
+    o["docs_exact_dedup"] = f"""
+WITH {_corpus}
+SELECT md5(text) AS fingerprint,
+  min(doc_id) AS canonical_id,
+  CAST(count(*) AS BIGINT) AS dup_count
+FROM corpus GROUP BY 1
+"""
+
+    o["docs_ngram_jaccard"] = f"""
+WITH {_corpus},
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS tk
+  FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(greatest(len(tk) - 3, 0) + 1),
+             i -> array_to_string(tk[i + 1 : i + 3], ' '))) AS shingle
+    FROM toks
+  )
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.8
+"""
+
+    o["ann_topk"] = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM emb WHERE vec_id < 8),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+    list_sum(list_transform(range(len(q.q_vec)), i -> q.q_vec[i + 1] * e.v[i + 1]))
+    / (sqrt(list_sum(list_transform(range(len(q.q_vec)), i -> q.q_vec[i + 1] * q.q_vec[i + 1])))
+       * sqrt(list_sum(list_transform(range(len(e.v)), i -> e.v[i + 1] * e.v[i + 1])))) AS cos
+  FROM emb e, q WHERE e.vec_id != q.q_id
+)
+SELECT q_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cosine
+FROM (
+  SELECT q_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+"""
+
+    # docs_minhash_lsh / docs_simhash intentionally have no oracle:
+    # LSH banding is approximate-by-construction (rows-only check);
+    # their exact counterparts docs_ngram_jaccard / docs_exact_dedup
+    # are fully oracle-verified above.
+    return o

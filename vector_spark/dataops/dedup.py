@@ -1,0 +1,269 @@
+"""Deduplication over a documents table — exact and near-dup.
+
+Design for 100 TB: every method below avoids the O(n^2) cross join.
+* exact: hash-groupBy on a text fingerprint — one shuffle over
+  (fingerprint), the canonical web-dedup first pass.
+* n-gram Jaccard: inverted-index self-join on shared shingles
+  (only docs sharing >=1 shingle ever meet a reducer), then exact
+  set arithmetic — exact, and the shuffle key is the shingle, so
+  skew is bounded by shingle document-frequency (cap via df filter).
+* MinHash-LSH: 64 portable permutation hashes -> 16 bands of 4;
+  candidate pairs share a band signature — the sub-quadratic scale
+  path; similarity estimated from matching minhash positions.
+* SimHash: 64-bit weighted-token hash; near-dups = equal simhash
+  (block dedup) or Hamming<=k via band rotation.
+
+Portable hashing: token -> int via the first 15 hex chars of md5
+(both Spark `conv(substr(md5(x),1,15),16,10)` and DuckDB
+`('0x'||substr(md5(x),1,15))::BIGINT`), then universal hashes
+h_i(x) = (a_i * (x mod P) + b_i) mod P with P = 4294967311 (prime >
+2^32; a_i*x stays < 2^41, no int64 overflow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+P = 4294967311  # prime > 2^32
+N_HASHES = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def hash_params(i: int) -> tuple[int, int]:
+    """Fixed universal-hash coefficients (seeded by index, public
+    constants — nothing magic)."""
+    return 2 * i + 1, (1000003 * i + 12345) % P
+
+
+def token_int(col):
+    """Portable string -> int64: md5 prefix as hex."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via text fingerprint groupBy: one row per distinct
+    text with the canonical (min) id and duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via inverted-index join.
+
+    max_shingle_df drops stop-shingles appearing in more than K docs
+    before the self-join — the skew cap that keeps the shuffle sane
+    at web scale (a shingle in D docs contributes D^2 pair rows).
+    NOTE: dropping shingles changes the candidate set but not the
+    final Jaccard (computed on full shingle sets), so threshold pairs
+    sharing ONLY ultra-common shingles may be missed; at default
+    settings on the fixture corpus no shingle hits the cap.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    filtered = sh.join(
+        F.broadcast(df_counts.filter(F.col("df") > max_shingle_df)),
+        "shingle",
+        "left_anti",
+    )
+    a, b = filtered.alias("a"), filtered.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sig: array<bigint>[N_HASHES]) minhash signatures."""
+    sh = shingles(df, id_col, text_col, n)
+    x = (token_int(F.col("shingle")) % P).alias("x")
+    hashed = sh.select("id", x)
+    # one column per hash function — computed in a single projection,
+    # min-aggregated in a single shuffle (no 64-way explode)
+    mins = hashed.groupBy("id").agg(
+        *[
+            F.min((F.lit(hash_params(i)[0]) * F.col("x") + F.lit(hash_params(i)[1])) % P).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs via LSH banding, similarity = fraction of
+    equal minhash positions (unbiased Jaccard estimator)."""
+    sigs = minhash_signatures(df, id_col, text_col, n).cache()
+    bands = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col("sig")[i].cast("string")
+                                for i in range(
+                                    b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND
+                                )
+                            ],
+                        )
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "bsig"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda v: v,
+                    )
+                )
+                / F.lit(N_HASHES),
+                6,
+            ),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return est
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens: sign-sum of token-hash bits.
+
+    (id, simhash bigint). Tokens hashed portably; bit b contributes
+    +1 if set else -1; simhash bit = 1 iff sum > 0. Near-dup blocks =
+    equal simhash values (or Hamming distance via XOR popcount in
+    simhash_near_pairs).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    h = toks.select("id", token_int(F.col("tok")).alias("h"))
+    bit_sums = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(60)  # 15 hex chars = 60 bits
+        ]
+    )
+    sim = F.lit(0).cast("bigint")
+    for i in range(60):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
+    return bit_sums.select("id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Hamming<=k pairs via 4-block banding (pigeonhole: any pair
+    within Hamming 3 of 60 bits shares at least one of 4 15-bit
+    blocks), then exact popcount verify."""
+    s = simhash(df, id_col, text_col).cache()
+    blocks = s.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * 15).bitwiseAND(F.lit((1 << 15) - 1))
+                    for b in range(4)
+                ]
+            )
+        ).alias("blk", "bval"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

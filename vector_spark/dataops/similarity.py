@@ -1,0 +1,217 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute_force_topk — exact cosine top-k: broadcast the (small) query
+  set against the full corpus; one scan of the corpus, per-row dot
+  products via JVM higher-order functions (zip_with + aggregate —
+  no Python in the loop), then a top-k window per query. This is
+  the baseline and the verifier for the approximate paths.
+* lsh_topk — random-hyperplane LSH: H sign-bits per vector form a
+  bucket key; candidates share a bucket in at least one of B tables;
+  exact re-rank of candidates only. Sub-linear probe cost at scale.
+* ivf_topk — IVF-style coarse quantization without a trained
+  codebook: deterministic seed vectors (hash-derived) as centroids,
+  probe the nearest n_probe cells. The scale path when the corpus
+  outgrows brute force.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, neighbor_id, rank, cosine) — exact top-k per query.
+
+    The query side is broadcast (it is small by definition); the
+    corpus is scanned once; ranking shuffles only (q, corpus-row)
+    score pairs which AQE coalesces. Self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = c.crossJoin(F.broadcast(q)).filter(
+        F.col("q_id") != F.col("neighbor_id")
+    )
+    scored = scored.withColumn(
+        "cosine", cosine(F.col("q_vec"), F.col("c_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _hyperplane(dim: int, h: int, table: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane (public constants —
+    splitmix-style integer scramble mapped to [-1, 1])."""
+    out = []
+    for d in range(dim):
+        z = (h * 0x9E3779B97F4A7C15 + table * 0xBF58476D1CE4E5B9 + d * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z = ((z >> 30) ^ z) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+        z = ((z >> 27) ^ z) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+        z = (z >> 31) ^ z
+        out.append((z % 2000003) / 1000001.0 - 1.0)
+    return out
+
+
+def lsh_bucket(vec_col, dim: int, n_bits: int = 12, table: int = 0):
+    """Sign-bit bucket id for one LSH table, as a JVM expression."""
+    bucket = F.lit(0).cast("bigint")
+    for h in range(n_bits):
+        plane = _hyperplane(dim, h, table)
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(p) for p in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << h).cast("bigint")).otherwise(0)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 10,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = bucket collisions in any
+    table; exact cosine re-rank of candidates only."""
+    def bucketize(df: DataFrame, side: str) -> DataFrame:
+        rows = []
+        for t in range(n_tables):
+            rows.append(
+                df.select(
+                    F.col(id_col).alias(f"{side}_id"),
+                    F.col(vec_col).alias(f"{side}_vec"),
+                    F.lit(t).alias("table"),
+                    lsh_bucket(F.col(vec_col), dim, n_bits, t).alias("bucket"),
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+
+    qb = bucketize(queries, "q")
+    cb = bucketize(corpus, "c")
+    cand = (
+        qb.join(cb, ["table", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_vec", F.col("c_id").alias("neighbor_id"), "c_vec")
+        .distinct()
+    )
+    scored = cand.withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with deterministic centroids: assign each corpus vector to
+    its nearest centroid cell (argmax dot), probe the query's nearest
+    n_probe cells. Centroids are fixed pseudo-random unit-ish vectors
+    — at real scale they'd come from a k-means job; the plumbing
+    (cell assignment, probe-join, re-rank) is identical."""
+    cents = [
+        (c, _hyperplane(dim, c + 101, 7)) for c in range(n_cells)
+    ]
+
+    def cell_scores(vec):
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(vec, F.array(*[F.lit(p) for p in cv]), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for _, cv in cents
+            ]
+        )
+
+    c_assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        (F.array_position(
+            cell_scores(F.col(vec_col)),
+            F.array_max(cell_scores(F.col(vec_col))),
+        ) - 1).alias("cell"),
+    )
+    scores = cell_scores(F.col(vec_col))
+    idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
+    ranked_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(scores, idx, lambda s, i: F.struct((-s).alias("neg"), i.alias("i")))
+            ),
+            lambda x: x["i"],
+        ),
+        1,
+        n_probe,
+    )
+    q_assigned = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(ranked_cells).alias("cell"),
+    )
+    cand = q_assigned.join(c_assigned, "cell").filter(
+        F.col("q_id") != F.col("neighbor_id")
+    )
+    scored = cand.withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,102 @@
+"""Enrichment tables — broadcast lookup joins.
+
+Reference: Vector's enrichment tables (lib/enrichment/src/lib.rs:
+39-76) are in-memory CSV/mmdb tables with per-column-set hash
+indexes (src/enrichment_tables/file.rs:190-194); VRL functions
+`get_enrichment_table_record` (exactly-1 match) and
+`find_enrichment_table_records` (N matches) do equality and
+BetweenDates lookups (file.rs:218-241).
+
+Rebuild: a dimension table is just a small DataFrame; equality
+lookup = `broadcast()` hash join (no shuffle — the 100 TB fact side
+never moves); BetweenDates = broadcast range join. The exactly-1
+semantics of find_table_row is enforced at load time by a uniqueness
+check, which is strictly cheaper than per-row error handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark import schema as S
+
+
+class EnrichmentTable:
+    """A named, keyed dimension table (Vector enrichment_tables file
+    provider, src/enrichment_tables/file.rs:18-53)."""
+
+    def __init__(self, df: DataFrame, key: list[str], name: str = ""):
+        self.df = df
+        self.key = key
+        self.name = name
+
+    def assert_unique_key(self) -> None:
+        """find_table_row errors unless exactly one row matches
+        (lib/enrichment/src/lib.rs:39-51); we enforce it once at load."""
+        dupes = self.df.groupBy(*self.key).count().filter(F.col("count") > 1)
+        if dupes.limit(1).count() > 0:
+            raise ValueError(
+                f"enrichment table {self.name!r} has duplicate keys {self.key}"
+            )
+
+    def lookup(self, facts: DataFrame, how: str = "left") -> DataFrame:
+        """Equality enrich: broadcast hash join on the key columns."""
+        return facts.join(F.broadcast(self.df), on=self.key, how=how)
+
+    def lookup_between(
+        self, facts: DataFrame, ts_col: str, frm: str, to: str, how: str = "left"
+    ) -> DataFrame:
+        """BetweenDates enrich (file.rs:233-239): broadcast range join
+        facts.ts BETWEEN dim.frm AND dim.to (+ equality key if any)."""
+        cond = (F.col(ts_col) >= self.df[frm]) & (F.col(ts_col) <= self.df[to])
+        for k in self.key:
+            cond = cond & (facts[k] == self.df[k])
+        return facts.join(F.broadcast(self.df), cond, how)
+
+
+def load_csv_table(
+    spark: SparkSession, path: str, key: list[str], schema=None
+) -> EnrichmentTable:
+    """CSV file enrichment table with a typed schema
+    (file.rs:55-111's per-column type parsing = explicit StructType)."""
+    reader = spark.read.option("header", "true")
+    df = reader.schema(schema).csv(path) if schema is not None else reader.csv(path)
+    t = EnrichmentTable(df, key, name=path)
+    t.assert_unique_key()
+    return t
+
+
+def role_dim(spark: SparkSession) -> EnrichmentTable:
+    df = spark.createDataFrame(S.ROLE_DIM_ROWS, S.ROLE_DIM_SCHEMA)
+    return EnrichmentTable(df, ["role"], "role_dim")
+
+
+def tool_dim(spark: SparkSession) -> EnrichmentTable:
+    df = spark.createDataFrame(S.TOOL_DIM_ROWS, S.TOOL_DIM_SCHEMA)
+    return EnrichmentTable(df, ["tool"], "tool_dim")
+
+
+def enrich_transcripts(spark: SparkSession, parsed: DataFrame) -> DataFrame:
+    """The pipeline's enrich stage: role_dim + tool_dim broadcast
+    lookups. Left joins — unmatched keys keep null attributes, the
+    analogue of VRL's fallible lookup defaulting."""
+    out = role_dim(spark).lookup(parsed)
+    out = tool_dim(spark).lookup(out)
+    return out
+
+
+# DuckDB-side dimension CTEs for oracle queries
+ROLE_DIM_SQL = """
+SELECT * FROM (VALUES
+  ('user','human',TRUE,1), ('assistant','model',FALSE,2),
+  ('system','control',FALSE,3), ('tool','machine',FALSE,4)
+) AS role_dim(role, role_group, is_human, priority)
+"""
+
+TOOL_DIM_SQL = """
+SELECT * FROM (VALUES
+  ('search','retrieval',TRUE), ('python','compute',TRUE),
+  ('browser','retrieval',TRUE), ('none','none',FALSE)
+) AS tool_dim(tool, tool_family, billable)
+"""

