@@ -1,0 +1,147 @@
+"""Training-data ops: dedup family, similarity search, text analysis,
+multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF
+from vector_spark.dataops.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from vector_spark.dataops.similarity import brute_force_topk, lsh_topk, ivf_topk
+from vector_spark.dataops.text import lang_id_udf, text_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    return d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000)).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        .cache()
+    )
+
+
+def test_exact_dedup_finds_injected_dupes(docs):
+    out = exact_dedup(docs, "doc_id", "text")
+    pdf = out.toPandas()
+    assert (pdf.dup_count >= 2).all()  # every doc duplicated
+    assert len(pdf) == docs.count() / 2
+    assert (pdf.canonical_id < 1000000).all()
+
+
+def test_ngram_jaccard_exact_dupes_score_one(docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.999)
+    pdf = pairs.toPandas()
+    # each injected duplicate pair (id, id+1000000) has jaccard 1.0
+    injected = pdf[(pdf.id_b - pdf.id_a) == 1000000]
+    assert len(injected) == docs.count() / 2
+    assert (injected.jaccard == 1.0).all()
+
+
+def test_minhash_lsh_recall_on_exact_dupes(docs):
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.999).toPandas()
+    injected = pairs[(pairs.id_b - pairs.id_a) == 1000000]
+    # identical docs share every band -> recall 1.0 on exact dupes
+    assert len(injected) == docs.count() / 2
+    assert (injected.est_jaccard == 1.0).all()
+
+
+def test_minhash_estimates_track_exact_jaccard(docs):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()
+    }
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3).collect()
+    }
+    common = set(exact) & set(est)
+    assert common, "no overlapping pairs to compare"
+    for k in common:
+        assert abs(exact[k] - est[k]) < 0.35  # 64-hash estimator tolerance
+
+
+def test_simhash_exact_dupes_hamming_zero(docs):
+    pairs = simhash_near_pairs(docs, "doc_id", "text", max_hamming=0).toPandas()
+    injected = pairs[(pairs.id_b - pairs.id_a) == 1000000]
+    assert len(injected) == docs.count() / 2
+    assert (injected.hamming == 0).all()
+
+
+def test_brute_force_topk_shape(emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(emb, q, k=5).toPandas()
+    assert len(out) == 15
+    assert set(out.q_id.unique()) == {0, 1, 2}
+    for _, ranks in out.groupby("q_id")["rank"]:
+        assert sorted(ranks.tolist()) == [1, 2, 3, 4, 5]
+    # cosine descending within each query
+    for _, g in out.groupby("q_id"):
+        cs = g.sort_values("rank").cosine.tolist()
+        assert cs == sorted(cs, reverse=True)
+    assert (out.q_id != out.neighbor_id).all()
+
+
+def test_lsh_topk_recall_vs_brute(emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, q, k=5).toPandas()
+    approx = lsh_topk(emb, q, dim=64, k=5, n_bits=4, n_tables=16).toPandas()
+    hits = 0
+    for qid in range(5):
+        e = set(exact[exact.q_id == qid].neighbor_id)
+        a = set(approx[approx.q_id == qid].neighbor_id)
+        hits += len(e & a)
+    # random 64-d embeddings have weak NN structure; 16 tables x 4
+    # bits gives solid-but-not-total recall there
+    assert hits / 25 >= 0.4
+
+
+def test_ivf_topk_runs(emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    out = ivf_topk(emb, q, dim=64, k=5, n_cells=8, n_probe=3).toPandas()
+    assert set(out.q_id.unique()) == {0, 1, 2}
+    assert out.groupby("q_id")["rank"].max().le(5).all()
+
+
+def test_text_stats_ranges(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today ok")],
+        ["doc_id", "text"],
+    )
+    r = text_stats(df, "doc_id", "text").collect()[0]
+    assert r.n_tokens == 11
+    assert 0 <= r.punct_ratio <= 1
+    assert r.stopword_ratio > 0
+    assert 0 <= r.quality_score <= 1
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it is happy there"),
+            (2, "la casa de la ciudad es grande y los perros ladran en el parque"),
+            (3, "这是一个中文句子"),
+            (4, ""),
+        ],
+        ["id", "text"],
+    )
+    got = {r.id: r.lang for r in df.select("id", lang_id_udf("text").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "zh"
+    assert got[4] == "und"
