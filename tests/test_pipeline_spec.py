@@ -1,0 +1,134 @@
+"""Pipeline spec compiler tests — the config/graph.rs analogue checks
+(validation, cycles, ports) plus end-to-end spec execution and the
+`vector test` inject/extract harness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF
+from vector_spark.enrich import role_dim
+from vector_spark.pipeline import (
+    PipelineContext,
+    PipelineError,
+    compile_pipeline,
+    run_pipeline,
+    unit_test,
+    validate_spec,
+)
+
+SPEC = {
+    "sources": {"transcripts": {"type": "parquet"}},
+    "transforms": {
+        "parse": {"type": "parse_regex", "inputs": ["transcripts"], "field": "text"},
+        "enrich": {
+            "type": "enrich", "inputs": ["parse"], "table": "role_dim",
+        },
+        "split": {
+            "type": "route",
+            "inputs": ["enrich"],
+            "routes": {
+                "errors": {"type": "check_fields", "level__eq": "ERROR"},
+                "assistant": "role = 'assistant'",
+            },
+        },
+        "err_metrics": {
+            "type": "log_to_metric",
+            "inputs": ["split.errors"],
+            "metrics": [{"kind": "counter", "name": "errors"}],
+            "tags": ["role"],
+        },
+    },
+    "sinks": {
+        "err_out": {"type": "memory", "inputs": ["err_metrics"]},
+        "rest": {"type": "blackhole", "inputs": ["split._unmatched", "split.assistant"]},
+    },
+}
+
+
+def _ctx(spark):
+    return PipelineContext(spark, enrichment_tables={"role_dim": role_dim(spark)})
+
+
+def test_validate_rejects_unknown_input(spark):
+    bad = {"sources": {}, "transforms": {
+        "f": {"type": "filter", "inputs": ["nope"], "condition": "1=1"}}}
+    with pytest.raises(PipelineError, match="unknown input"):
+        validate_spec(bad)
+
+
+def test_validate_rejects_cycle(spark):
+    bad = {
+        "sources": {"s": {}},
+        "transforms": {
+            "a": {"type": "filter", "inputs": ["s", "b"], "condition": "1=1"},
+            "b": {"type": "filter", "inputs": ["a"], "condition": "1=1"},
+        },
+    }
+    with pytest.raises(PipelineError, match="cycle"):
+        validate_spec(bad)
+
+
+def test_validate_rejects_reserved_route_name(spark):
+    bad = {
+        "sources": {"s": {}},
+        "transforms": {
+            "r": {"type": "route", "inputs": ["s"],
+                  "routes": {"_unmatched": "1=1"}},
+        },
+    }
+    with pytest.raises(PipelineError, match="reserved"):
+        validate_spec(bad)
+
+
+def test_validate_requires_port_on_route_consumer(spark):
+    bad = {
+        "sources": {"s": {}},
+        "transforms": {
+            "r": {"type": "route", "inputs": ["s"], "routes": {"x": "1=1"}},
+            "f": {"type": "filter", "inputs": ["r"], "condition": "1=1"},
+        },
+    }
+    with pytest.raises(PipelineError, match="explicit port"):
+        validate_spec(bad)
+
+
+def test_spec_end_to_end(spark, transcripts):
+    results = run_pipeline(_ctx(spark), SPEC, {"transcripts": transcripts})
+    err = results["err_out"]
+    # error counter per (window, role) is positive everywhere it exists
+    rows = err.collect()
+    assert rows and all(r["errors"] >= 0 for r in rows)
+    assert results["rest"] > 0
+    # routed disjointness: errors port + assistant port + unmatched
+    # cover every parsed row at least once (route clones multi-match)
+    outputs = compile_pipeline(_ctx(spark), SPEC, {"transcripts": transcripts})
+    parsed_n = outputs["parse"].count()
+    split = outputs["split"]
+    port_n = sum(split[p].count() for p in split)
+    assert port_n >= parsed_n
+
+
+def test_unit_test_harness(spark, transcripts):
+    """vector-test analogue: inject at `enrich` (skipping the real
+    parse stage), extract the route ports."""
+    fake = transcripts.limit(50).withColumn("level", F.lit("ERROR"))
+    out = unit_test(_ctx(spark), SPEC, inserts={"enrich": fake},
+                    extracts=["split.errors", "split._unmatched"])
+    assert out["split.errors"].count() == 50
+    assert out["split._unmatched"].count() == 0
+
+
+def test_multi_input_union(spark, transcripts):
+    spec = {
+        "sources": {"a": {}, "b": {}},
+        "transforms": {
+            "merged": {"type": "filter", "inputs": ["a", "b"],
+                       "condition": "turn_idx >= 0"},
+        },
+        "sinks": {"out": {"type": "blackhole", "inputs": ["merged"]}},
+    }
+    small = transcripts.limit(10)
+    res = run_pipeline(PipelineContext(spark), spec, {"a": small, "b": small})
+    assert res["out"] == 20

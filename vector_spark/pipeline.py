@@ -1,0 +1,436 @@
+"""Pipeline spec -> validated DAG -> compiled DataFrame plan.
+
+The reference's topology lifecycle (SURVEY.md §3.1): load config
+(src/config/loading/mod.rs:135) -> compile with name checks, macro
+expansion, graph typecheck and cycle detection
+(src/config/compiler.rs:24-145, src/config/graph.rs:185-245) -> build
+pieces -> run. Here the same shape compiles to a DAG of DataFrames:
+
+* a spec is a plain dict (JSON/YAML-loadable): named sources,
+  transforms (with `inputs`), sinks (with `inputs`).
+* validation mirrors graph.rs: unknown names, duplicate names,
+  reserved ports, cycles (DFS), sources with inputs.
+* compile walks the DAG in topological order; each transform maps to
+  a DataFrame combinator from vector_spark.operators; multi-output
+  transforms (route) expose named ports referenced as `name.port`
+  exactly like Vector (src/transforms/route.rs:62-68).
+* a component consumed by more than one downstream edge is cached
+  (the Fanout analogue, lib/vector-core/src/fanout.rs) unless
+  `cache: false` — recompute is sometimes cheaper at scale than a
+  100 TB cache.
+
+Sinks: `memory` returns the DataFrame, `blackhole` counts rows
+(src/sinks/blackhole), `console` collects + prints, `parquet` writes
+partitioned files (the file sink's template partitioning,
+src/sinks/util/partitioner.rs:5-30, as partitionBy columns), each
+reporting routed-row counts (EventsSent telemetry,
+src/topology/builder.rs:408-413).
+
+A `unit_test` harness mirrors `vector test`
+(src/config/unit_test/mod.rs:135-290): inject a DataFrame at any
+component (`insert_at`) and extract the output of any component
+(`extract_from`) without running real sources/sinks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark.conditions import check_fields, vrl_expr
+from vector_spark.enrich import EnrichmentTable
+from vector_spark.functions import parse_grok, parse_transcripts
+from vector_spark.operators.dedupe import dedupe
+from vector_spark.operators.filter import filter_events
+from vector_spark.operators.log_to_metric import MetricSpec, log_to_metric
+from vector_spark.operators.reduce import MergeStrategy, reduce_groups
+from vector_spark.operators.route import UNMATCHED, route_single_pass
+from vector_spark.operators.sample import sample
+from vector_spark.operators.tag_cardinality import tag_cardinality_limit
+from vector_spark.operators.throttle import throttle
+
+RESERVED_PORTS = {"_default", UNMATCHED, "dropped"}
+
+
+# ---------------------------------------------------------------------------
+# condition spec -> Column
+# ---------------------------------------------------------------------------
+
+
+def compile_condition(spec: Any) -> Column:
+    """Condition spec (src/conditions/mod.rs:23-51 analogue):
+    str -> raw SQL boolean (the VRL-condition stand-in);
+    {"type": "check_fields", **pairs} -> check_fields DSL;
+    {"type": "vrl", "source": expr} -> raw SQL boolean."""
+    if isinstance(spec, str):
+        return vrl_expr(spec)
+    if isinstance(spec, dict):
+        kind = spec.get("type", "vrl")
+        if kind == "check_fields":
+            pairs = {k: v for k, v in spec.items() if k != "type"}
+            return check_fields(**pairs)
+        if kind == "vrl":
+            return vrl_expr(spec["source"])
+    raise ValueError(f"bad condition spec: {spec!r}")
+
+
+# ---------------------------------------------------------------------------
+# transform registry: type -> (df, options, ctx) -> DataFrame | dict[port, DataFrame]
+# ---------------------------------------------------------------------------
+
+
+def _t_filter(df, opts, ctx):
+    return filter_events(df, compile_condition(opts["condition"]))
+
+
+def _t_remap(df, opts, ctx):
+    """remap (src/transforms/remap.rs): declarative field assignments
+    as SQL expressions (Catalyst-compiled — the VRL-program analogue)
+    plus optional field drops. `parse_regex`/`parse_grok` heavy
+    lifting lives in the dedicated parse transforms."""
+    out = df
+    for name, expr in (opts.get("assignments") or {}).items():
+        out = out.withColumn(name, F.expr(expr))
+    drop = opts.get("drop") or []
+    if drop:
+        out = out.drop(*drop)
+    return out
+
+
+def _t_parse_regex(df, opts, ctx):
+    return parse_transcripts(df, text_col=opts.get("field", "text"))
+
+
+def _t_parse_grok(df, opts, ctx):
+    return parse_grok(df, opts["pattern"], text_col=opts.get("field", "text"))
+
+
+def _t_route(df, opts, ctx):
+    conds = {n: compile_condition(c) for n, c in opts["routes"].items()}
+    tagged = route_single_pass(df, conds)
+    ports = {n: tagged.filter(F.col("_route") == n).drop("_route") for n in conds}
+    ports[UNMATCHED] = tagged.filter(F.col("_route") == UNMATCHED).drop("_route")
+    return ports
+
+
+def _t_sample(df, opts, ctx):
+    hash_expr = F.expr(opts["hash_expr"]) if "hash_expr" in opts else None
+    return sample(df, rate=opts["rate"], key=opts.get("key"), hash_expr=hash_expr)
+
+
+def _t_dedupe(df, opts, ctx):
+    return dedupe(df, match=opts.get("match"), ignore=opts.get("ignore"),
+                  order_by=opts.get("order_by"))
+
+
+def _t_reduce(df, opts, ctx):
+    strategies = {
+        out: (MergeStrategy(sname), src)
+        for out, (sname, src) in opts["strategies"].items()
+    }
+    return reduce_groups(df, group_by=opts["group_by"], strategies=strategies,
+                         order_by=opts.get("order_by", "turn_idx"))
+
+
+def _t_throttle(df, opts, ctx):
+    return throttle(df, threshold=opts["threshold"],
+                    window_secs=opts.get("window_secs", 3600),
+                    key=opts.get("key", []), order_by=opts.get("order_by", []),
+                    exclude=compile_condition(opts["exclude"]) if "exclude" in opts else None)
+
+
+def _t_log_to_metric(df, opts, ctx):
+    specs = [
+        MetricSpec(
+            kind=s["kind"], name=s["name"], field_=s.get("field"),
+            condition=compile_condition(s["condition"]) if "condition" in s else None,
+        )
+        for s in opts["metrics"]
+    ]
+    return log_to_metric(df, specs=specs, tags=opts.get("tags", []),
+                         interval=opts.get("interval", "1 hour"))
+
+
+def _t_tag_cardinality(df, opts, ctx):
+    return tag_cardinality_limit(df, tag_col=opts["tag"],
+                                 value_limit=opts["value_limit"],
+                                 order_by=opts.get("order_by", "ts"),
+                                 mode=opts.get("mode", "drop_tag"))
+
+
+def _t_enrich(df, opts, ctx):
+    table = ctx.enrichment_tables[opts["table"]]
+    return table.lookup(df, how=opts.get("how", "left"))
+
+
+TRANSFORMS: dict[str, Callable] = {
+    "filter": _t_filter,
+    "remap": _t_remap,
+    "parse_regex": _t_parse_regex,
+    "parse_grok": _t_parse_grok,
+    "route": _t_route,
+    "sample": _t_sample,
+    "dedupe": _t_dedupe,
+    "reduce": _t_reduce,
+    "throttle": _t_throttle,
+    "log_to_metric": _t_log_to_metric,
+    "tag_cardinality_limit": _t_tag_cardinality,
+    "enrich": _t_enrich,
+}
+
+
+# ---------------------------------------------------------------------------
+# spec model + validation (config/graph.rs analogues)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PipelineContext:
+    spark: SparkSession
+    enrichment_tables: dict[str, EnrichmentTable] = dc_field(default_factory=dict)
+
+
+class PipelineError(ValueError):
+    pass
+
+
+def _edges(spec: dict) -> list[tuple[str, str]]:
+    """(input_component, consumer) pairs; ports stripped to component."""
+    out = []
+    for section in ("transforms", "sinks"):
+        for name, comp in (spec.get(section) or {}).items():
+            for inp in comp.get("inputs", []):
+                out.append((inp.split(".", 1)[0], name))
+    return out
+
+
+def validate_spec(spec: dict) -> None:
+    """Name uniqueness, known inputs, port validity, source shape,
+    cycle detection — the compile-time checks of
+    src/config/compiler.rs:24-145 + src/config/graph.rs:185-245."""
+    sources = spec.get("sources") or {}
+    transforms = spec.get("transforms") or {}
+    sinks = spec.get("sinks") or {}
+    names: list[str] = [*sources, *transforms, *sinks]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise PipelineError(f"duplicate component names: {sorted(dupes)}")
+    known = set(names)
+    route_ports: dict[str, set[str]] = {
+        n: set(c.get("routes", {})) | {UNMATCHED}
+        for n, c in transforms.items()
+        if c.get("type") == "route"
+    }
+    for section in ("transforms", "sinks"):
+        for name, comp in (spec.get(section) or {}).items():
+            inputs = comp.get("inputs", [])
+            if not inputs:
+                raise PipelineError(f"{name}: component has no inputs")
+            for inp in inputs:
+                base, _, port = inp.partition(".")
+                if base not in known:
+                    raise PipelineError(f"{name}: unknown input {inp!r}")
+                if base in sinks:
+                    raise PipelineError(f"{name}: cannot consume a sink {inp!r}")
+                if port:
+                    if base not in route_ports:
+                        raise PipelineError(
+                            f"{name}: input {inp!r} names a port on a single-output component"
+                        )
+                    if port not in route_ports[base]:
+                        raise PipelineError(f"{name}: unknown port {inp!r}")
+                elif base in route_ports:
+                    raise PipelineError(
+                        f"{name}: route {base!r} requires an explicit port (e.g. {base}.{UNMATCHED})"
+                    )
+    for name, comp in sources.items():
+        if comp.get("inputs"):
+            raise PipelineError(f"{name}: sources cannot have inputs")
+    for name, comp in transforms.items():
+        if comp.get("type") not in TRANSFORMS:
+            raise PipelineError(f"{name}: unknown transform type {comp.get('type')!r}")
+        for port in comp.get("routes", {}) or {}:
+            if port in RESERVED_PORTS:
+                raise PipelineError(f"{name}: route name {port!r} is reserved")
+    # cycle detection: DFS over component edges (graph.rs:210-245)
+    adj: dict[str, list[str]] = {}
+    for frm, to in _edges(spec):
+        adj.setdefault(frm, []).append(to)
+    WHITE, GRAY, BLACK = 0, 1, 2
+    color = dict.fromkeys(known, WHITE)
+
+    def dfs(node: str, path: list[str]) -> None:
+        color[node] = GRAY
+        for nxt in adj.get(node, []):
+            if color[nxt] == GRAY:
+                cyc = path[path.index(nxt):] if nxt in path else [nxt]
+                raise PipelineError(f"cycle detected: {' -> '.join([*cyc, nxt])}")
+            if color[nxt] == WHITE:
+                dfs(nxt, [*path, nxt])
+        color[node] = BLACK
+
+    for n in known:
+        if color[n] == WHITE:
+            dfs(n, [n])
+
+
+# ---------------------------------------------------------------------------
+# compile + run
+# ---------------------------------------------------------------------------
+
+
+def _resolve_inputs(
+    inputs: list[str], outputs: dict[str, DataFrame | dict[str, DataFrame]]
+) -> DataFrame:
+    """Multiple inputs merge streams (implicit union, the graph edge
+    model of src/config/graph.rs) — unionByName with missing columns
+    nulled, matching schemaless event merge."""
+    dfs = []
+    for inp in inputs:
+        base, _, port = inp.partition(".")
+        out = outputs[base]
+        if isinstance(out, dict):
+            dfs.append(out[port])
+        else:
+            dfs.append(out)
+    merged = dfs[0]
+    for other in dfs[1:]:
+        merged = merged.unionByName(other, allowMissingColumns=True)
+    return merged
+
+
+def compile_pipeline(
+    ctx: PipelineContext,
+    spec: dict,
+    source_frames: dict[str, DataFrame],
+    cache_fanout: bool = True,
+) -> dict[str, DataFrame | dict[str, DataFrame]]:
+    """Compile the validated spec to {component: DataFrame (or port
+    dict)}. `source_frames` supplies the DataFrame for every source
+    component (the runner owns real I/O; unit tests inject here)."""
+    validate_spec(spec)
+    sources = spec.get("sources") or {}
+    transforms = spec.get("transforms") or {}
+    missing = set(sources) - set(source_frames)
+    if missing:
+        raise PipelineError(f"no DataFrame provided for sources: {sorted(missing)}")
+
+    consumers: dict[str, int] = {}
+    for frm, _ in _edges(spec):
+        consumers[frm] = consumers.get(frm, 0) + 1
+
+    outputs: dict[str, DataFrame | dict[str, DataFrame]] = {}
+    for name in sources:
+        outputs[name] = source_frames[name]
+
+    remaining = dict(transforms)
+    while remaining:
+        progressed = False
+        for name in list(remaining):
+            comp = remaining[name]
+            deps = {i.split(".", 1)[0] for i in comp.get("inputs", [])}
+            if not deps.issubset(outputs):
+                continue
+            df = _resolve_inputs(comp["inputs"], outputs)
+            result = TRANSFORMS[comp["type"]](df, comp, ctx)
+            # Fanout: one output feeding N consumers recomputes N times
+            # unless cached (fanout.rs analogue); opt out per component
+            if (
+                cache_fanout
+                and consumers.get(name, 0) > 1
+                and comp.get("cache", True)
+                and not isinstance(result, dict)
+            ):
+                result = result.cache()
+            outputs[name] = result
+            del remaining[name]
+            progressed = True
+        if not progressed:  # pragma: no cover - validate_spec catches cycles
+            raise PipelineError(f"unresolvable components: {sorted(remaining)}")
+    return outputs
+
+
+def run_pipeline(
+    ctx: PipelineContext,
+    spec: dict,
+    source_frames: dict[str, DataFrame],
+) -> dict[str, Any]:
+    """Execute sinks. Returns {sink: result} where result is the
+    DataFrame (memory), row count (blackhole), collected rows
+    (console), or {'path', 'rows'} (parquet)."""
+    outputs = compile_pipeline(ctx, spec, source_frames)
+    results: dict[str, Any] = {}
+    for name, comp in (spec.get("sinks") or {}).items():
+        df = _resolve_inputs(comp["inputs"], outputs)
+        only = comp.get("only_fields")
+        if only:  # encoding transformer (src/codecs/encoding/config.rs:155-157)
+            df = df.select(*only)
+        for drop_f in comp.get("except_fields") or []:
+            df = df.drop(drop_f)
+        kind = comp.get("type", "memory")
+        if kind == "memory":
+            results[name] = df
+        elif kind == "blackhole":
+            results[name] = df.count()
+        elif kind == "console":
+            results[name] = [r.asDict() for r in df.collect()]
+        elif kind == "parquet":
+            path = comp["path"]
+            writer = df
+            partition_by = comp.get("partition_by") or []
+            if partition_by:
+                writer = writer.repartition(*partition_by)
+            w = writer.write.mode(comp.get("mode", "overwrite"))
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(path)
+            results[name] = {"path": path, "rows": ctx.spark.read.parquet(path).count()}
+        else:
+            raise PipelineError(f"{name}: unknown sink type {kind!r}")
+    return results
+
+
+def unit_test(
+    ctx: PipelineContext,
+    spec: dict,
+    inserts: dict[str, DataFrame],
+    extracts: list[str],
+) -> dict[str, DataFrame]:
+    """`vector test` analogue (src/config/unit_test/mod.rs:135-290):
+    inject DataFrames at named components (replacing their real
+    inputs) and extract any component's output. Components upstream
+    of every insert point are not executed."""
+    transforms = spec.get("transforms") or {}
+    # keep only components downstream of an insert point (the real
+    # sources and anything upstream of the injection are not run)
+    downstream: dict[str, list[str]] = {}
+    for frm, to in _edges(spec):
+        downstream.setdefault(frm, []).append(to)
+    reachable: set[str] = set()
+    frontier = list(inserts)
+    while frontier:
+        node = frontier.pop()
+        for nxt in downstream.get(node, []):
+            if nxt not in reachable:
+                reachable.add(nxt)
+                frontier.append(nxt)
+    pruned = {
+        "sources": {name: {} for name in inserts},
+        "transforms": {
+            name: comp
+            for name, comp in transforms.items()
+            if name in reachable and name not in inserts
+        },
+        "sinks": {},
+    }
+    # rewire: a transform listed in inserts becomes a source
+    outputs = compile_pipeline(ctx, pruned, dict(inserts), cache_fanout=False)
+    out: dict[str, DataFrame] = {}
+    for ex in extracts:
+        base, _, port = ex.partition(".")
+        res = outputs[base]
+        out[ex] = res[port] if isinstance(res, dict) else res
+    return out
