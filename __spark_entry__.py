@@ -353,6 +353,193 @@ def q_ann_topk(spark, sf_dir):
     return brute_force_topk(emb, queries_df, k=10)
 
 
+def q_apache_parse(spark, sf_dir):
+    """demo_logs apache_common generator -> parse_common_log
+    (src/sources/demo_logs.rs + lib/vrl/stdlib/src/parse_common_log.rs).
+    The oracle re-derives every field arithmetically from `events`, so
+    this verifies the generate+parse roundtrip end-to-end."""
+    from vector_spark.sources import demo_logs_batch, parse_common_log
+
+    lines = demo_logs_batch(spark, sf_dir, "apache_common")
+    return parse_common_log(lines).select(
+        "event_id", "host", "user", "timestamp", "method", "path",
+        "status", "size",
+    )
+
+
+def q_syslog_parse(spark, sf_dir):
+    """demo_logs syslog_5424 generator -> parse_syslog
+    (lib/vrl/stdlib/src/parse_syslog.rs): priority decomposition +
+    RFC5424 fields, oracle-rederived from events."""
+    from vector_spark.sources import demo_logs_batch, parse_syslog
+
+    lines = demo_logs_batch(spark, sf_dir, "syslog")
+    return parse_syslog(lines).select(
+        "event_id", "facility", "severity", "version", "timestamp",
+        "hostname", "appname", "procid", "msgid", "message",
+    )
+
+
+def q_kv_extract(spark, sf_dir):
+    """parse_key_value/logfmt (lib/vrl/stdlib/src/parse_key_value.rs):
+    str_to_map over the non-msg portion of the transcript line."""
+    from vector_spark.functions import parse_key_value
+
+    t = load_transcripts(spark, sf_dir)
+    kv = parse_key_value(F.regexp_replace("text", r" msg=.*$", ""))
+    return t.select(
+        "conv_id", "turn_idx",
+        kv["reqid"].alias("reqid"),
+        kv["latency_ms"].cast("bigint").alias("latency_ms"),
+    )
+
+
+def q_sessionize_endswhen(spark, sf_dir):
+    """reduce ends_when sessionization (src/transforms/reduce/mod.rs:
+    226-293): an assistant turn closes the transaction; emit per-
+    session turn counts and latency sums."""
+    from vector_spark.operators.reduce import sessionize
+
+    parsed = _parsed(spark, sf_dir)
+    sess = sessionize(
+        parsed, group_by=["conv_id"], order_by="turn_idx",
+        ends_when=F.col("role") == "assistant",
+    )
+    return sess.groupBy("conv_id", F.col("_session").alias("session")).agg(
+        F.count(F.lit(1)).alias("turns"),
+        F.sum("latency_ms").alias("latency_sum"),
+    )
+
+
+def q_salted_agg_conv(spark, sf_dir):
+    """Two-phase salted aggregation for hot conv_ids (SURVEY §4 item
+    1). The oracle is a plain GROUP BY — identical results, skew-proof
+    plan."""
+    from vector_spark.operators.aggregate import salted_aggregate
+
+    parsed = _parsed(spark, sf_dir)
+    return salted_aggregate(
+        parsed, keys=["conv_id"], sums={"latency_sum": "latency_ms"},
+        salt_buckets=16,
+    )
+
+
+def q_enrich_between(spark, sf_dir):
+    """BetweenDates enrichment (src/enrichment_tables/file.rs:233-239):
+    broadcast range join of ts against deploy windows."""
+    from vector_spark.enrich import EnrichmentTable
+
+    t = load_transcripts(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [("v1", "2024-01-01 00:00:00", "2024-01-10 23:59:59.999999"),
+         ("v2", "2024-01-11 00:00:00", "2024-01-20 23:59:59.999999"),
+         ("v3", "2024-01-21 00:00:00", "2024-02-29 23:59:59.999999")],
+        "version string, from_ts string, to_ts string",
+    ).select("version", F.col("from_ts").cast("timestamp").alias("from_ts"),
+             F.col("to_ts").cast("timestamp").alias("to_ts"))
+    table = EnrichmentTable(dim, key=[], name="deploy_windows")
+    out = table.lookup_between(t, "ts", "from_ts", "to_ts")
+    return out.select("conv_id", "turn_idx", "version")
+
+
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact baseline). The
+    corpus is doubled with a +0.01 per-coordinate perturbation so each
+    (v, v') pair has cosine ~1; threshold 0.99 isolates exactly those
+    (natural pairs max out near 0.5)."""
+    from vector_spark.dataops.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    perturbed = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + 0.01).alias("embedding"),
+    )
+    return embedding_near_dup_pairs(
+        emb.unionByName(perturbed), threshold=0.99
+    )
+
+
+def q_emb_near_dup_lsh(spark, sf_dir):
+    """LSH-bucketed near-dup (the 100 TB path: bucket-join candidates,
+    exact filter). Rows-only check: banding is approximate-by-
+    construction; its exact twin q_emb_near_dup is oracle-verified."""
+    from vector_spark.dataops.similarity import embedding_near_dup_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    perturbed = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + 0.01).alias("embedding"),
+    )
+    return embedding_near_dup_lsh(
+        emb.unionByName(perturbed), dim=64, threshold=0.99
+    )
+
+
+def q_geoip_enrich(spark, sf_dir):
+    """geoip-style IP-prefix enrichment (src/transforms/geoip.rs):
+    apache-log host IPs broadcast-joined against a /16 prefix dim."""
+    from vector_spark.enrich import ip_prefix_enrich
+    from vector_spark.sources import demo_logs_batch, parse_common_log
+
+    lines = demo_logs_batch(spark, sf_dir, "apache_common")
+    parsed = parse_common_log(lines).select("event_id", "host")
+    dim = spark.sql(
+        "SELECT 10 * 16777216 + id * 65536 AS prefix_int, "
+        "concat('region-', id % 4) AS region, id < 4 AS internal "
+        "FROM range(8)"
+    )
+    out = ip_prefix_enrich(parsed, dim, ip_col="host", prefix_len=16)
+    return out.select("event_id", "host", "region", "internal")
+
+
+def q_metric_to_log(spark, sf_dir):
+    """log_to_metric per-event rows -> metric_to_log JSON logs ->
+    parsed back (src/transforms/metric_to_log.rs roundtrip): verifies
+    serialization, tag hoisting, and kind-variant nesting."""
+    from vector_spark.operators.log_to_metric import MetricSpec, explode_metrics
+    from vector_spark.operators.metric_to_log import metric_to_log
+
+    parsed = _parsed(spark, sf_dir)
+    metrics = explode_metrics(
+        parsed,
+        specs=[
+            MetricSpec(kind="counter", name="errors",
+                       condition=F.col("level") == "ERROR"),
+            MetricSpec(kind="gauge", name="latency", field_="latency_ms"),
+        ],
+        tags=["role", "conv_id", "turn_idx"],
+    ).withColumn("tags", F.create_map(F.lit("role"), F.col("role")))
+    logs = metric_to_log(metrics, host_tag="role")
+    parsed_back = F.from_json(
+        "message",
+        "name string, kind string, counter struct<value:double>, "
+        "gauge struct<value:double>",
+    )
+    return logs.select(
+        F.col("timestamp"), F.col("host"),
+        parsed_back["name"].alias("name"),
+        parsed_back["kind"].alias("kind"),
+        F.coalesce(
+            parsed_back["counter"]["value"], parsed_back["gauge"]["value"]
+        ).alias("value"),
+    )
+
+
+def q_docs_lang_id(spark, sf_dir):
+    """n-gram language-ID heuristic (pandas UDF over Arrow batches);
+    rows-only check (the heuristic has no SQL twin)."""
+    from vector_spark.dataops.text import lang_id_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", lang_id_udf(F.col("text")).alias("lang"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse -> enrich -> route -> hourly aggregate at sf0.001."""
     routed = build_flagship(spark, SF0001)
@@ -385,6 +572,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_simhash": q_docs_simhash,
         "ann_topk": q_ann_topk,
+        "apache_parse": q_apache_parse,
+        "syslog_parse": q_syslog_parse,
+        "kv_extract": q_kv_extract,
+        "sessionize_endswhen": q_sessionize_endswhen,
+        "salted_agg_conv": q_salted_agg_conv,
+        "enrich_between": q_enrich_between,
+        "emb_near_dup": q_emb_near_dup,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "docs_lang_id": q_docs_lang_id,
+        "geoip_enrich": q_geoip_enrich,
+        "metric_to_log": q_metric_to_log,
     }
 
 
@@ -647,6 +845,118 @@ FROM (
 )
 WHERE rank <= 10
 """
+
+    o["apache_parse"] = """
+SELECT event_id,
+  concat(10, '.', event_id % 256, '.', (event_id // 256) % 256, '.',
+         (event_id // 65536) % 256) AS host,
+  concat('user', event_id % 100) AS user,
+  date_trunc('second', ts) AS timestamp,
+  (['GET','POST','PUT','DELETE','HEAD'])[cast(event_id % 5 as int) + 1] AS method,
+  (['/api/v1/users','/api/v1/orders','/index.html','/health','/metrics'])[cast(event_id % 7 % 5 as int) + 1] AS path,
+  ([200,200,200,301,404,500])[cast(event_id % 6 as int) + 1] AS status,
+  cast(floor(value * 100) as bigint) % 100000 AS size
+FROM events
+"""
+
+    o["syslog_parse"] = """
+SELECT event_id,
+  cast((8 + event_id % 16) // 8 as int) AS facility,
+  cast((8 + event_id % 16) % 8 as int) AS severity,
+  1 AS version,
+  date_trunc('millisecond', ts) AS timestamp,
+  concat('host', event_id % 50, '.example.com') AS hostname,
+  (['web','auth','worker','cron'])[cast(event_id % 4 as int) + 1] AS appname,
+  cast(100 + event_id % 9900 as varchar) AS procid,
+  concat('ID', cast(event_id % 1000 as varchar)) AS msgid,
+  'event received' AS message
+FROM events
+"""
+
+    o["kv_extract"] = _with(
+        """
+SELECT conv_id, turn_idx,
+  regexp_extract(text, 'reqid=([0-9a-f]{8})', 1) AS reqid,
+  CAST(regexp_extract(text, 'latency_ms=(\\d+)', 1) AS BIGINT) AS latency_ms
+FROM transcripts
+"""
+    )
+
+    o["sessionize_endswhen"] = _with(
+        """
+SELECT conv_id, session, CAST(count(*) AS BIGINT) AS turns,
+       CAST(sum(latency_ms) AS BIGINT) AS latency_sum
+FROM (
+  SELECT conv_id, latency_ms,
+    CAST(coalesce(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+      AS session
+  FROM parsed
+)
+GROUP BY conv_id, session
+"""
+    )
+
+    o["salted_agg_conv"] = _with(
+        """
+SELECT conv_id, CAST(count(*) AS BIGINT) AS turns,
+       CAST(sum(latency_ms) AS BIGINT) AS latency_sum
+FROM parsed GROUP BY conv_id
+"""
+    )
+
+    o["enrich_between"] = _with(
+        """
+SELECT t.conv_id, t.turn_idx, d.version
+FROM transcripts t
+LEFT JOIN (VALUES
+  ('v1', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-10 23:59:59.999999'),
+  ('v2', TIMESTAMP '2024-01-11 00:00:00', TIMESTAMP '2024-01-20 23:59:59.999999'),
+  ('v3', TIMESTAMP '2024-01-21 00:00:00', TIMESTAMP '2024-02-29 23:59:59.999999')
+) AS d(version, from_ts, to_ts)
+  ON t.ts >= d.from_ts AND t.ts <= d.to_ts
+"""
+    )
+
+    o["emb_near_dup"] = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(v, x -> x + 0.01) FROM base
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(
+      list_sum(list_transform(range(len(a.v)), i -> a.v[i + 1] * b.v[i + 1]))
+      / (sqrt(list_sum(list_transform(range(len(a.v)), i -> a.v[i + 1] * a.v[i + 1])))
+         * sqrt(list_sum(list_transform(range(len(b.v)), i -> b.v[i + 1] * b.v[i + 1])))),
+      6) AS cosine
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99
+"""
+
+    o["geoip_enrich"] = """
+SELECT event_id,
+  concat(10, '.', event_id % 256, '.', (event_id // 256) % 256, '.',
+         (event_id // 65536) % 256) AS host,
+  CASE WHEN event_id % 256 < 8 THEN concat('region-', (event_id % 256) % 4) END AS region,
+  CASE WHEN event_id % 256 < 8 THEN event_id % 256 < 4 END AS internal
+FROM events
+"""
+
+    o["metric_to_log"] = _with(
+        """
+SELECT ts AS timestamp, role AS host, 'errors' AS name,
+       'counter' AS kind, 1.0 AS value
+FROM parsed WHERE level = 'ERROR'
+UNION ALL
+SELECT ts, role, 'latency', 'gauge', CAST(latency_ms AS DOUBLE)
+FROM parsed
+"""
+    )
 
     # docs_minhash_lsh / docs_simhash intentionally have no oracle:
     # LSH banding is approximate-by-construction (rows-only check);

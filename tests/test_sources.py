@@ -1,0 +1,65 @@
+"""Source codec tests: framing + deserializers, demo_logs parse
+roundtrips (full value-level roundtrips are oracle-checked via
+apache_parse / syslog_parse in tools/check_oracles.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from tests.conftest import SF
+from vector_spark.sources import (
+    demo_logs_batch,
+    parse_common_log,
+    parse_syslog,
+    read_jsonl,
+    read_lines,
+    read_logfmt,
+)
+
+
+def test_read_lines(spark, tmp_path):
+    p = tmp_path / "lines.log"
+    p.write_text("alpha\nbravo\ncharlie\n")
+    df = read_lines(spark, str(p))
+    assert [r["line"] for r in df.collect()] == ["alpha", "bravo", "charlie"]
+
+
+def test_read_jsonl(spark, tmp_path):
+    p = tmp_path / "events.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n{"a": 3}\n')
+    schema = T.StructType([
+        T.StructField("a", T.LongType()), T.StructField("b", T.StringType()),
+    ])
+    rows = read_jsonl(spark, str(p), schema).orderBy("a").collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(1, "x"), (2, "y"), (3, None)]
+
+
+def test_read_logfmt(spark, tmp_path):
+    p = tmp_path / "app.logfmt"
+    p.write_text("level=info msg=started port=8080\nlevel=error msg=boom\n")
+    rows = read_logfmt(spark, str(p)).collect()
+    assert rows[0]["fields"]["level"] == "info"
+    assert rows[0]["fields"]["port"] == "8080"
+    assert rows[1]["fields"]["msg"] == "boom"
+
+
+def test_demo_logs_parse_clean(spark):
+    """Every generated line parses without error for all formats."""
+    ap = parse_common_log(demo_logs_batch(spark, SF, "apache_common"))
+    assert ap.filter("_parse_error").count() == 0
+    sl = parse_syslog(demo_logs_batch(spark, SF, "syslog"))
+    assert sl.filter("_parse_error").count() == 0
+    js = demo_logs_batch(spark, SF, "json")
+    assert js.filter("line NOT LIKE '{%'").count() == 0
+
+
+def test_syslog_priority_decomposition(spark):
+    rows = (
+        parse_syslog(demo_logs_batch(spark, SF, "syslog"))
+        .select("facility", "severity")
+        .distinct()
+        .collect()
+    )
+    # pri = 8 + event_id%16 in [8, 23] -> facility 1-2, severity 0-7
+    assert all(r["facility"] in (1, 2) for r in rows)
+    assert all(0 <= r["severity"] <= 7 for r in rows)

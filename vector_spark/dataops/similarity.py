@@ -149,6 +149,66 @@ def lsh_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (id_a, id_b,
+    cosine) for every a<b with cosine >= threshold. O(n^2) pairs —
+    the correctness baseline; use `embedding_near_dup_lsh` at scale."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_bits: int = 10,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: candidate pairs share an LSH bucket in >=1 table
+    (high-cosine pairs collide with high probability), exact cosine
+    filter on candidates only. Join cost ~ sum of bucket sizes^2,
+    not n^2; the bucket join shuffles on (table, bucket)."""
+    sides = []
+    for t in range(n_tables):
+        sides.append(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                F.lit(t).alias("table"),
+                lsh_bucket(F.col(vec_col), dim, n_bits, t).alias("bucket"),
+            )
+        )
+    bucketed = sides[0]
+    for s in sides[1:]:
+        bucketed = bucketed.unionByName(s)
+    a = bucketed.select("table", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = bucketed.select("table", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

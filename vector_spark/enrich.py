@@ -67,13 +67,32 @@ def load_csv_table(
     return t
 
 
+def _values_df(spark: SparkSession, rows: list[tuple], schema) -> "DataFrame":
+    """Inline VALUES relation — a pure LocalRelation Catalyst folds
+    and broadcasts directly, vs createDataFrame's Python-RDD scan
+    (applySchemaToPythonRDD) which shows up as an un-analyzable
+    `Scan ExistingRDD` and costs an extra job per dim."""
+    def lit(v):
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    values = ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+    cols = ", ".join(f.name for f in schema.fields)
+    df = spark.sql(f"SELECT * FROM (VALUES {values}) AS t({cols})")
+    casts = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    return df.select(*casts)
+
+
 def role_dim(spark: SparkSession) -> EnrichmentTable:
-    df = spark.createDataFrame(S.ROLE_DIM_ROWS, S.ROLE_DIM_SCHEMA)
+    df = _values_df(spark, S.ROLE_DIM_ROWS, S.ROLE_DIM_SCHEMA)
     return EnrichmentTable(df, ["role"], "role_dim")
 
 
 def tool_dim(spark: SparkSession) -> EnrichmentTable:
-    df = spark.createDataFrame(S.TOOL_DIM_ROWS, S.TOOL_DIM_SCHEMA)
+    df = _values_df(spark, S.TOOL_DIM_ROWS, S.TOOL_DIM_SCHEMA)
     return EnrichmentTable(df, ["tool"], "tool_dim")
 
 
@@ -84,6 +103,44 @@ def enrich_transcripts(spark: SparkSession, parsed: DataFrame) -> DataFrame:
     out = role_dim(spark).lookup(parsed)
     out = tool_dim(spark).lookup(out)
     return out
+
+
+def stamp_metadata(facts: DataFrame, metadata: dict, fields: list[str] | None = None) -> DataFrame:
+    """aws_ec2_metadata analogue (src/transforms/aws_ec2_metadata.rs:
+    85-92): fetch instance metadata once on the driver (here: the
+    caller passes the dict — region, instance_id, ami_id, ...) and
+    stamp selected keys on every event as literal columns. Literals
+    are constant-folded by Catalyst — zero per-row cost."""
+    keys = fields if fields is not None else list(metadata)
+    out = facts
+    for k in keys:
+        out = out.withColumn(k, F.lit(metadata[k]))
+    return out
+
+
+def ip_prefix_enrich(
+    facts: DataFrame,
+    prefix_dim: DataFrame,
+    ip_col: str,
+    prefix_len: int = 16,
+) -> DataFrame:
+    """geoip-style enrichment (src/transforms/geoip.rs:22-54) without
+    the mmdb dependency: the dimension maps CIDR prefixes to
+    attributes. For a fixed prefix length this reduces to an equality
+    broadcast join on the masked IP — the scalable form of an
+    IP-range lookup (a general-mask mmdb would probe /32../8 masks,
+    i.e. up to 25 broadcast lookups, still shuffle-free).
+
+    prefix_dim must carry `prefix_int` = the masked numeric prefix.
+    """
+    parts = F.split(F.col(ip_col), r"\.")
+    ip_int = (
+        parts[0].cast("long") * 16777216 + parts[1].cast("long") * 65536
+        + parts[2].cast("long") * 256 + parts[3].cast("long")
+    )
+    mask = (0xFFFFFFFF << (32 - prefix_len)) & 0xFFFFFFFF
+    keyed = facts.withColumn("prefix_int", ip_int.bitwiseAND(F.lit(mask)))
+    return keyed.join(F.broadcast(prefix_dim), on="prefix_int", how="left")
 
 
 # DuckDB-side dimension CTEs for oracle queries

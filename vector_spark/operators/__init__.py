@@ -16,4 +16,5 @@ from vector_spark.operators.reduce import reduce_groups, MergeStrategy  # noqa: 
 from vector_spark.operators.aggregate import aggregate_metrics, salted_aggregate  # noqa: F401
 from vector_spark.operators.throttle import throttle  # noqa: F401
 from vector_spark.operators.log_to_metric import log_to_metric, MetricSpec  # noqa: F401
+from vector_spark.operators.metric_to_log import metric_to_log  # noqa: F401
 from vector_spark.operators.tag_cardinality import tag_cardinality_limit  # noqa: F401

@@ -197,6 +197,49 @@ class PipelineError(ValueError):
     pass
 
 
+def expand_macros(spec: dict) -> dict:
+    """`pipelines` macro expansion (src/transforms/pipelines/mod.rs +
+    src/config/compiler.rs:148): a `pipeline` transform with an
+    optional entry `filter` and a linear `stages` list expands into
+    `<name>_filter` + `<name>_<stage>` chained components, rewiring
+    consumers of `<name>` to the last stage — pure config rewriting,
+    before validation."""
+    transforms = dict(spec.get("transforms") or {})
+    macros = {n: c for n, c in transforms.items() if c.get("type") == "pipeline"}
+    if not macros:
+        return spec
+    out_t: dict[str, dict] = {}
+    rename: dict[str, str] = {}
+    for name, comp in transforms.items():
+        if name not in macros:
+            out_t[name] = dict(comp)
+            continue
+        upstream = comp["inputs"]
+        if "filter" in comp:
+            fname = f"{name}_filter"
+            out_t[fname] = {"type": "filter", "inputs": upstream,
+                            "condition": comp["filter"]}
+            upstream = [fname]
+        last = None
+        for stage in comp["stages"]:
+            sname = f"{name}_{stage['name']}"
+            body = {k: v for k, v in stage.items() if k != "name"}
+            body["inputs"] = upstream if last is None else [last]
+            out_t[sname] = body
+            last = sname
+        rename[name] = last if last is not None else upstream[0]
+    expanded = {
+        "sources": spec.get("sources") or {},
+        "transforms": out_t,
+        "sinks": {n: dict(c) for n, c in (spec.get("sinks") or {}).items()},
+    }
+    for section in ("transforms", "sinks"):
+        for comp in expanded[section].values():
+            if "inputs" in comp:
+                comp["inputs"] = [rename.get(i, i) for i in comp["inputs"]]
+    return expand_macros(expanded)  # nested pipelines expand recursively
+
+
 def _edges(spec: dict) -> list[tuple[str, str]]:
     """(input_component, consumer) pairs; ports stripped to component."""
     out = []
@@ -211,6 +254,7 @@ def validate_spec(spec: dict) -> None:
     """Name uniqueness, known inputs, port validity, source shape,
     cycle detection — the compile-time checks of
     src/config/compiler.rs:24-145 + src/config/graph.rs:185-245."""
+    spec = expand_macros(spec)
     sources = spec.get("sources") or {}
     transforms = spec.get("transforms") or {}
     sinks = spec.get("sinks") or {}
@@ -312,6 +356,7 @@ def compile_pipeline(
     dict)}. `source_frames` supplies the DataFrame for every source
     component (the runner owns real I/O; unit tests inject here)."""
     validate_spec(spec)
+    spec = expand_macros(spec)
     sources = spec.get("sources") or {}
     transforms = spec.get("transforms") or {}
     missing = set(sources) - set(source_frames)
@@ -361,6 +406,7 @@ def run_pipeline(
     """Execute sinks. Returns {sink: result} where result is the
     DataFrame (memory), row count (blackhole), collected rows
     (console), or {'path', 'rows'} (parquet)."""
+    spec = expand_macros(spec)  # sink inputs may name macro components
     outputs = compile_pipeline(ctx, spec, source_frames)
     results: dict[str, Any] = {}
     for name, comp in (spec.get("sinks") or {}).items():
@@ -403,6 +449,7 @@ def unit_test(
     inject DataFrames at named components (replacing their real
     inputs) and extract any component's output. Components upstream
     of every insert point are not executed."""
+    spec = expand_macros(spec)
     transforms = spec.get("transforms") or {}
     # keep only components downstream of an insert point (the real
     # sources and anything upstream of the injection are not run)

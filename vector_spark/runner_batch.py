@@ -46,6 +46,22 @@ def flagship_routes() -> dict:
     }
 
 
+def repartition_for_fanout(
+    routed: DataFrame, salt_buckets: int = 8
+) -> DataFrame:
+    """Explicit repartition before the partitionBy fan-out write
+    (SURVEY §4 item 2 — Catalyst won't insert this).
+
+    Keying the shuffle on (_route, role) alone caps write parallelism
+    at |route|x|role| (~10) tasks — a 1000-executor cluster would idle.
+    Adding a conv_id-hash salt spreads each (route, role) slice over
+    `salt_buckets` tasks: parallelism = combos x salt, while each
+    task still writes exactly ONE output directory (no small-files
+    explosion: files per dir = salt_buckets, not total tasks)."""
+    salt = F.pmod(F.xxhash64("conv_id"), F.lit(salt_buckets))
+    return routed.repartition(F.col("_route"), F.col("role"), salt)
+
+
 def build_flagship(
     spark: SparkSession, sf_dir: str, use_pandas_parse: bool = True
 ) -> DataFrame:
@@ -111,10 +127,8 @@ def run_flagship(
             }
             return result
         clock.start("write_routed")
-        # explicit repartition on the write-partition keys: each
-        # (_route, role) partition written by few tasks, not all
         (
-            routed.repartition("_route", "role")
+            repartition_for_fanout(routed)
             .write.mode("overwrite")
             .partitionBy("_route", "role")
             .parquet(routed_path)

@@ -11,10 +11,15 @@ batches zero-copy, and UTC pins timestamp semantics to the oracle's.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CONFS: dict[str, str] = {
+    # shuffle/spill scratch follows TMPDIR: on a cluster every node
+    # has its own disks, so single-box benches that leave this on the
+    # shared root disk measure disk contention, not the engine
+    "spark.local.dir": os.path.join(tempfile.gettempdir(), "spark-local"),
     # correctness-critical: DuckDB oracle timestamps are UTC-naive
     "spark.sql.session.timeZone": "UTC",
     # runtime re-planning: partition coalescing + skew-join splitting
@@ -26,6 +31,14 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # local-mode shuffle sizing; on a cluster this is set per-job
     "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
+    # scan-split sizing for LOCAL scale: the default 128 MB split +
+    # 4 MB open-cost packs a ~100 MB multi-file table into ONE scan
+    # partition, serializing every narrow pipeline (measured: flat
+    # 8->32 core scaling). 8 MB splits + cheap open cost give the
+    # scheduler cores x tasks; production at 100 TB keeps the 128 MB
+    # default (files there are 100 MB+ each).
+    "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+    "spark.sql.files.openCostInBytes": str(128 * 1024),
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.driver.memory": "8g",

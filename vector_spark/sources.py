@@ -76,13 +76,13 @@ def demo_logs_apache_common_sql(dialect: str = "spark") -> str:
 SELECT event_id,
   concat({ip}, ' - user', event_id % 100, ' [', {tsfmt}, '] "',
          {method}, ' ', {path}, ' HTTP/1.1" ', {status}, ' ',
-         cast(cast(value * 100 as bigint) % 100000 as string)) AS line
+         cast(cast(floor(value * 100) as bigint) % 100000 as string)) AS line
 FROM events
 """ if dialect == "spark" else f"""
 SELECT event_id,
   concat({ip}, ' - user', event_id % 100, ' [', {tsfmt}, '] "',
          {method}, ' ', {path}, ' HTTP/1.1" ', {status}, ' ',
-         cast(cast(value * 100 as bigint) % 100000 as varchar)) AS line
+         cast(cast(floor(value * 100) as bigint) % 100000 as varchar)) AS line
 FROM events
 """
 

@@ -108,15 +108,60 @@ def oracle_with_transcripts(body: str) -> str:
     return f"WITH transcripts AS ({TRANSCRIPTS_DUCKDB_CTE})\n{body}"
 
 
-def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derive the transcripts DataFrame from {sf_dir}/events.parquet.
+_transcripts_cache: dict[tuple[int, str], DataFrame] = {}
 
-    At 100 TB this would be `spark.read.table('transcripts')` on an
-    Iceberg catalog; the derivation stands in for the scan and is a
-    narrow projection over the events scan (one window function,
-    partitioned by user_id — shuffles once on the conversation key,
-    which downstream per-conversation operators then reuse).
-    """
+
+def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw derivation plan (one window shuffle on user_id)."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     events.createOrReplaceTempView("events")
     return spark.sql(TRANSCRIPTS_SPARK_SQL)
+
+
+def load_transcripts(
+    spark: SparkSession, sf_dir: str, cache: bool = True
+) -> DataFrame:
+    """The transcripts table for {sf_dir}.
+
+    At 100 TB this is `spark.read.table('transcripts')` on an Iceberg
+    catalog; here the table is derived from events.parquet once per
+    process and MATERIALIZED to a scratch parquet dir, then read back
+    — so every downstream query scans a real stored columnar table
+    (predicate pushdown, column pruning) instead of replaying the
+    derivation window, exactly like production. (`.cache()` of the
+    windowed plan was measured pathologically slow on tiny inputs;
+    a written table sidesteps that and survives memory pressure.)
+
+    cache=False returns the raw derivation plan (used by tests that
+    check the derivation itself).
+    """
+    if not cache:
+        return derive_transcripts(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    if key in _transcripts_cache:
+        return _transcripts_cache[key]
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    # a pre-materialized stored table in the sf dir wins outright
+    # (bench --scaling writes one; production always has one)
+    stored = os.path.join(sf_dir, "transcripts.parquet")
+    if os.path.exists(os.path.join(stored, "_SUCCESS")):
+        df = spark.read.parquet(stored)
+        _transcripts_cache[key] = df
+        return df
+    tag = hashlib.md5(
+        (TRANSCRIPTS_SPARK_SQL + sf_dir).encode()
+    ).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"vector_spark_transcripts_{tag}_{os.getpid()}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        derive_transcripts(spark, sf_dir).write.mode("overwrite").parquet(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    df = spark.read.parquet(path)
+    _transcripts_cache[key] = df
+    return df
