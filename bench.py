@@ -234,30 +234,41 @@ def main_scaling() -> int:
     # (~2-4 s/job on this VM) is <10% of the n4 runtime being compared
     mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "300"))
     sf_dir = _prepare_scaled_input(mult) if mult > 1 else SF_DIR
-    # N vs 4N parallelism. Default N=4: this sandbox advertises 32
+    # N vs 4N parallelism. Default N=2: this sandbox advertises 32
     # vCPUs but a pure-CPU probe (1e9 sha1) tops out at ~2.3x going
-    # 8->32 threads (hypervisor overcommit + ~4% steal), while 4->16
-    # sustains 3.3x — so 4 vs 16 measures the ENGINE's scaling, not
-    # the host's oversubscription ceiling.
-    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    # 8->32 threads (hypervisor overcommit + ~4% steal + co-tenant
+    # noise), while 4->16 sustains 3.3x. Arrow-UDF stages run a JVM
+    # task thread AND a python worker concurrently per slot (~2x
+    # local[N] runnable threads), so local[2] vs local[8] keeps even
+    # the 4N leg inside the host's honest capacity and measures the
+    # ENGINE's scaling, not the hypervisor's oversubscription.
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     pair = (str(n), str(4 * n))
-    runs = {}
-    for cpus in pair:
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_CPUS=cpus,
-            SPARK_GRAFT_SF_DIR=sf_dir,
-            SPARK_GRAFT_BENCH_REPS="3",
-            # RAM-backed scratch: sink writes measure the engine, not
-            # this VM's shared-disk jitter
-            TMPDIR=os.environ.get("SPARK_GRAFT_SCALE_TMP", "/dev/shm"),
-        )
-        out = subprocess.run(
-            [sys.executable, here, "--flagship-only"],
-            env=env, capture_output=True, text=True, check=True,
-        )
-        runs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
-    lo, hi = runs[pair[0]], runs[pair[1]]
+    # this host's background load swings run times 2-3x on a tens-of-
+    # minutes timescale, so the two legs are INTERLEAVED across
+    # `rounds` alternating slices and each leg keeps its minimum —
+    # comparing two back-to-back single runs confounds engine scaling
+    # with whichever noise era each leg happened to land in
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+    samples: dict[str, list[dict]] = {c: [] for c in pair}
+    for _ in range(rounds):
+        for cpus in pair:
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=cpus,
+                SPARK_GRAFT_SF_DIR=sf_dir,
+                SPARK_GRAFT_BENCH_REPS="1",
+                # RAM-backed scratch: sink writes measure the engine,
+                # not this VM's shared-disk jitter
+                TMPDIR=os.environ.get("SPARK_GRAFT_SCALE_TMP", "/dev/shm"),
+            )
+            out = subprocess.run(
+                [sys.executable, here, "--flagship-only"],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            samples[cpus].append(json.loads(out.stdout.strip().splitlines()[-1]))
+    best = {c: min(s, key=lambda r: r["value"]) for c, s in samples.items()}
+    lo, hi = best[pair[0]], best[pair[1]]
     t_lo, t_hi = lo["turns_per_sec"], hi["turns_per_sec"]
     print(json.dumps({
         "metric": f"scaling efficiency local[{pair[0]}] -> local[{pair[1]}]",
@@ -270,7 +281,7 @@ def main_scaling() -> int:
         "efficiency": round((t_hi / t_lo) / 4.0, 3),
         f"sec_n{pair[0]}": lo["value"],
         f"sec_n{pair[1]}": hi["value"],
-        "warm_secs": {pair[0]: lo.get("warm_secs"), pair[1]: hi.get("warm_secs")},
+        "all_secs": {c: [r["value"] for r in s] for c, s in samples.items()},
     }))
     return 0
 

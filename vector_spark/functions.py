@@ -66,8 +66,20 @@ def make_regex_parser(pattern: str = PARSE_PATTERN):
 
     @pandas_udf(struct)
     def parse(s: pd.Series) -> pd.DataFrame:
-        # vectorized C-regex over the whole Arrow batch
-        out = s.str.extract(compiled)
+        # Arrow-native RE2 over the batch: pc.extract_regex runs
+        # compiled C++ regex directly on the Arrow buffers — measured
+        # several-fold faster and far lower memory traffic than
+        # pandas' object-dtype .str.extract on the same batch
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.Array.from_pandas(s)
+        res = pc.extract_regex(arr, pattern)
+        # struct_field (not .field) propagates the parent null of
+        # non-matching rows into every extracted column
+        out = pd.DataFrame(
+            {g: pc.struct_field(res, g).to_pandas() for g in group_names}
+        )
         if "latency_ms" in out.columns:
             out["latency_ms"] = pd.to_numeric(
                 out["latency_ms"], errors="coerce"

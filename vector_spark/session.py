@@ -39,6 +39,13 @@ DEFAULT_CONFS: dict[str, str] = {
     # default (files there are 100 MB+ each).
     "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
     "spark.sql.files.openCostInBytes": str(128 * 1024),
+    # straggler mitigation: re-launch tasks running far beyond the
+    # stage median — essential on shared/noisy hosts AND on 1000-
+    # executor clusters, where one slow node otherwise gates every
+    # stage barrier
+    "spark.speculation": "true",
+    "spark.speculation.multiplier": "1.5",
+    "spark.speculation.quantile": "0.75",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.driver.memory": "8g",
