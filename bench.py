@@ -121,6 +121,33 @@ def run_flagship_bench(spark) -> dict:
         turns = sum(r["turns"] for r in agg_rows if r["sink"] != "_unmatched")
         return time.perf_counter() - t0, turns, len(agg_rows)
 
+    def child_cpu() -> float:
+        """CPU-seconds consumed by this process's whole descendant
+        tree (live JVM + python workers), via /proc. Monotonic only
+        while processes live; worker churn between reads undercounts
+        slightly — fine for a trend metric."""
+        tick = os.sysconf("SC_CLK_TCK")
+        me = os.getpid()
+        children: dict[int, list[int]] = {}
+        usage: dict[int, float] = {}
+        for pid_s in os.listdir("/proc"):
+            if not pid_s.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid_s}/stat") as f:
+                    parts = f.read().rsplit(")", 1)[1].split()
+                ppid = int(parts[1])
+                usage[int(pid_s)] = (int(parts[11]) + int(parts[12])) / tick
+                children.setdefault(ppid, []).append(int(pid_s))
+            except (OSError, IndexError, ValueError):
+                continue
+        total, frontier = 0.0, [me]
+        while frontier:
+            pid = frontier.pop()
+            total += usage.get(pid, 0.0)
+            frontier.extend(children.get(pid, []))
+        return total
+
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     try:
         # first execution pays whole-stage-codegen JIT compilation of
@@ -129,7 +156,11 @@ def run_flagship_bench(spark) -> dict:
         # long-lived cluster actually sustains (min-of-N damps the
         # shared-VM noise on this box). Cold is reported too.
         cold_sec, turns, agg_rows = once()
-        warm = [once()[0] for _ in range(reps)]
+        warm, cpu = [], []
+        for _ in range(reps):
+            c0 = child_cpu()
+            warm.append(once()[0])
+            cpu.append(child_cpu() - c0)
         sec = min(warm)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -137,6 +168,11 @@ def run_flagship_bench(spark) -> dict:
         "sec": round(sec, 3),
         "cold_sec": round(cold_sec, 3),
         "warm_secs": [round(w, 3) for w in warm],
+        # CPU-seconds consumed by the JVM+python tree per warm run:
+        # if this is ~constant across parallelism levels the job is
+        # scale-free (no serial section) and wall-clock deltas are
+        # host contention, not engine behavior
+        "cpu_secs": [round(c, 2) for c in cpu],
         "turns_routed": turns,
         "aggregate_rows": agg_rows,
         "turns_per_sec": round(turns / sec, 1),
@@ -163,6 +199,7 @@ def main() -> int:
         "turns_per_sec": flagship["turns_per_sec"],
         "cold_sec": flagship["cold_sec"],
         "warm_secs": flagship["warm_secs"],
+        "cpu_secs": flagship["cpu_secs"],
         **warm,
         "queries": {"flagship_e2e": flagship["sec"]},
     }
@@ -282,6 +319,9 @@ def main_scaling() -> int:
         f"sec_n{pair[0]}": lo["value"],
         f"sec_n{pair[1]}": hi["value"],
         "all_secs": {c: [r["value"] for r in s] for c, s in samples.items()},
+        "all_cpu_secs": {
+            c: [r.get("cpu_secs") for r in s] for c, s in samples.items()
+        },
     }))
     return 0
 

@@ -40,3 +40,27 @@ def test_frame_sample_plan(spark):
     # durations 1..5s -> 1..5 frames
     per = plan.groupby("media_id").size()
     assert per.min() >= 1 and per.max() <= 5
+
+
+def test_resize_images(spark):
+    from vector_spark.dataops.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(spark, 12)
+    out = resize_images(media, 128, 128)
+    rows = out.collect()
+    assert len(rows) == 12
+    imgs = [r for r in rows if r["kind"] == "image"]
+    assert imgs and all(r["meta"]["width"] == 128 for r in imgs)
+    target = max(1, (128 * 128) // 1024)
+    assert all(len(r["payload"]) == target for r in imgs)
+    # non-images pass through untouched
+    others = [r for r in rows if r["kind"] != "image"]
+    assert all(r["meta"]["width"] is None for r in others)
+
+
+def test_resize_real_seam_raises(spark):
+    import pytest
+    from vector_spark.dataops.multimodal import resize_images, synthetic_media
+
+    with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
+        resize_images(synthetic_media(spark, 3), 64, 64, decode="real").collect()

@@ -93,6 +93,40 @@ def extract_features(
     return df.mapInPandas(run, FEATURES_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame, width: int, height: int, decode: str = "fake"
+) -> DataFrame:
+    """Image resize over mapInPandas: same schema out, payload
+    replaced by the resized encoding and meta.width/height updated.
+    `fake` mode truncates/pads the payload to a deterministic size
+    proportional to the target area (the real kernel would be
+    PIL Image.resize at the marked seam) — schema, batching, and
+    metadata rewriting are the real production shape."""
+
+    target_len_per_kb = max(1, (width * height) // 1024)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "real resize requires PIL; plug Image.open/resize in "
+                    "here — batch plumbing is already correct"
+                )
+            mask = pdf["kind"] == "image"
+            out = pdf.copy()
+            out.loc[mask, "payload"] = out.loc[mask, "payload"].map(
+                lambda b: (b * (target_len_per_kb // max(len(b), 1) + 1))[
+                    :target_len_per_kb
+                ]
+            )
+            out.loc[mask, "meta"] = out.loc[mask, "meta"].map(
+                lambda m: {**(m or {}), "width": width, "height": height}
+            )
+            yield out
+
+    return df.mapInPandas(run, df.schema)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: explode (media_id, frame_ts_ms)
     rows from duration metadata — pure JVM; the decode of each frame

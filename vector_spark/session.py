@@ -60,13 +60,15 @@ def get_spark(
     """Build (or reuse) a SparkSession.
 
     master defaults to local[N] where N = $SPARK_GRAFT_CPUS or all
-    cores. On a real cluster, pass master=None and let spark-submit
-    own it.
+    cores. Under spark-submit pass master="inherit" so the submit
+    command's --master wins.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
-    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = SparkSession.builder.appName(app_name)
+    if master != "inherit":
+        builder = builder.master(master)
     confs = dict(DEFAULT_CONFS)
     if extra_confs:
         confs.update(extra_confs)
