@@ -266,9 +266,11 @@ def q_q3_revenue(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     seg = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    # selective broadcast filter FIRST (cuts orders ~5x before the
+    # big lineitem join) — Catalyst won't reorder user joins w/o CBO
+    o_seg = orders.join(F.broadcast(seg), orders.o_custkey == seg.c_custkey)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(seg), orders.o_custkey == seg.c_custkey)
+        li.join(o_seg, li.l_orderkey == o_seg.o_orderkey)
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(
             F.round(

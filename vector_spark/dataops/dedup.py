@@ -117,21 +117,44 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, sig: array<bigint>[N_HASHES]) minhash signatures."""
-    sh = shingles(df, id_col, text_col, n)
-    x = (token_int(F.col("shingle")) % P).alias("x")
-    hashed = sh.select("id", x)
-    # one column per hash function — computed in a single projection,
-    # min-aggregated in a single shuffle (no 64-way explode)
-    mins = hashed.groupBy("id").agg(
-        *[
-            F.min((F.lit(hash_params(i)[0]) * F.col("x") + F.lit(hash_params(i)[1])) % P).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ]
+    """(id, sig: array<bigint>[N_HASHES]) minhash signatures.
+
+    Zero-shuffle: the signature is a pure per-row expression — the
+    doc's distinct shingle set stays an ARRAY column and each of the
+    64 mins is `array_min(transform(...))` over it (nested
+    higher-order functions, all JVM-side). The previous form exploded
+    every doc into (id, shingle) rows and shuffled the ENTIRE token
+    stream into a 64-expression groupBy — at 100 TB that shuffles
+    ~|corpus tokens| rows to compute a per-doc value; this form
+    shuffles nothing. Hash family identical (hash_params), so
+    signatures are byte-identical to the old path.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     )
-    return mins.select(
-        "id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
+    xs = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
+        % P,
     )
+    # a_i = 2i+1, b_i = (1000003*i + 12345) % P  (== hash_params(i));
+    # a_i * x < 127 * 2^32 < 2^39 — no int64 overflow
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                xs,
+                lambda x: (
+                    (2 * i.cast("bigint") + 1) * x
+                    + (1000003 * i.cast("bigint") + 12345) % P
+                )
+                % P,
+            )
+        ),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(

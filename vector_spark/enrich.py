@@ -73,11 +73,18 @@ def _values_df(spark: SparkSession, rows: list[tuple], schema) -> "DataFrame":
     (applySchemaToPythonRDD) which shows up as an un-analyzable
     `Scan ExistingRDD` and costs an extra job per dim."""
     def lit(v):
+        if v is None:
+            return "NULL"
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
-        return str(v)
+        if isinstance(v, (int, float)):
+            return str(v)
+        raise TypeError(
+            f"unsupported VALUES literal {v!r} ({type(v).__name__}); "
+            "only int/float/bool/str/None render safely"
+        )
 
     values = ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
     cols = ", ".join(f.name for f in schema.fields)

@@ -56,6 +56,26 @@ def make_regex_parser(pattern: str = PARSE_PATTERN):
     """
     compiled = re.compile(pattern)
     group_names = list(compiled.groupindex.keys())
+    # Fail fast on the driver: the pattern executes under Arrow RE2 on
+    # executors, which rejects lookarounds/backreferences that Python
+    # `re` accepts, and requires every capture group to be named. A
+    # driver-side probe turns an opaque executor stack into a clear
+    # ValueError at build time.
+    if compiled.groups != len(group_names):
+        raise ValueError(
+            f"pattern has {compiled.groups - len(group_names)} unnamed "
+            "capture group(s); RE2 extract_regex requires named groups "
+            "only — use (?P<name>...) or (?:...)"
+        )
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    try:
+        _pc.extract_regex(_pa.array([], type=_pa.string()), pattern)
+    except _pa.lib.ArrowInvalid as e:
+        raise ValueError(
+            f"pattern is valid Python regex but not RE2: {e}"
+        ) from e
     fields = []
     for g in group_names:
         if g == "latency_ms":

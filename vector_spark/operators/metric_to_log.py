@@ -32,15 +32,27 @@ def metric_to_log(
     counter/gauge nesting follows the reference's serialization where
     the MetricValue variant is the field name (metric_to_log.rs:99+).
     """
+    # the MetricValue variant name is the JSON key (reference
+    # src/transforms/metric_to_log.rs:99-125 serializes the enum with
+    # the variant as the field name: counter/gauge/set/distribution/
+    # aggregated_histogram/aggregated_summary/sketch)
+    kinds = [
+        "counter",
+        "gauge",
+        "set",
+        "distribution",
+        "aggregated_histogram",
+        "aggregated_summary",
+        "sketch",
+    ]
     value_struct = F.struct(F.col(value_col).alias("value"))
     body = [
         F.col(name_col).alias("name"),
         F.col(kind_col).alias("kind"),
-        F.when(F.col(kind_col) == "counter", value_struct).alias("counter"),
-        F.when(F.col(kind_col) == "gauge", value_struct).alias("gauge"),
-        F.when(~F.col(kind_col).isin("counter", "gauge"), value_struct).alias(
-            "other"
-        ),
+        *[
+            F.when(F.col(kind_col) == k, value_struct).alias(k)
+            for k in kinds
+        ],
     ]
     if tags_col is not None:
         body.append(F.col(tags_col).alias("tags"))

@@ -33,13 +33,14 @@ def tag_cardinality_limit(
         df.filter(F.col(tag_col).isNotNull())
         .groupBy(tag_col)
         .agg(F.min(order_by).alias("_first_seen"))
-        .withColumn(
-            "_rank",
-            F.row_number().over(
-                Window.orderBy(F.col("_first_seen"), F.col(tag_col))
-            ),
-        )
-        .filter(F.col("_rank") <= value_limit)
+        # orderBy+limit plans TakeOrderedAndProject: each task keeps a
+        # k-heap and only k rows reach the driver-side merge. The
+        # previous row_number() over an un-partitioned Window pulled
+        # ALL distinct tag values into one task — a scale-killer in
+        # precisely the runaway-cardinality scenario this operator
+        # exists for.
+        .orderBy(F.col("_first_seen"), F.col(tag_col))
+        .limit(value_limit)
         .select(tag_col)
         .withColumn("_accepted", F.lit(True))
     )

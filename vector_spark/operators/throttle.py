@@ -32,8 +32,17 @@ def throttle(
     w = Window.partitionBy(*[F.col(k) for k in key], win).orderBy(
         *[F.col(o) for o in order_by]
     )
-    ranked = df.withColumn("_rn", F.row_number().over(w))
-    keep = F.col("_rn") <= threshold
-    if exclude is not None:
-        keep = keep | exclude
-    return ranked.filter(keep).drop("_rn")
+    if exclude is None:
+        ranked = df.withColumn("_rn", F.row_number().over(w))
+        return ranked.filter(F.col("_rn") <= threshold).drop("_rn")
+    # Excluded events bypass the limiter WITHOUT consuming quota
+    # (reference src/transforms/throttle.rs:144-165 skips
+    # limiter.check_key entirely for excluded events): rank only
+    # non-excluded rows via a running conditional count, keep
+    # excluded rows unconditionally.
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rn = F.sum(F.when(exclude, 0).otherwise(1)).over(running)
+    ranked = df.withColumn("_rn", rn).withColumn("_ex", exclude)
+    return ranked.filter(F.col("_ex") | (F.col("_rn") <= threshold)).drop(
+        "_rn", "_ex"
+    )

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from vector_spark.conditions import check_fields, vrl_expr
 from vector_spark.enrich import EnrichmentTable
+from vector_spark.metrics import observe_stage
 from vector_spark.functions import parse_grok, parse_transcripts
 from vector_spark.operators.dedupe import dedupe
 from vector_spark.operators.filter import filter_events
@@ -111,6 +112,12 @@ def _t_parse_grok(df, opts, ctx):
 def _t_route(df, opts, ctx):
     conds = {n: compile_condition(c) for n, c in opts["routes"].items()}
     tagged = route_single_pass(df, conds)
+    # when the route's ports feed more than one downstream edge, each
+    # per-port filter would otherwise recompute the whole upstream
+    # (parse/enrich) once per consumer — cache the single tagged scan
+    # (the fanout.rs caching analogue), honoring `cache: False`
+    if opts.get("_fanout_consumers", 0) > 1 and opts.get("cache", True):
+        tagged = tagged.cache()
     ports = {n: tagged.filter(F.col("_route") == n).drop("_route") for n in conds}
     ports[UNMATCHED] = tagged.filter(F.col("_route") == UNMATCHED).drop("_route")
     return ports
@@ -380,7 +387,10 @@ def compile_pipeline(
             if not deps.issubset(outputs):
                 continue
             df = _resolve_inputs(comp["inputs"], outputs)
-            result = TRANSFORMS[comp["type"]](df, comp, ctx)
+            opts = comp
+            if cache_fanout and comp.get("type") == "route":
+                opts = {**comp, "_fanout_consumers": consumers.get(name, 0)}
+            result = TRANSFORMS[comp["type"]](df, opts, ctx)
             # Fanout: one output feeding N consumers recomputes N times
             # unless cached (fanout.rs analogue); opt out per component
             if (
@@ -422,10 +432,17 @@ def run_pipeline(
         elif kind == "blackhole":
             results[name] = df.count()
         elif kind == "console":
-            results[name] = [r.asDict() for r in df.collect()]
+            # the reference console sink streams; batch collect gets a
+            # sanity cap so a misrouted firehose can't OOM the driver
+            limit = comp.get("limit", 1000)
+            results[name] = [r.asDict() for r in df.limit(limit).collect()]
         elif kind == "parquet":
             path = comp["path"]
-            writer = df
+            # observe the writer input: routed-row count arrives as a
+            # side effect of the write action itself (EventsSent
+            # telemetry) instead of re-reading the sink output — the
+            # old read-back doubled sink I/O at scale
+            writer, obs = observe_stage(df, f"sink:{name}")
             partition_by = comp.get("partition_by") or []
             if partition_by:
                 writer = writer.repartition(*partition_by)
@@ -433,7 +450,7 @@ def run_pipeline(
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(path)
-            results[name] = {"path": path, "rows": ctx.spark.read.parquet(path).count()}
+            results[name] = {"path": path, "rows": obs.get["rows"]}
         else:
             raise PipelineError(f"{name}: unknown sink type {kind!r}")
     return results
@@ -464,13 +481,28 @@ def unit_test(
             if nxt not in reachable:
                 reachable.add(nxt)
                 frontier.append(nxt)
+    # a kept transform may have a mix of inputs: some downstream of an
+    # insert point, some from non-inserted upstream components that
+    # were pruned away. Keep only the surviving inputs (the reference
+    # unit-test framework runs such transforms on the injected data
+    # alone, src/config/unit_test/mod.rs); error only if none remain.
+    survivors = reachable | set(inserts)
+    kept: dict[str, dict] = {}
+    for name, comp in transforms.items():
+        if name not in reachable or name in inserts:
+            continue
+        inputs = [
+            i for i in comp.get("inputs", [])
+            if i.split(".", 1)[0] in survivors
+        ]
+        if not inputs:
+            raise PipelineError(
+                f"{name}: no inputs reachable from insert points"
+            )
+        kept[name] = {**comp, "inputs": inputs}
     pruned = {
         "sources": {name: {} for name in inserts},
-        "transforms": {
-            name: comp
-            for name, comp in transforms.items()
-            if name in reachable and name not in inserts
-        },
+        "transforms": kept,
         "sinks": {},
     }
     # rewire: a transform listed in inserts becomes a source

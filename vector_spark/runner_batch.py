@@ -140,12 +140,22 @@ def run_flagship(
         clock.stop()
         with open(marker, "w") as f:
             f.write(json.dumps({"committed_at": time.time()}))
-    counts_df = routed.groupBy("_route").agg(F.count(F.lit(1)).alias("rows"))
-    clock.start("counts")
-    counts = {r["_route"]: r["rows"] for r in counts_df.collect()}
-    clock.stop(rows=sum(counts.values()))
+        # the aggregate was just written — read it back (tiny) instead
+        # of recomputing the pipeline for counts
+        agg_rows = spark.read.parquet(agg_path).collect()
+    else:
+        # one pass: the aggregate's per-group `turns` counts roll up
+        # to exact per-sink routed-row counts, so a single collect
+        # yields both (the old form executed parse->enrich->route
+        # twice — once for counts, once for the aggregate)
+        clock.start("aggregate")
+        agg_rows = flagship_aggregate(routed).collect()
+        clock.stop(rows=len(agg_rows))
+    counts: dict[str, int] = {}
+    for r in agg_rows:
+        counts[r["sink"]] = counts.get(r["sink"], 0) + r["turns"]
     result["counts"] = counts
-    result["aggregate_rows"] = flagship_aggregate(routed).count()
+    result["aggregate_rows"] = len(agg_rows)
     if lineage:
         result["partition_lineage"] = [
             r.asDict() for r in partition_lineage(routed).collect()

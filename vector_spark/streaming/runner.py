@@ -22,7 +22,9 @@ windows upgrade Vector's processing-time flush ticks
 Sink fan-out: `foreachBatch` writes every route's slice per
 micro-batch — the one place Catalyst can't plan the multi-write for
 us (SURVEY.md §4 item 2); with a checkpointLocation the pipeline is
-kill-and-resume safe (epoch-id idempotent overwrite per batch).
+kill-and-resume safe: each micro-batch writes under an
+`_epoch=<id>` partition with dynamic partition overwrite, so a
+replayed epoch rewrites itself instead of appending duplicates.
 """
 
 from __future__ import annotations
@@ -145,8 +147,18 @@ def run_streaming_flagship(
     routed = route_single_pass(enriched, conds)
 
     counts: dict[str, int] = {}
+    seen_epochs: set[int] = set()
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        """Idempotent per epoch: rows land under an `_epoch=<id>`
+        partition with DYNAMIC partition overwrite, so a micro-batch
+        replayed after a crash (parquet written, checkpoint commit
+        lost) rewrites its own partitions instead of appending
+        duplicates — exactly-once output, matching the checkpoint's
+        epoch replay contract."""
+        if epoch_id in seen_epochs:  # same-process retry: counts once
+            return
+        seen_epochs.add(epoch_id)
         batch_df.persist()
         try:
             for row in (
@@ -154,9 +166,11 @@ def run_streaming_flagship(
             ):
                 counts[row["_route"]] = counts.get(row["_route"], 0) + row["n"]
             (
-                batch_df.repartition("_route", "role")
-                .write.mode("append")
-                .partitionBy("_route", "role")
+                batch_df.withColumn("_epoch", F.lit(epoch_id))
+                .repartition("_route", "role")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch", "_route", "role")
                 .parquet(os.path.join(out_dir, "routed"))
             )
         finally:

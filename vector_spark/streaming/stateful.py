@@ -123,8 +123,14 @@ def streaming_throttle(
     window_secs: int,
     key: list[str],
     ts_col: str = "ts",
+    exclude_col: str | None = None,
 ) -> DataFrame:
-    """Streaming GCRA rate limiter per key (event-time driven)."""
+    """Streaming GCRA rate limiter per key (event-time driven).
+
+    `exclude_col` names a boolean column (precompute it upstream with
+    withColumn): rows where it is true bypass the limiter WITHOUT
+    consuming tokens, mirroring the reference's exclude-condition
+    short-circuit (src/transforms/throttle.rs:144-165)."""
     out_schema = df.schema
     state_schema = T.StructType([T.StructField("tat", T.DoubleType(), True)])
 
@@ -134,9 +140,20 @@ def streaming_throttle(
         tat = float(state.get[0]) if state.exists else float("-inf")
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
-            epoch = pdf[ts_col].astype("int64") / 1e9
+            if exclude_col is not None:
+                ex = pdf[exclude_col].fillna(False).astype(bool)
+                limited = pdf[~ex]
+            else:
+                ex = None
+                limited = pdf
+            epoch = limited[ts_col].astype("int64") / 1e9
             keep, tat = _gcra_kernel(epoch, tat, threshold, window_secs)
-            kept = pdf[keep]
+            if ex is not None:
+                mask = ex.copy()
+                mask.loc[keep.index] = keep | ex.loc[keep.index]
+                kept = pdf[mask].sort_values(ts_col)
+            else:
+                kept = pdf[keep]
             if len(kept):
                 yield kept
         state.update((tat if tat != float("-inf") else None,))

@@ -90,6 +90,17 @@ def strlen(col: Column) -> Column:
     return F.length(col)
 
 
+def length_(col: Column, dtype: str = "string") -> Column:
+    """length.rs: element count for arrays/objects, byte/char count
+    for strings. Spark column types are static, so the caller passes
+    the resolved kind (the VRL compiler knows it from type inference;
+    our translator reads it off the DataFrame schema): array/map/
+    object -> size(), else -> length()."""
+    if dtype in ("array", "map", "object", "struct"):
+        return F.size(col)
+    return F.length(col)
+
+
 # ---------------------------------------------------------------------------
 # codecs / crypto (encode_base64.rs, md5.rs, ...)
 # ---------------------------------------------------------------------------
@@ -369,7 +380,7 @@ FUNCTIONS: dict[str, object] = {
     "slice": slice_, "find": find, "contains": lambda c, s: c.contains(s),
     "starts_with": starts_with, "ends_with": ends_with,
     "match": match_, "match_any": match_any, "replace": replace,
-    "split": split, "join": join, "strlen": strlen, "length": F.length,
+    "split": split, "join": join, "strlen": strlen, "length": length_,
     "strip_whitespace": F.trim, "strip_ansi_escape_codes": strip_ansi_escape_codes,
     "redact": redact, "reverse": F.reverse,
     # codecs / crypto
