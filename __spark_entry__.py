@@ -542,6 +542,227 @@ def q_docs_lang_id(spark, sf_dir):
     return docs.select("doc_id", lang_id_udf(F.col("text")).alias("lang"))
 
 
+def q_apache_error_parse(spark, sf_dir):
+    """apache error-format logs (parse_apache_log format="error",
+    lib/vrl/stdlib/src/log_util.rs REGEX_APACHE_ERROR_LOG): generator
+    + parser roundtrip, every field oracle-rederived from events."""
+    from vector_spark.parsers import parse_apache_error
+    from vector_spark.sources import demo_logs_apache_error
+
+    lines = demo_logs_apache_error(spark, sf_dir)
+    return parse_apache_error(lines).select(
+        "event_id", "timestamp", "module", "severity", "pid", "thread",
+        "client", "port", "message",
+    )
+
+
+def q_nginx_parse(spark, sf_dir):
+    """nginx combined access logs (lib/vrl/stdlib/src/parse_nginx_log.rs,
+    log_util.rs REGEX_NGINX_COMBINED_LOG)."""
+    from vector_spark.parsers import parse_nginx_log
+    from vector_spark.sources import demo_logs_nginx_combined
+
+    lines = demo_logs_nginx_combined(spark, sf_dir)
+    return parse_nginx_log(lines).select(
+        "event_id", "client", "user", "timestamp", "method", "path",
+        "protocol", "status", "size", "referer", "agent",
+    )
+
+
+def q_glog_parse(spark, sf_dir):
+    """glog lines (lib/vrl/stdlib/src/parse_glog.rs): level-letter
+    mapping + microsecond timestamp + file:line split."""
+    from vector_spark.parsers import parse_glog
+    from vector_spark.sources import demo_logs_glog
+
+    lines = demo_logs_glog(spark, sf_dir)
+    return parse_glog(lines).select(
+        "event_id", "level", "timestamp", "id", "file", "line_no", "message",
+    )
+
+
+def q_klog_parse(spark, sf_dir):
+    """klog lines (lib/vrl/stdlib/src/parse_klog.rs): like glog with a
+    yearless MMdd stamp — kept as a string (the reference's
+    resolve_year is wall-clock dependent; documented divergence)."""
+    from vector_spark.parsers import parse_klog
+    from vector_spark.sources import demo_logs_klog
+
+    lines = demo_logs_klog(spark, sf_dir)
+    return parse_klog(lines).select(
+        "event_id", "level", "timestamp", "id", "file", "line_no", "message",
+    )
+
+
+def q_auth_parse(spark, sf_dir):
+    """auth.log RFC3164 lines (lib/vrl/stdlib/src/
+    parse_linux_authorization.rs — alias of parse_syslog)."""
+    from vector_spark.parsers import parse_linux_authorization
+    from vector_spark.sources import demo_logs_linux_auth
+
+    lines = demo_logs_linux_auth(spark, sf_dir)
+    return parse_linux_authorization(lines).select(
+        "event_id", "timestamp", "hostname", "appname", "procid", "message",
+    )
+
+
+def q_vpc_flow_parse(spark, sf_dir):
+    """AWS VPC flow logs (lib/vrl/stdlib/src/parse_aws_vpc_flow_log.rs):
+    positional split, `-` -> null, int typing per inner_kind; every
+    13th row is the NODATA shape."""
+    from vector_spark.parsers import parse_aws_vpc_flow_log
+    from vector_spark.sources import demo_logs_vpc_flow
+
+    lines = demo_logs_vpc_flow(spark, sf_dir)
+    return parse_aws_vpc_flow_log(lines).select(
+        "event_id", "version", "account_id", "interface_id", "srcaddr",
+        "dstaddr", "srcport", "dstport", "protocol", "packets", "bytes",
+        "start", "end", "action", "log_status",
+    )
+
+
+def q_alb_parse(spark, sf_dir):
+    """AWS ALB access logs (lib/vrl/stdlib/src/parse_aws_alb_log.rs
+    field order), quoted-field handling included."""
+    from vector_spark.parsers import parse_aws_alb_log
+    from vector_spark.sources import demo_logs_alb
+
+    lines = demo_logs_alb(spark, sf_dir)
+    return parse_aws_alb_log(lines).select(
+        "event_id", "type", "elb", "client_host", "target_host",
+        "elb_status_code", "target_status_code", "received_bytes",
+        "sent_bytes", "request", "user_agent", "trace_id",
+        "target_group_arn", "matched_rule_priority", "actions_executed",
+    )
+
+
+def q_tokens_parse(spark, sf_dir):
+    """parse_tokens (lib/vrl/stdlib/src/parse_tokens.rs +
+    lib/vector-common/src/tokenize.rs) over apache_common lines;
+    null tokens (`-`) surfaced via a sentinel so the token list is a
+    flat comparable string."""
+    from vector_spark.parsers import parse_tokens
+    from vector_spark.sources import demo_logs_batch
+
+    lines = demo_logs_batch(spark, sf_dir, "apache_common")
+    toks = parse_tokens(F.col("line"))
+    joined = F.array_join(
+        F.transform(toks, lambda t: F.coalesce(t, F.lit("∅"))), "|"
+    )
+    return lines.select("event_id", joined.alias("tokens"))
+
+
+def q_regex_all_parse(spark, sf_dir):
+    """parse_regex_all (lib/vrl/stdlib/src/parse_regex_all.rs): all
+    word matches of the transcript msg tail — the oracle runs the
+    SAME regex in DuckDB (true cross-engine regex check)."""
+    from vector_spark.parsers import parse_regex_all
+
+    t = load_transcripts(spark, sf_dir)
+    msg = F.regexp_extract("text", r"msg=(.*)$", 1)
+    words = parse_regex_all(msg, r"([a-z]+)")
+    return t.select(
+        "conv_id", "turn_idx", F.array_join(words, ",").alias("msg_words")
+    )
+
+
+def q_user_agent_parse(spark, sf_dir):
+    """parse_user_agent (lib/vrl/stdlib/src/parse_user_agent.rs fast
+    mode) over the nginx generator's 4 agent strings."""
+    from vector_spark.parsers import parse_user_agent
+    from vector_spark.sources import demo_logs_nginx_combined, NGINX_AGENTS
+
+    lines = demo_logs_nginx_combined(spark, sf_dir)
+    agent = F.element_at(
+        F.array(*[F.lit(a) for a in NGINX_AGENTS]),
+        (F.col("event_id") % 4 + 1).cast("int"),
+    )
+    ua = parse_user_agent(agent)
+    return lines.select(
+        "event_id",
+        ua["browser_family"].alias("browser_family"),
+        ua["browser_version"].alias("browser_version"),
+        ua["os_family"].alias("os_family"),
+        ua["os_version"].alias("os_version"),
+        ua["device_category"].alias("device_category"),
+    )
+
+
+def q_ruby_hash_parse(spark, sf_dir):
+    """parse_ruby_hash (lib/vrl/stdlib/src/parse_ruby_hash.rs):
+    `=>` hashes with nil -> typed fields."""
+    from vector_spark.parsers import parse_ruby_hash
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    line = F.concat(
+        F.lit('{ "event" => "'), F.col("event_type"),
+        F.lit('", "value" => '),
+        F.floor(F.col("value") * 100).cast("bigint").cast("string"),
+        F.lit(', "note" => nil }'),
+    )
+    h = parse_ruby_hash(line, "event string, value bigint, note string")
+    return ev.select(
+        "event_id",
+        h["event"].alias("event"),
+        h["value"].alias("value"),
+        h["note"].alias("note"),
+    )
+
+
+def q_xml_parse(spark, sf_dir):
+    """parse_xml (lib/vrl/stdlib/src/parse_xml.rs): XML -> object with
+    @-prefixed attributes; pandas-UDF crossing, JSON-string output so
+    the oracle can assert the exact serialized tree."""
+    from vector_spark.parsers import parse_xml
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    xml = F.concat(
+        F.lit('<event id="'), F.col("event_id").cast("string"),
+        F.lit('"><type>'), F.col("event_type"), F.lit("</type><v>"),
+        F.floor(F.col("value") * 100).cast("bigint").cast("string"),
+        F.lit("</v></event>"),
+    )
+    return ev.select("event_id", parse_xml(xml).alias("tree"))
+
+
+def q_cloudwatch_parse(spark, sf_dir):
+    """AWS CloudWatch Logs subscription envelopes (lib/vrl/stdlib/src/
+    parse_aws_cloudwatch_log_subscription_message.rs): fixed-schema
+    from_json + logEvents explode."""
+    from vector_spark.parsers import (
+        parse_aws_cloudwatch_log_subscription_message,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    envelope = F.to_json(
+        F.struct(
+            F.lit("123456789012").alias("owner"),
+            F.lit("DATA_MESSAGE").alias("messageType"),
+            F.lit("/app/events").alias("logGroup"),
+            F.concat(F.lit("stream-"), (F.col("event_id") % 8).cast("string")).alias("logStream"),
+            F.array(F.lit("filter-1")).alias("subscriptionFilters"),
+            F.array(
+                F.struct(
+                    F.col("event_id").cast("string").alias("id"),
+                    (F.unix_timestamp("ts") * 1000).alias("timestamp"),
+                    F.concat(F.lit("msg "), F.col("event_id").cast("string")).alias("message"),
+                )
+            ).alias("logEvents"),
+        )
+    )
+    parsed = parse_aws_cloudwatch_log_subscription_message(
+        ev.select("event_id", envelope.alias("line"))
+    )
+    le = F.explode("parsed.logEvents").alias("le")
+    return parsed.select("event_id", "parsed.owner", "parsed.logGroup", "parsed.logStream", le).select(
+        "event_id",
+        F.col("owner"), F.col("logGroup").alias("log_group"),
+        F.col("logStream").alias("log_stream"),
+        F.col("le.timestamp").alias("event_ts_ms"),
+        F.col("le.message").alias("message"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse -> enrich -> route -> hourly aggregate at sf0.001."""
     routed = build_flagship(spark, SF0001)
@@ -585,6 +806,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id": q_docs_lang_id,
         "geoip_enrich": q_geoip_enrich,
         "metric_to_log": q_metric_to_log,
+        "apache_error_parse": q_apache_error_parse,
+        "nginx_parse": q_nginx_parse,
+        "glog_parse": q_glog_parse,
+        "klog_parse": q_klog_parse,
+        "auth_parse": q_auth_parse,
+        "vpc_flow_parse": q_vpc_flow_parse,
+        "alb_parse": q_alb_parse,
+        "tokens_parse": q_tokens_parse,
+        "regex_all_parse": q_regex_all_parse,
+        "user_agent_parse": q_user_agent_parse,
+        "ruby_hash_parse": q_ruby_hash_parse,
+        "xml_parse": q_xml_parse,
+        "cloudwatch_parse": q_cloudwatch_parse,
     }
 
 
@@ -959,6 +1193,180 @@ SELECT ts, role, 'latency', 'gauge', CAST(latency_ms AS DOUBLE)
 FROM parsed
 """
     )
+
+    # ---- canned-parser family: expected output re-derived from events
+    ip = (
+        "concat(10, '.', event_id % 256, '.', (event_id // 256) % 256, '.', "
+        "(event_id // 65536) % 256)"
+    )
+    agents_sql = (
+        "['Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/89.0.4389.114 Safari/537.36',"
+        "'curl/7.68.0',"
+        "'Mozilla/5.0 (iPhone; CPU iPhone OS 14_0 like Mac OS X) Version/14.0 Mobile/15E148 Safari/604.1',"
+        "'Googlebot/2.1 (+http://www.google.com/bot.html)']"
+    )
+
+    o["apache_error_parse"] = f"""
+SELECT event_id,
+  date_trunc('second', ts) AS timestamp,
+  (['core','mpm_event','ssl','proxy'])[cast(event_id % 4 as int) + 1] AS module,
+  (['error','warn','notice'])[cast(event_id % 3 as int) + 1] AS severity,
+  cast(100 + event_id % 9000 as int) AS pid,
+  cast(event_id % 100 as varchar) AS thread,
+  {ip} AS client,
+  cast(1024 + event_id % 64000 as int) AS port,
+  concat('request failed code ', event_id % 7) AS message
+FROM events
+"""
+
+    o["nginx_parse"] = f"""
+SELECT event_id,
+  {ip} AS client,
+  concat('user', event_id % 100) AS user,
+  date_trunc('second', ts) AS timestamp,
+  (['GET','POST','PUT','DELETE','HEAD'])[cast(event_id % 5 as int) + 1] AS method,
+  (['/api/v1/users','/api/v1/orders','/index.html','/health','/metrics'])[cast(event_id % 7 % 5 as int) + 1] AS path,
+  'HTTP/1.1' AS protocol,
+  ([200,200,200,301,404,500])[cast(event_id % 6 as int) + 1] AS status,
+  cast(floor(value * 100) as bigint) % 100000 AS size,
+  nullif((['-','http://example.com/start','https://ref.example.org/a'])[cast(event_id % 3 as int) + 1], '-') AS referer,
+  ({agents_sql})[cast(event_id % 4 as int) + 1] AS agent
+FROM events
+"""
+
+    o["glog_parse"] = """
+SELECT event_id,
+  (['info','warning','error','fatal'])[cast(event_id % 4 as int) + 1] AS level,
+  date_trunc('second', ts) AS timestamp,
+  event_id % 10000 AS id,
+  (['server.cc','worker.cc','scheduler.cc'])[cast(event_id % 3 as int) + 1] AS file,
+  event_id % 2000 AS line_no,
+  concat('op ', event_id % 50) AS message
+FROM events
+"""
+
+    o["klog_parse"] = """
+SELECT event_id,
+  (['info','warning','error','fatal'])[cast(event_id % 4 as int) + 1] AS level,
+  concat(strftime(ts, '%m%d %H:%M:%S'), '.000000') AS timestamp,
+  event_id % 10000 AS id,
+  (['server.cc','worker.cc','scheduler.cc'])[cast(event_id % 3 as int) + 1] AS file,
+  event_id % 2000 AS line_no,
+  concat('op ', event_id % 50) AS message
+FROM events
+"""
+
+    o["auth_parse"] = f"""
+SELECT event_id,
+  strftime(ts, '%b %d %H:%M:%S') AS timestamp,
+  concat('host', event_id % 50) AS hostname,
+  (['sshd','sudo','su','cron'])[cast(event_id % 4 as int) + 1] AS appname,
+  100 + event_id % 9999 AS procid,
+  concat('Accepted publickey for user', event_id % 100, ' from ', {ip},
+         ' port ', 1024 + event_id % 64000, ' ssh2') AS message
+FROM events
+"""
+
+    o["vpc_flow_parse"] = f"""
+SELECT event_id,
+  2 AS version,
+  100000000000 + event_id % 1000 AS account_id,
+  concat('eni-', lpad(lower(hex(event_id * 2654435761 % 4294967296)), 8, '0')) AS interface_id,
+  CASE WHEN event_id % 13 = 0 THEN NULL ELSE {ip} END AS srcaddr,
+  CASE WHEN event_id % 13 = 0 THEN NULL
+       ELSE concat('192.168.', event_id % 256, '.', (event_id // 256) % 256) END AS dstaddr,
+  CASE WHEN event_id % 13 = 0 THEN NULL ELSE 1024 + event_id % 64000 END AS srcport,
+  CASE WHEN event_id % 13 = 0 THEN NULL
+       ELSE cast((['80','443','22','8080'])[cast(event_id % 4 as int) + 1] as bigint) END AS dstport,
+  CASE WHEN event_id % 13 = 0 THEN NULL ELSE 6 END AS protocol,
+  CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_id % 1000 END AS packets,
+  CASE WHEN event_id % 13 = 0 THEN NULL ELSE cast(floor(value * 1000) as bigint) END AS bytes,
+  cast(floor(epoch(ts)) as bigint) AS start,
+  cast(floor(epoch(ts)) as bigint) + 60 AS "end",
+  CASE WHEN event_id % 13 = 0 THEN NULL
+       ELSE (['ACCEPT','REJECT'])[cast(event_id % 2 as int) + 1] END AS action,
+  CASE WHEN event_id % 13 = 0 THEN 'NODATA' ELSE 'OK' END AS log_status
+FROM events
+"""
+
+    o["alb_parse"] = f"""
+SELECT event_id,
+  'http' AS type,
+  'my-loadbalancer' AS elb,
+  concat({ip}, ':', 1024 + event_id % 64000) AS client_host,
+  '10.0.0.1:80' AS target_host,
+  cast(([200,200,200,301,404,500])[cast(event_id % 6 as int) + 1] as varchar) AS elb_status_code,
+  cast(([200,200,200,301,404,500])[cast(event_id % 6 as int) + 1] as varchar) AS target_status_code,
+  event_id % 5000 AS received_bytes,
+  cast(floor(value * 1000) as bigint) AS sent_bytes,
+  concat((['GET','POST','PUT','DELETE','HEAD'])[cast(event_id % 5 as int) + 1],
+         ' http://www.example.com:80',
+         (['/api/v1/users','/api/v1/orders','/index.html','/health','/metrics'])[cast(event_id % 7 % 5 as int) + 1],
+         ' HTTP/1.1') AS request,
+  ({agents_sql})[cast(event_id % 4 as int) + 1] AS user_agent,
+  concat('Root=1-', lpad(lower(hex(event_id * 2654435761 % 4294967296)), 8, '0')) AS trace_id,
+  'arn:aws:elasticloadbalancing:us-east-2:123456789012:targetgroup/my-targets/73e2d6bc24d8a067' AS target_group_arn,
+  '0' AS matched_rule_priority,
+  'forward' AS actions_executed
+FROM events
+"""
+
+    o["tokens_parse"] = f"""
+SELECT event_id,
+  concat(
+    {ip}, '|∅|user', event_id % 100, '|',
+    strftime(ts, '%d/%b/%Y:%H:%M:%S +0000'), '|',
+    (['GET','POST','PUT','DELETE','HEAD'])[cast(event_id % 5 as int) + 1], ' ',
+    (['/api/v1/users','/api/v1/orders','/index.html','/health','/metrics'])[cast(event_id % 7 % 5 as int) + 1],
+    ' HTTP/1.1|',
+    ([200,200,200,301,404,500])[cast(event_id % 6 as int) + 1], '|',
+    cast(floor(value * 100) as bigint) % 100000
+  ) AS tokens
+FROM events
+"""
+
+    o["regex_all_parse"] = _with(
+        """
+SELECT conv_id, turn_idx,
+  array_to_string(regexp_extract_all(regexp_extract(text, 'msg=(.*)$', 1), '([a-z]+)', 1), ',') AS msg_words
+FROM transcripts
+"""
+    )
+
+    o["user_agent_parse"] = """
+SELECT event_id,
+  (['Chrome','curl','Safari','Bot'])[cast(event_id % 4 as int) + 1] AS browser_family,
+  (['89.0.4389.114','7.68.0','14.0',NULL])[cast(event_id % 4 as int) + 1] AS browser_version,
+  (['Windows',NULL,'iOS',NULL])[cast(event_id % 4 as int) + 1] AS os_family,
+  (['10.0',NULL,'14_0',NULL])[cast(event_id % 4 as int) + 1] AS os_version,
+  (['pc','crawler','smartphone','crawler'])[cast(event_id % 4 as int) + 1] AS device_category
+FROM events
+"""
+
+    o["ruby_hash_parse"] = """
+SELECT event_id,
+  event_type AS event,
+  cast(floor(value * 100) as bigint) AS value,
+  cast(NULL as varchar) AS note
+FROM events
+"""
+
+    o["xml_parse"] = """
+SELECT event_id,
+  concat('{"event": {"@id": "', event_id, '", "type": "', event_type,
+         '", "v": "', cast(floor(value * 100) as bigint), '"}}') AS tree
+FROM events
+"""
+
+    o["cloudwatch_parse"] = """
+SELECT event_id,
+  '123456789012' AS owner,
+  '/app/events' AS log_group,
+  concat('stream-', event_id % 8) AS log_stream,
+  cast(floor(epoch(ts)) as bigint) * 1000 AS event_ts_ms,
+  concat('msg ', event_id) AS message
+FROM events
+"""
 
     # docs_minhash_lsh / docs_simhash intentionally have no oracle:
     # LSH banding is approximate-by-construction (rows-only check);

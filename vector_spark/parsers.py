@@ -1,0 +1,519 @@
+"""Canned log-format parsers — the VRL stdlib parse_* family.
+
+Reference: lib/vrl/stdlib/src/parse_*.rs (27 parser files) with the
+shared regex set in lib/vrl/stdlib/src/log_util.rs. Each parser here
+cites its reference file and keeps the reference's field names and
+types (log_util.rs capture_value: status/size/pid/tid/cid/port ->
+integer, timestamp -> timestamp, everything else string).
+
+Spark rebuild: every line format is a native `regexp_extract`
+composition — the whole parse stays inside whole-stage codegen (no
+Python). Multi-valued parsers (parse_regex_all, parse_tokens) map to
+`regexp_extract_all` + higher-order functions. The only Python
+crossing is parse_xml (no JVM XML reader for free-form columns),
+which is an Arrow-batched pandas UDF.
+
+Parse failure follows the repo convention: `_parse_error` boolean
+column (the reference's fallible-call + reroute_dropped seam,
+src/transforms/remap.rs:92-105).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _g(line: Column, pat: str, i: int) -> Column:
+    return F.nullif(F.regexp_extract(line, pat, i), F.lit(""))
+
+
+# ---------------------------------------------------------------------------
+# apache error (parse_apache_log.rs format="error";
+# log_util.rs REGEX_APACHE_ERROR_LOG "simple format")
+# ---------------------------------------------------------------------------
+
+APACHE_ERROR_PATTERN = (
+    r"^\s*\[([^\]]*)\] \[([^:\]]*):([^\]]*)\]"
+    r" \[pid (\d+)(?::tid (\d+))?\] \[client (.*):(\d+)\] (.*?)\s*$"
+)
+
+
+def parse_apache_error(
+    df: DataFrame,
+    line_col: str = "line",
+    ts_format: str = "MMM dd HH:mm:ss yyyy",
+) -> DataFrame:
+    """parse_apache_log(format: "error") — log_util.rs:72-107 simple
+    format: [ts] [module:severity] [pid N:tid M] [client ip:port] msg.
+    The default apache error timestamp leads with a day-of-week name,
+    which Spark >=3 refuses to PARSE (EEE is format-only) — it is
+    redundant with the date, so it's stripped before to_timestamp."""
+    line = F.col(line_col)
+    p = APACHE_ERROR_PATTERN
+    ts_raw = F.regexp_replace(_g(line, p, 1), r"^\w{3} ", "")
+    return (
+        df.withColumn("timestamp", F.to_timestamp(ts_raw, ts_format))
+        .withColumn("module", _g(line, p, 2))
+        .withColumn("severity", _g(line, p, 3))
+        .withColumn("pid", _g(line, p, 4).cast("int"))
+        .withColumn("thread", _g(line, p, 5))
+        .withColumn("client", _g(line, p, 6))
+        .withColumn("port", _g(line, p, 7).cast("int"))
+        .withColumn("message", _g(line, p, 8))
+        .withColumn("_parse_error", _g(line, p, 2).isNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# nginx (parse_nginx_log.rs; log_util.rs REGEX_NGINX_COMBINED_LOG /
+# REGEX_NGINX_ERROR_LOG)
+# ---------------------------------------------------------------------------
+
+NGINX_COMBINED_PATTERN = (
+    r'^\s*(\S+) - (\S+) \[([^\]]+)\] "(\w+) (\S+) (\S+)" (\d+) (\d+)'
+    r' "([^"]*)" "([^"]*)"(?: "([^"]*)")?\s*$'
+)
+
+NGINX_ERROR_PATTERN = (
+    r"^\s*(.+?) \[(\w+)\] (\d+)#(\d+):(?: \*(\d+))? ([^,]*)"
+    r"(?:, client: ([^,]+))?(?:, server: ([^,]+))?"
+    r'(?:, request: "([^"]+)")?(?:, host: "([^"]+)")?\s*$'
+)
+
+
+def parse_nginx_log(
+    df: DataFrame,
+    line_col: str = "line",
+    format: str = "combined",
+    ts_format: str | None = None,
+) -> DataFrame:
+    """parse_nginx_log.rs: combined access format or error format.
+
+    combined: ip - user [ts] "method path proto" status size
+              "referer" "agent" ["compression"]
+    error:    yyyy/MM/dd HH:mm:ss [severity] pid#tid: *cid msg, ...
+    """
+    line = F.col(line_col)
+    if format == "combined":
+        p = NGINX_COMBINED_PATTERN
+        fmt = ts_format or "dd/MMM/yyyy:HH:mm:ss Z"
+        return (
+            df.withColumn("client", _g(line, p, 1))
+            .withColumn("user", F.when(_g(line, p, 2) != "-", _g(line, p, 2)))
+            .withColumn("timestamp", F.to_timestamp(_g(line, p, 3), fmt))
+            .withColumn("method", _g(line, p, 4))
+            .withColumn("path", _g(line, p, 5))
+            .withColumn("protocol", _g(line, p, 6))
+            .withColumn("status", _g(line, p, 7).cast("int"))
+            .withColumn("size", _g(line, p, 8).cast("long"))
+            .withColumn("referer", F.when(_g(line, p, 9) != "-", _g(line, p, 9)))
+            .withColumn("agent", F.when(_g(line, p, 10) != "-", _g(line, p, 10)))
+            .withColumn("compression", F.when(_g(line, p, 11) != "-", _g(line, p, 11)))
+            .withColumn("_parse_error", _g(line, p, 1).isNull())
+        )
+    if format == "error":
+        p = NGINX_ERROR_PATTERN
+        fmt = ts_format or "yyyy/MM/dd HH:mm:ss"
+        return (
+            df.withColumn("timestamp", F.to_timestamp(_g(line, p, 1), fmt))
+            .withColumn("severity", _g(line, p, 2))
+            .withColumn("pid", _g(line, p, 3).cast("int"))
+            .withColumn("tid", _g(line, p, 4).cast("int"))
+            .withColumn("cid", _g(line, p, 5).cast("int"))
+            .withColumn("message", _g(line, p, 6))
+            .withColumn("client", _g(line, p, 7))
+            .withColumn("server", _g(line, p, 8))
+            .withColumn("request", _g(line, p, 9))
+            .withColumn("host", _g(line, p, 10))
+            .withColumn("_parse_error", _g(line, p, 2).isNull())
+        )
+    raise ValueError(f"unknown nginx format {format!r}")
+
+
+# ---------------------------------------------------------------------------
+# glog / klog (parse_glog.rs, parse_klog.rs)
+# ---------------------------------------------------------------------------
+
+GLOG_PATTERN = (
+    r"^\s*(\w)(\d{8} \d{2}:\d{2}:\d{2}\.\d{6}) +(\d+) (.+):(\d+)\] (.*?)\s*$"
+)
+KLOG_PATTERN = (
+    r"^\s*(\w)(\d{4} \d{2}:\d{2}:\d{2}\.\d{6}) +(\d+) (.+):(\d+)\] (.*?)\s*$"
+)
+
+_GLOG_LEVELS = {"I": "info", "W": "warning", "E": "error", "F": "fatal"}
+
+
+def _glog_level(c: Column) -> Column:
+    out = F.lit(None).cast("string")
+    expr = None
+    for k, v in _GLOG_LEVELS.items():
+        expr = F.when(c == k, v) if expr is None else expr.when(c == k, v)
+    return expr.otherwise(out)
+
+
+def parse_glog(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """parse_glog.rs: L<yyyymmdd hh:mm:ss.ffffff> id file:line] msg;
+    level letter maps I/W/E/F -> info/warning/error/fatal."""
+    line = F.col(line_col)
+    p = GLOG_PATTERN
+    return (
+        df.withColumn("level", _glog_level(_g(line, p, 1)))
+        .withColumn(
+            "timestamp",
+            F.to_timestamp(_g(line, p, 2), "yyyyMMdd HH:mm:ss.SSSSSS"),
+        )
+        .withColumn("id", _g(line, p, 3).cast("long"))
+        .withColumn("file", _g(line, p, 4))
+        .withColumn("line_no", _g(line, p, 5).cast("long"))
+        .withColumn("message", _g(line, p, 6))
+        .withColumn("_parse_error", _g(line, p, 1).isNull())
+    )
+
+
+def parse_klog(
+    df: DataFrame, line_col: str = "line", year: int | None = None
+) -> DataFrame:
+    """parse_klog.rs: like glog but MMDD (no year). The reference
+    resolves the year against the current date (resolve_year) — not
+    reproducible in batch, so pass `year` explicitly for a resolved
+    timestamp, or leave None to keep the raw `timestamp` string
+    (documented divergence)."""
+    line = F.col(line_col)
+    p = KLOG_PATTERN
+    out = (
+        df.withColumn("level", _glog_level(_g(line, p, 1)))
+        .withColumn("id", _g(line, p, 3).cast("long"))
+        .withColumn("file", _g(line, p, 4))
+        .withColumn("line_no", _g(line, p, 5).cast("long"))
+        .withColumn("message", _g(line, p, 6))
+        .withColumn("_parse_error", _g(line, p, 1).isNull())
+    )
+    raw = _g(line, p, 2)
+    if year is None:
+        return out.withColumn("timestamp", raw)
+    return out.withColumn(
+        "timestamp",
+        F.to_timestamp(
+            F.concat(F.lit(str(year)), raw), "yyyyMMdd HH:mm:ss.SSSSSS"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# syslog RFC3164 + parse_linux_authorization (parse_syslog.rs,
+# parse_linux_authorization.rs — the latter is a direct alias)
+# ---------------------------------------------------------------------------
+
+SYSLOG_3164_PATTERN = (
+    r"^\s*(?:<(\d{1,3})>)?(\w{3} [ \d]\d \d{2}:\d{2}:\d{2}) (\S+)"
+    r" ([^:\[\s]+)(?:\[(\d+)\])?: (.*?)\s*$"
+)
+
+
+def parse_syslog_3164(
+    df: DataFrame, line_col: str = "line", year: int | None = None
+) -> DataFrame:
+    """RFC3164 BSD syslog: [<pri>]MMM dd HH:mm:ss host app[pid]: msg.
+    RFC3164 timestamps carry no year (the reference resolves against
+    the current date); pass `year` for a resolved timestamp, else the
+    raw string is kept."""
+    line = F.col(line_col)
+    p = SYSLOG_3164_PATTERN
+    pri = _g(line, p, 1).cast("int")
+    out = (
+        df.withColumn("facility", (pri / 8).cast("int"))
+        .withColumn("severity", pri % 8)
+        .withColumn("hostname", _g(line, p, 3))
+        .withColumn("appname", _g(line, p, 4))
+        .withColumn("procid", _g(line, p, 5).cast("long"))
+        .withColumn("message", _g(line, p, 6))
+        .withColumn("_parse_error", _g(line, p, 2).isNull())
+    )
+    raw = _g(line, p, 2)
+    if year is None:
+        return out.withColumn("timestamp", raw)
+    return out.withColumn(
+        "timestamp",
+        F.to_timestamp(F.concat(F.lit(f"{year} "), raw), "yyyy MMM d HH:mm:ss"),
+    )
+
+
+def parse_linux_authorization(
+    df: DataFrame, line_col: str = "line", year: int | None = None
+) -> DataFrame:
+    """parse_linux_authorization.rs — an alias for parse_syslog over
+    auth.log lines (the reference compiles to ParseSyslogFn)."""
+    return parse_syslog_3164(df, line_col, year)
+
+
+# ---------------------------------------------------------------------------
+# AWS VPC flow logs (parse_aws_vpc_flow_log.rs)
+# ---------------------------------------------------------------------------
+
+VPC_FLOW_DEFAULT_FORMAT = (
+    "version account_id interface_id srcaddr dstaddr srcport dstport "
+    "protocol packets bytes start end action log_status"
+)
+
+# reference inner_kind(): which fields are integers
+_VPC_INT_FIELDS = {
+    "version", "account_id", "srcport", "dstport", "protocol", "packets",
+    "bytes", "start", "end", "tcp_flags",
+}
+
+
+def parse_aws_vpc_flow_log(
+    df: DataFrame, line_col: str = "line", format: str | None = None
+) -> DataFrame:
+    """parse_aws_vpc_flow_log.rs: space-separated positional fields;
+    `-` means null; int-typed fields per the reference's inner_kind.
+    Custom `format` strings reorder/subset fields exactly like the
+    reference's optional format argument."""
+    fields = (format or VPC_FLOW_DEFAULT_FORMAT).split(" ")
+    toks = F.split(F.col(line_col), " ")
+    out = df.withColumn(
+        "_parse_error", F.size(toks) != F.lit(len(fields))
+    )
+    for i, name in enumerate(fields):
+        raw = F.nullif(F.element_at(toks, i + 1), F.lit("-"))
+        col = raw.cast("long") if name in _VPC_INT_FIELDS else raw
+        out = out.withColumn(name, col)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# AWS ALB access logs (parse_aws_alb_log.rs:133-250)
+# ---------------------------------------------------------------------------
+
+# (name, quoted?, int?) in the reference's field order (parse_log)
+_ALB_FIELDS = [
+    ("type", False, False), ("elb", False, False),
+    ("client_host", False, False), ("target_host", False, False),
+    ("request_processing_time", False, False),
+    ("target_processing_time", False, False),
+    ("response_processing_time", False, False),
+    ("elb_status_code", False, False), ("target_status_code", False, False),
+    ("received_bytes", False, True), ("sent_bytes", False, True),
+    ("request", True, False), ("user_agent", True, False),
+    ("ssl_cipher", False, False), ("ssl_protocol", False, False),
+    ("target_group_arn", False, False), ("trace_id", True, False),
+    ("domain_name", True, False), ("chosen_cert_arn", True, False),
+    ("matched_rule_priority", False, False),
+    ("request_creation_time", False, False),
+    ("actions_executed", True, False), ("redirect_url", True, False),
+    ("error_reason", True, False),
+]
+
+
+def _alb_pattern() -> str:
+    parts = []
+    for _, quoted, _ in _ALB_FIELDS:
+        parts.append(r'"([^"]*)"' if quoted else r"(\S+)")
+    return r"^\s*" + " ".join(parts) + r"(?: .*)?$"
+
+
+ALB_PATTERN = _alb_pattern()
+
+
+def parse_aws_alb_log(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """parse_aws_alb_log.rs field sequence as one anchored regex (the
+    trailing optional group absorbs the newer target-list/
+    classification columns, which ride behind `request_creation_time`
+    era fields in the reference too)."""
+    line = F.col(line_col)
+    out = df
+    for i, (name, _, is_int) in enumerate(_ALB_FIELDS):
+        raw = F.nullif(_g(line, ALB_PATTERN, i + 1), F.lit("-"))
+        out = out.withColumn(name, raw.cast("long") if is_int else raw)
+    return out.withColumn("_parse_error", _g(line, ALB_PATTERN, 1).isNull())
+
+
+# ---------------------------------------------------------------------------
+# AWS CloudWatch Logs subscription messages
+# (parse_aws_cloudwatch_log_subscription_message.rs)
+# ---------------------------------------------------------------------------
+
+CLOUDWATCH_SUBSCRIPTION_SCHEMA = T.StructType([
+    T.StructField("owner", T.StringType()),
+    T.StructField("messageType", T.StringType()),
+    T.StructField("logGroup", T.StringType()),
+    T.StructField("logStream", T.StringType()),
+    T.StructField("subscriptionFilters", T.ArrayType(T.StringType())),
+    T.StructField("logEvents", T.ArrayType(T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("timestamp", T.LongType()),
+        T.StructField("message", T.StringType()),
+    ]))),
+])
+
+
+def parse_aws_cloudwatch_log_subscription_message(
+    df: DataFrame, line_col: str = "line"
+) -> DataFrame:
+    """The subscription envelope is plain JSON with a fixed schema —
+    from_json (timestamps arrive as epoch millis)."""
+    return df.withColumn(
+        "parsed", F.from_json(F.col(line_col), CLOUDWATCH_SUBSCRIPTION_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# parse_regex_all / parse_tokens (parse_regex_all.rs, parse_tokens.rs)
+# ---------------------------------------------------------------------------
+
+
+def parse_regex_all(col: Column, pattern: str, group: int = 1) -> Column:
+    """parse_regex_all.rs: every match of the pattern, as an array.
+    regexp_extract_all stays JVM-side (the reference collects
+    captures-per-match objects; with one named group the array of
+    that group is the same surface)."""
+    return F.regexp_extract_all(col, F.lit(pattern), F.lit(group))
+
+
+_TOKEN_PATTERN = r'\[(?:\\.|[^\]\\])*\]|"(?:\\.|[^"\\])*"|[^\s\["]+'
+
+
+def parse_tokens(col: Column) -> Column:
+    """parse_tokens.rs (lib/vector-common/src/tokenize.rs): split on
+    whitespace, keeping "quoted" and [bracketed] groups as single
+    tokens with their delimiters stripped; "" and "-" become null."""
+    raw = F.regexp_extract_all(col, F.lit(f"({_TOKEN_PATTERN})"), F.lit(1))
+    strip = F.transform(
+        raw,
+        lambda t: F.when(
+            t.rlike(r'^\[.*\]$') | t.rlike(r'^".*"$'),
+            F.substring(t, F.lit(2), F.length(t) - 2),
+        ).otherwise(t),
+    )
+    return F.transform(
+        strip,
+        lambda t: F.when((t == "") | (t == "-"), F.lit(None)).otherwise(t),
+    )
+
+
+# ---------------------------------------------------------------------------
+# parse_user_agent (parse_user_agent.rs — woothee/uap "fast" mode)
+# ---------------------------------------------------------------------------
+
+
+def parse_user_agent(col: Column) -> Column:
+    """parse_user_agent.rs fast mode: browser family/version, os
+    family/version, device category. The reference embeds the woothee
+    ruleset; this is the high-traffic subset of those rules as CASE
+    chains (JVM-side) — unknown agents yield nulls, like the
+    reference's 'unknown' bucket."""
+    browser = (
+        F.when(col.rlike(r"Edg[e/]"), "Edge")
+        .when(col.rlike(r"OPR/|Opera"), "Opera")
+        .when(col.rlike(r"Chrome/"), "Chrome")
+        .when(col.rlike(r"Firefox/"), "Firefox")
+        .when(col.rlike(r"Safari/") & col.rlike(r"Version/"), "Safari")
+        .when(col.rlike(r"MSIE |Trident/"), "Internet Explorer")
+        .when(col.rlike(r"curl/"), "curl")
+        .when(col.rlike(r"[Bb]ot|[Cc]rawler|[Ss]pider"), "Bot")
+    )
+    browser_version = F.coalesce(
+        F.nullif(F.regexp_extract(col, r"(?:Edge?|OPR|Chrome|Firefox|Version|curl)/([\d.]+)", 1), F.lit("")),
+        F.nullif(F.regexp_extract(col, r"MSIE ([\d.]+)", 1), F.lit("")),
+    )
+    os_family = (
+        F.when(col.rlike(r"Windows NT"), "Windows")
+        .when(col.rlike(r"Android"), "Android")
+        .when(col.rlike(r"iPhone|iPad|iOS"), "iOS")
+        .when(col.rlike(r"Mac OS X"), "Mac OS X")
+        .when(col.rlike(r"Linux"), "Linux")
+    )
+    os_version = F.nullif(
+        F.regexp_extract(
+            col,
+            r"(?:Windows NT |Android |OS |Mac OS X )([\d._]+)",
+            1,
+        ),
+        F.lit(""),
+    )
+    device = (
+        F.when(col.rlike(r"iPad|Tablet"), "tablet")
+        .when(col.rlike(r"Mobile|iPhone|Android"), "smartphone")
+        .when(col.rlike(r"[Bb]ot|[Cc]rawler|[Ss]pider|curl"), "crawler")
+        .when(os_family.isNotNull(), "pc")
+    )
+    return F.struct(
+        browser.alias("browser_family"),
+        browser_version.alias("browser_version"),
+        os_family.alias("os_family"),
+        os_version.alias("os_version"),
+        device.alias("device_category"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# parse_ruby_hash (parse_ruby_hash.rs)
+# ---------------------------------------------------------------------------
+
+
+def parse_ruby_hash(col: Column, schema) -> Column:
+    """parse_ruby_hash.rs: { "key" => "value", ... } hash literals.
+    Well-formed string-keyed hashes rewrite to JSON (`=>` -> `:`,
+    nil -> null) and ride from_json; the reference's full grammar
+    (symbol keys, unquoted idents) is out of scope and returns null
+    via from_json's lax mode."""
+    json = F.regexp_replace(col, r"\s*=>\s*", ":")
+    json = F.regexp_replace(json, r":nil\s*([,}\]])", r":null$1")
+    return F.from_json(json, schema)
+
+
+# ---------------------------------------------------------------------------
+# parse_xml (parse_xml.rs) — the one Python crossing (Arrow batches)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.StringType())
+def _xml_to_json(s: pd.Series) -> pd.Series:
+    import json as _json
+    import xml.etree.ElementTree as ET
+
+    def node_to_obj(node):
+        obj: dict = {}
+        for k, v in node.attrib.items():
+            obj[f"@{k}"] = v
+        children = list(node)
+        if not children:
+            text = (node.text or "").strip()
+            if obj:
+                if text:
+                    obj["text"] = text
+                return obj
+            return text
+        for child in children:
+            val = node_to_obj(child)
+            if child.tag in obj:
+                prev = obj[child.tag]
+                obj[child.tag] = prev + [val] if isinstance(prev, list) else [prev, val]
+            else:
+                obj[child.tag] = val
+        return obj
+
+    def conv(v):
+        if v is None:
+            return None
+        try:
+            root = ET.fromstring(v)
+        except ET.ParseError:
+            return None
+        return _json.dumps({root.tag: node_to_obj(root)}, sort_keys=True)
+
+    return s.map(conv)
+
+
+def parse_xml(col: Column) -> Column:
+    """parse_xml.rs: XML -> object with @-prefixed attributes and
+    `text` keys (the reference's attr_prefix/text_key defaults).
+    Returns a JSON string (heterogeneous trees don't fit a static
+    StructType); chain from_json with a schema for typed access.
+    Unparseable XML -> null (fallible call)."""
+    return _xml_to_json(col)

@@ -215,3 +215,179 @@ def parse_syslog(df: DataFrame, line_col: str = "line") -> DataFrame:
         .withColumn("message", F.regexp_extract(line, p, 8))
         .withColumn("_parse_error", pri.isNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# demo_logs generators for the canned-parser family (parsers.py).
+# Each renders `events` rows into a deterministic log line whose
+# parsed fields are re-derivable in DuckDB straight from the events
+# columns — the oracle pattern every parse query rides on.
+# ---------------------------------------------------------------------------
+
+def _e() -> Column:
+    return F.col("event_id")
+
+
+def _el(values: list, idx) -> Column:
+    return F.element_at(
+        F.array(*[F.lit(v) for v in values]), (idx + 1).cast("int")
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+ERROR_MODULES = ["core", "mpm_event", "ssl", "proxy"]
+ERROR_SEVERITIES = ["error", "warn", "notice"]
+
+NGINX_REFERERS = ["-", "http://example.com/start", "https://ref.example.org/a"]
+NGINX_AGENTS = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/89.0.4389.114 Safari/537.36",
+    "curl/7.68.0",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 14_0 like Mac OS X) Version/14.0 Mobile/15E148 Safari/604.1",
+    "Googlebot/2.1 (+http://www.google.com/bot.html)",
+]
+
+GLOG_FILES = ["server.cc", "worker.cc", "scheduler.cc"]
+AUTH_APPS = ["sshd", "sudo", "su", "cron"]
+
+
+def _ip_col() -> Column:
+    return F.concat_ws(
+        ".",
+        F.lit("10"), (_e() % 256).cast("string"),
+        ((_e() / 256).cast("long") % 256).cast("string"),
+        ((_e() / 65536).cast("long") % 256).cast("string"),
+    )
+
+
+def demo_logs_apache_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EEE MMM dd HH:mm:ss yyyy] [module:severity] [pid N:tid M]
+    [client ip:port] message — log_util.rs REGEX_APACHE_ERROR_LOG."""
+    line = F.concat(
+        F.lit("["), F.date_format("ts", "EEE MMM dd HH:mm:ss yyyy"), F.lit("] ["),
+        _el(ERROR_MODULES, _e() % 4), F.lit(":"), _el(ERROR_SEVERITIES, _e() % 3),
+        F.lit("] [pid "), (100 + _e() % 9000).cast("string"),
+        F.lit(":tid "), (_e() % 100).cast("string"),
+        F.lit("] [client "), _ip_col(), F.lit(":"),
+        (1024 + _e() % 64000).cast("string"),
+        F.lit("] request failed code "), (_e() % 7).cast("string"),
+    )
+    return _events(spark, sf_dir).select("event_id", line.alias("line"))
+
+
+def demo_logs_nginx_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nginx combined access lines (log_util.rs REGEX_NGINX_COMBINED_LOG)."""
+    method = _el(_METHODS, _e() % 5)
+    path = _el(_PATHS, _e() % 7 % 5)
+    status = _el([str(s) for s in _STATUSES], _e() % 6)
+    size = (F.floor(F.col("value") * 100).cast("bigint") % 100000).cast("string")
+    line = F.concat(
+        _ip_col(), F.lit(" - user"), (_e() % 100).cast("string"), F.lit(" ["),
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"), F.lit(" +0000] \""),
+        method, F.lit(" "), path, F.lit(" HTTP/1.1\" "), status, F.lit(" "),
+        size, F.lit(" \""), _el(NGINX_REFERERS, _e() % 3), F.lit("\" \""),
+        _el(NGINX_AGENTS, _e() % 4), F.lit("\""),
+    )
+    return _events(spark, sf_dir).select("event_id", line.alias("line"))
+
+
+def demo_logs_glog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """glog lines: L<yyyymmdd hh:mm:ss.ffffff> id file:line] msg."""
+    line = F.concat(
+        _el(["I", "W", "E", "F"], _e() % 4),
+        F.date_format("ts", "yyyyMMdd HH:mm:ss"), F.lit(".000000 "),
+        (_e() % 10000).cast("string"), F.lit(" "),
+        _el(GLOG_FILES, _e() % 3), F.lit(":"), (_e() % 2000).cast("string"),
+        F.lit("] op "), (_e() % 50).cast("string"),
+    )
+    return _events(spark, sf_dir).select("event_id", line.alias("line"))
+
+
+def demo_logs_klog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """klog lines: like glog but MMdd (kubernetes log prefix)."""
+    line = F.concat(
+        _el(["I", "W", "E", "F"], _e() % 4),
+        F.date_format("ts", "MMdd HH:mm:ss"), F.lit(".000000 "),
+        (_e() % 10000).cast("string"), F.lit(" "),
+        _el(GLOG_FILES, _e() % 3), F.lit(":"), (_e() % 2000).cast("string"),
+        F.lit("] op "), (_e() % 50).cast("string"),
+    )
+    return _events(spark, sf_dir).select("event_id", line.alias("line"))
+
+
+def demo_logs_linux_auth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """auth.log (RFC3164) lines: MMM dd HH:mm:ss host app[pid]: msg."""
+    line = F.concat(
+        F.date_format("ts", "MMM dd HH:mm:ss"),
+        F.lit(" host"), (_e() % 50).cast("string"), F.lit(" "),
+        _el(AUTH_APPS, _e() % 4), F.lit("["),
+        (100 + _e() % 9999).cast("string"), F.lit("]: "),
+        F.lit("Accepted publickey for user"), (_e() % 100).cast("string"),
+        F.lit(" from "), _ip_col(),
+        F.lit(" port "), (1024 + _e() % 64000).cast("string"), F.lit(" ssh2"),
+    )
+    return _events(spark, sf_dir).select("event_id", line.alias("line"))
+
+
+def demo_logs_vpc_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AWS VPC flow log lines (default 14-field format); every 13th
+    event is the NODATA shape with `-` placeholders — exercising the
+    null path exactly like the reference's own example vectors."""
+    eni = F.concat(
+        F.lit("eni-"),
+        F.lpad(F.lower(F.hex(_e() * 2654435761 % 4294967296)), 8, "0"),
+    )
+    start = F.unix_timestamp("ts").cast("string")
+    end = (F.unix_timestamp("ts") + 60).cast("string")
+    full = F.concat_ws(
+        " ",
+        F.lit("2"), (100000000000 + _e() % 1000).cast("string"), eni,
+        _ip_col(),
+        F.concat_ws(
+            ".", F.lit("192"), F.lit("168"),
+            (_e() % 256).cast("string"), ((_e() / 256).cast("long") % 256).cast("string"),
+        ),
+        (1024 + _e() % 64000).cast("string"),
+        _el(["80", "443", "22", "8080"], _e() % 4),
+        F.lit("6"), (_e() % 1000).cast("string"),
+        F.floor(F.col("value") * 1000).cast("bigint").cast("string"),
+        start, end, _el(["ACCEPT", "REJECT"], _e() % 2), F.lit("OK"),
+    )
+    nodata = F.concat_ws(
+        " ",
+        F.lit("2"), (100000000000 + _e() % 1000).cast("string"), eni,
+        F.lit("- - - - - - -"), start, end, F.lit("- NODATA"),
+    )
+    line = F.when(_e() % 13 == 0, nodata).otherwise(full)
+    return _events(spark, sf_dir).select("event_id", line.alias("line"))
+
+
+def demo_logs_alb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AWS ALB access lines in the reference's field order
+    (parse_aws_alb_log.rs parse_log)."""
+    method = _el(_METHODS, _e() % 5)
+    path = _el(_PATHS, _e() % 7 % 5)
+    status = _el([str(s) for s in _STATUSES], _e() % 6)
+    line = F.concat_ws(
+        " ",
+        F.lit("http"), F.lit("my-loadbalancer"),
+        F.concat(_ip_col(), F.lit(":"), (1024 + _e() % 64000).cast("string")),
+        F.lit("10.0.0.1:80"), F.lit("0.000"), F.lit("0.001"), F.lit("0.000"),
+        status, status,
+        (_e() % 5000).cast("string"),
+        F.floor(F.col("value") * 1000).cast("bigint").cast("string"),
+        F.concat(F.lit("\""), method, F.lit(" http://www.example.com:80"),
+                 path, F.lit(" HTTP/1.1\"")),
+        F.concat(F.lit("\""), _el(NGINX_AGENTS, _e() % 4), F.lit("\"")),
+        F.lit("-"), F.lit("-"),
+        F.lit("arn:aws:elasticloadbalancing:us-east-2:123456789012:targetgroup/my-targets/73e2d6bc24d8a067"),
+        F.concat(F.lit("\"Root=1-"),
+                 F.lpad(F.lower(F.hex(_e() * 2654435761 % 4294967296)), 8, "0"),
+                 F.lit("\"")),
+        F.lit("\"-\""), F.lit("\"-\""), F.lit("0"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        F.lit("\"forward\""), F.lit("\"-\""), F.lit("\"-\""),
+    )
+    return _events(spark, sf_dir).select("event_id", line.alias("line"))
