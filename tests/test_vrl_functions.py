@@ -37,7 +37,8 @@ def test_codec_functions(row):
     assert row(vrl.encode_percent(F.lit("a b&c"))) == "a%20b%26c"
     assert row(vrl.decode_percent(F.lit("a%20b%26c"))) == "a b&c"
     assert row(vrl.md5_(F.lit("abc"))) == "900150983cd24fb0d6963f7d28e17f72"
-    assert row(vrl.sha3_(F.lit("abc"))) == (
+    # reference default variant is SHA3-512 (sha3.rs compile())
+    assert row(vrl.sha3_(F.lit("abc"), "SHA3-256")) == (
         "3a985da74fe225b2045c172d6bd390bd855f086e3e9d525b46bfe24511431532"
     )
     logfmt = vrl.encode_logfmt(

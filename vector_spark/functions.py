@@ -219,10 +219,10 @@ def parse_duration_ms(col: Column) -> Column:
     """VRL parse_duration (lib/vrl/stdlib/src/parse_duration.rs):
     '250ms'/'3s'/'2m'/'1h' -> milliseconds as double."""
     num = F.regexp_extract(col, r"^([0-9.]+)", 1).cast("double")
-    unit = F.regexp_extract(col, r"([a-z]+)$", 1)
+    unit = F.regexp_extract(col, r"([a-zµ]+)$", 1)
     factor = (
         F.when(unit == "ns", 1e-6)
-        .when(unit == "us", 1e-3)
+        .when(unit.isin("us", "µs"), 1e-3)
         .when(unit == "ms", 1.0)
         .when(unit == "s", 1e3)
         .when(unit == "m", 6e4)
@@ -233,23 +233,42 @@ def parse_duration_ms(col: Column) -> Column:
 
 
 def to_syslog_severity(level: Column) -> Column:
-    """VRL to_syslog_severity (lib/vrl/stdlib/src/to_syslog_severity.rs)."""
+    """VRL to_syslog_severity (lib/vrl/stdlib/src/to_syslog_severity.rs):
+    the reference's exact keyword set (emerg|panic, err|error,
+    warning|warn, ...), matched case-insensitively."""
+    low = F.lower(level)
     return (
-        F.when(F.upper(level) == "EMERGENCY", 0)
-        .when(F.upper(level) == "ALERT", 1)
-        .when(F.upper(level) == "CRITICAL", 2)
-        .when(F.upper(level) == "ERROR", 3)
-        .when(F.upper(level).isin("WARN", "WARNING"), 4)
-        .when(F.upper(level) == "NOTICE", 5)
-        .when(F.upper(level) == "INFO", 6)
-        .when(F.upper(level) == "DEBUG", 7)
+        F.when(low.isin("emerg", "panic"), 0)
+        .when(low == "alert", 1)
+        .when(low == "crit", 2)
+        .when(low.isin("err", "error"), 3)
+        .when(low.isin("warning", "warn"), 4)
+        .when(low == "notice", 5)
+        .when(low == "info", 6)
+        .when(low == "debug", 7)
         .otherwise(F.lit(None).cast("int"))
     )
 
 
-def redact(col: Column, patterns: list[str], replacement: str = "[REDACTED]") -> Column:
+REDACT_NAMED_FILTERS = {
+    # redact.rs Filter::UsSocialSecurityNumber
+    "us_social_security_number": r"\d{3}-\d{2}-\d{4}",
+}
+
+
+def redact(col: Column, filters: list, replacement: str = "[REDACTED]") -> Column:
     """VRL redact (lib/vrl/stdlib/src/redact.rs): replace every match
-    of each pattern."""
+    of each filter. A filter is a raw pattern string, a named filter
+    (`us_social_security_number`), or a {'type': 'pattern',
+    'patterns': [...]} spec — the reference's three filter forms."""
+    patterns: list[str] = []
+    for f in filters:
+        if isinstance(f, dict):
+            patterns.extend(f.get("patterns", []))
+        elif f in REDACT_NAMED_FILTERS:
+            patterns.append(REDACT_NAMED_FILTERS[f])
+        else:
+            patterns.append(f)
     out = col
     for p in patterns:
         out = F.regexp_replace(out, p, replacement)

@@ -472,48 +472,68 @@ def parse_ruby_hash(col: Column, schema) -> Column:
 # ---------------------------------------------------------------------------
 
 
-@pandas_udf(T.StringType())
-def _xml_to_json(s: pd.Series) -> pd.Series:
-    import json as _json
-    import xml.etree.ElementTree as ET
-
-    def node_to_obj(node):
-        obj: dict = {}
-        for k, v in node.attrib.items():
-            obj[f"@{k}"] = v
-        children = list(node)
-        if not children:
-            text = (node.text or "").strip()
-            if obj:
-                if text:
-                    obj["text"] = text
-                return obj
-            return text
-        for child in children:
-            val = node_to_obj(child)
-            if child.tag in obj:
-                prev = obj[child.tag]
-                obj[child.tag] = prev + [val] if isinstance(prev, list) else [prev, val]
-            else:
-                obj[child.tag] = val
-        return obj
-
-    def conv(v):
-        if v is None:
-            return None
-        try:
-            root = ET.fromstring(v)
-        except ET.ParseError:
-            return None
-        return _json.dumps({root.tag: node_to_obj(root)}, sort_keys=True)
-
-    return s.map(conv)
+_XML_UDFS: dict[tuple, object] = {}
 
 
-def parse_xml(col: Column) -> Column:
+def _xml_udf(include_attr: bool, text_key: str, always_use_text_key: bool):
+    key = (include_attr, text_key, always_use_text_key)
+    if key in _XML_UDFS:
+        return _XML_UDFS[key]
+
+    @pandas_udf(T.StringType())
+    def xml_to_json(s: pd.Series) -> pd.Series:
+        import json as _json
+        import xml.etree.ElementTree as ET
+
+        def node_to_obj(node):
+            obj: dict = {}
+            if include_attr:
+                for k, v in node.attrib.items():
+                    obj[f"@{k}"] = v
+            children = list(node)
+            if not children:
+                text = (node.text or "").strip()
+                if obj or always_use_text_key:
+                    if text or always_use_text_key:
+                        obj[text_key] = text
+                    return obj
+                return text
+            for child in children:
+                val = node_to_obj(child)
+                if child.tag in obj:
+                    prev = obj[child.tag]
+                    obj[child.tag] = (
+                        prev + [val] if isinstance(prev, list) else [prev, val]
+                    )
+                else:
+                    obj[child.tag] = val
+            return obj
+
+        def conv(v):
+            if v is None:
+                return None
+            try:
+                root = ET.fromstring(v)
+            except ET.ParseError:
+                return None
+            return _json.dumps({root.tag: node_to_obj(root)}, sort_keys=True)
+
+        return s.map(conv)
+
+    _XML_UDFS[key] = xml_to_json
+    return xml_to_json
+
+
+def parse_xml(
+    col: Column,
+    include_attr: bool = True,
+    text_key: str = "text",
+    always_use_text_key: bool = False,
+) -> Column:
     """parse_xml.rs: XML -> object with @-prefixed attributes and
-    `text` keys (the reference's attr_prefix/text_key defaults).
+    `text` keys (the reference's attr_prefix/text_key defaults, plus
+    the include_attr / text_key / always_use_text_key options).
     Returns a JSON string (heterogeneous trees don't fit a static
     StructType); chain from_json with a schema for typed access.
     Unparseable XML -> null (fallible call)."""
-    return _xml_to_json(col)
+    return _xml_udf(include_attr, text_key, always_use_text_key)(col)

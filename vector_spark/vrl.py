@@ -41,10 +41,23 @@ def truncate(col: Column, limit: int, suffix: bool = False) -> Column:
     return F.when(F.length(col) > limit, F.concat(cut, F.lit("..."))).otherwise(col)
 
 
-def slice_(col: Column, start: int, end: int | None = None) -> Column:
-    """slice.rs: python-style [start:end) on chars (non-negative)."""
-    length = (end - start) if end is not None else (1 << 30)
-    return F.substring(col, start + 1, length)
+def slice_(
+    col: Column, start: int, end: int | None = None, dtype: str = "string"
+) -> Column:
+    """slice.rs: python-style [start:end) on chars or array elements;
+    negative indices count from the end."""
+    n = F.size(col) if dtype == "array" else F.length(col)
+    s = F.greatest(n + start, F.lit(0)) if start < 0 else F.least(F.lit(start), n)
+    if end is None:
+        e = n
+    elif end < 0:
+        e = F.greatest(n + end, F.lit(0))
+    else:
+        e = F.least(F.lit(end), n)
+    length = F.greatest(e - s, F.lit(0))
+    if dtype == "array":
+        return F.slice(col, s + 1, length)
+    return F.substring(col, s + 1, length)
 
 
 def find(col: Column, substring: str) -> Column:
@@ -52,12 +65,23 @@ def find(col: Column, substring: str) -> Column:
     return F.locate(substring, col) - 1
 
 
-def starts_with(col: Column, prefix: str) -> Column:
-    return col.startswith(prefix)
+def contains(col: Column, substring: str, case_sensitive: bool = True) -> Column:
+    """contains.rs (with the case_sensitive option)."""
+    if case_sensitive:
+        return col.contains(substring)
+    return F.lower(col).contains(substring.lower())
 
 
-def ends_with(col: Column, suffix: str) -> Column:
-    return col.endswith(suffix)
+def starts_with(col: Column, prefix: str, case_sensitive: bool = True) -> Column:
+    if case_sensitive:
+        return col.startswith(prefix)
+    return F.lower(col).startswith(prefix.lower())
+
+
+def ends_with(col: Column, suffix: str, case_sensitive: bool = True) -> Column:
+    if case_sensitive:
+        return col.endswith(suffix)
+    return F.lower(col).endswith(suffix.lower())
 
 
 def match_(col: Column, pattern: str) -> Column:
@@ -72,9 +96,16 @@ def match_any(col: Column, patterns: list[str]) -> Column:
     return out
 
 
-def replace(col: Column, pattern: str, with_: str) -> Column:
-    """replace.rs (regex semantics)."""
-    return F.regexp_replace(col, pattern, with_)
+def replace(col: Column, pattern: str, with_: str, count: int = -1) -> Column:
+    """replace.rs (regex semantics) with the `count` option: replace
+    at most `count` occurrences (-1 = all). Bounded counts split on
+    the pattern with limit count+1 and rejoin with the replacement —
+    pure JVM, no per-row Python."""
+    if count < 0:
+        return F.regexp_replace(col, pattern, with_)
+    if count == 0:
+        return col
+    return F.array_join(F.split(col, pattern, count + 1), with_)
 
 
 def split(col: Column, pattern: str, limit: int = -1) -> Column:
@@ -106,12 +137,23 @@ def length_(col: Column, dtype: str = "string") -> Column:
 # ---------------------------------------------------------------------------
 
 
-def encode_base64(col: Column) -> Column:
-    return F.base64(col.cast("binary"))
+def encode_base64(
+    col: Column, padding: bool = True, charset: str = "standard"
+) -> Column:
+    """encode_base64.rs with padding/charset options (util.rs
+    Base64Charset): url_safe swaps +/ for -_; padding=False strips
+    the trailing `=`s."""
+    out = F.base64(col.cast("binary"))
+    if charset == "url_safe":
+        out = F.translate(out, "+/", "-_")
+    if not padding:
+        out = F.regexp_replace(out, "=+$", "")
+    return out
 
 
-def decode_base64(col: Column) -> Column:
-    return F.unbase64(col).cast("string")
+def decode_base64(col: Column, charset: str = "standard") -> Column:
+    inp = F.translate(col, "-_", "+/") if charset == "url_safe" else col
+    return F.unbase64(inp).cast("string")
 
 
 def encode_json(col: Column) -> Column:
@@ -160,22 +202,46 @@ def sha1_(col: Column) -> Column:
     return F.sha1(col.cast("binary"))
 
 
-def sha2_(col: Column, bits: int = 256) -> Column:
-    return F.sha2(col.cast("binary"), bits)
+_HASH_UDFS: dict[str, object] = {}
 
 
-@pandas_udf(T.StringType())
-def _sha3_256(s: pd.Series) -> pd.Series:
-    import hashlib
+def _hashlib_udf(algo: str):
+    """Arrow-batch UDF over hashlib, cached per algorithm."""
+    if algo not in _HASH_UDFS:
 
-    return s.map(
-        lambda v: hashlib.sha3_256(v.encode()).hexdigest() if v is not None else None
-    )
+        @pandas_udf(T.StringType())
+        def h(s: pd.Series) -> pd.Series:
+            import hashlib
+
+            return s.map(
+                lambda v: hashlib.new(algo, v.encode()).hexdigest()
+                if v is not None
+                else None
+            )
+
+        _HASH_UDFS[algo] = h
+    return _HASH_UDFS[algo]
 
 
-def sha3_(col: Column) -> Column:
-    """sha3.rs — no JVM builtin; Arrow-batch UDF."""
-    return _sha3_256(col)
+def sha2_(col: Column, variant: str = "SHA-512/256") -> Column:
+    """sha2.rs: variant enum, default SHA-512/256. The four plain
+    widths are JVM builtins (F.sha2); the truncated SHA-512/224 and
+    SHA-512/256 variants ride hashlib via Arrow batches."""
+    plain = {"SHA-224": 224, "SHA-256": 256, "SHA-384": 384, "SHA-512": 512}
+    if variant in plain:
+        return F.sha2(col.cast("binary"), plain[variant])
+    algo = {"SHA-512/224": "sha512_224", "SHA-512/256": "sha512_256"}[variant]
+    return _hashlib_udf(algo)(col)
+
+
+def sha3_(col: Column, variant: str = "SHA3-512") -> Column:
+    """sha3.rs: variant enum, default SHA3-512 — no JVM builtin;
+    Arrow-batch UDF."""
+    algo = {
+        "SHA3-224": "sha3_224", "SHA3-256": "sha3_256",
+        "SHA3-384": "sha3_384", "SHA3-512": "sha3_512",
+    }[variant]
+    return _hashlib_udf(algo)(col)
 
 
 def uuid_v4() -> Column:
@@ -200,20 +266,46 @@ def to_string(col: Column) -> Column:
 
 
 def to_bool(col: Column) -> Column:
-    """to_bool.rs: accepts true/t/yes/y/1 and false/f/no/n/0."""
+    """to_bool.rs: accepts true/t/yes/y/1 and false/f/no/n/0; numeric
+    values are truthy iff non-zero (the reference's int/float arm)."""
     low = F.lower(col.cast("string"))
+    num = col.cast("string").try_cast("double")
     return (
-        F.when(low.isin("true", "t", "yes", "y", "1"), F.lit(True))
-        .when(low.isin("false", "f", "no", "n", "0"), F.lit(False))
+        F.when(low.isin("true", "t", "yes", "y"), F.lit(True))
+        .when(low.isin("false", "f", "no", "n"), F.lit(False))
+        .when(num.isNotNull(), num != 0)
         .otherwise(F.lit(None).cast("boolean"))
     )
 
 
-def parse_int(col: Column, base: int = 10) -> Column:
-    """parse_int.rs with radix: conv() handles base 2..36."""
-    if base == 10:
-        return col.cast("long")
-    return F.conv(col, base, 10).cast("long")
+def parse_int(col: Column, base: int | None = None) -> Column:
+    """parse_int.rs: explicit radix via conv() (base 2..36); with no
+    base, auto-detect from the prefix like the reference — `0b` -> 2,
+    `0o` -> 8, `0x` -> 16, leading `0` -> 8, else 10."""
+    if base is not None:
+        if base == 10:
+            return col.cast("long")
+        return F.conv(col, base, 10).cast("long")
+    body = F.substring(col, 3, 1 << 30)
+    return (
+        F.when(col.startswith("0b"), F.conv(body, 2, 10))
+        .when(col.startswith("0o"), F.conv(body, 8, 10))
+        .when(col.startswith("0x"), F.conv(body, 16, 10))
+        .when(col.startswith("0") & (F.length(col) > 1), F.conv(col, 8, 10))
+        .otherwise(col)
+        .cast("long")
+    )
+
+
+_DURATION_UNIT_MS = {
+    "ns": 1e-6, "us": 1e-3, "µs": 1e-3, "ms": 1.0, "cs": 10.0, "ds": 100.0,
+    "s": 1e3, "m": 6e4, "h": 3.6e6, "d": 8.64e7,
+}
+
+
+def parse_duration(col: Column, unit: str) -> Column:
+    """parse_duration.rs: '300ms' + output unit -> float in that unit."""
+    return parse_duration_ms(col) / F.lit(_DURATION_UNIT_MS[unit])
 
 
 def to_unix_timestamp(col: Column) -> Column:
@@ -235,13 +327,35 @@ def format_timestamp(col: Column, fmt: str) -> Column:
 
 
 def format_int(col: Column, base: int = 10) -> Column:
+    """format_int.rs: conv() is two's-complement for negatives, so
+    sign is peeled off first (the reference formats the magnitude)."""
     if base == 10:
         return col.cast("string")
-    return F.lower(F.conv(col, 10, base))
+    mag = F.lower(F.conv(F.abs(col), 10, base))
+    return F.when(col < 0, F.concat(F.lit("-"), mag)).otherwise(mag)
 
 
-def format_number(col: Column, scale: int = 2) -> Column:
-    return F.format_number(col, scale)
+def format_number(
+    col: Column,
+    scale: int | None = None,
+    grouping_separator: str | None = None,
+    decimal_separator: str = ".",
+) -> Column:
+    """format_number.rs: no grouping unless a grouping_separator is
+    given (unlike Spark's format_number which always inserts commas);
+    scale TRUNCATES the fraction (the reference truncates, not
+    rounds); whole floats print without a trailing .0 (Rust Display)."""
+    if scale is not None:
+        factor = 10 ** scale
+        truncated = (col.cast("double") * factor).cast("bigint") / factor
+        grouped = F.format_number(truncated, scale)
+    else:
+        grouped = F.regexp_replace(col.cast("string"), r"\.0$", "")
+    sep = grouping_separator if grouping_separator is not None else ""
+    out = F.replace(grouped, F.lit(","), F.lit(sep))
+    if decimal_separator != ".":
+        out = F.replace(out, F.lit("."), F.lit(decimal_separator))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -350,16 +464,24 @@ def parse_url(col: Column, part: str) -> Column:
 
 
 def parse_query_string(col: Column) -> Column:
-    """parse_query_string.rs: 'a=1&b=2' -> map."""
-    return F.str_to_map(col, F.lit("&"), F.lit("="))
+    """parse_query_string.rs: 'a=1&b=2' -> map; '' -> {} (str_to_map
+    would yield a single empty key)."""
+    empty = F.create_map().cast("map<string,string>")
+    return F.when(
+        col.isNull() | (col == ""), empty
+    ).otherwise(F.str_to_map(col, F.lit("&"), F.lit("=")))
 
 
-def floor_(col: Column) -> Column:
-    return F.floor(col)
+def floor_(col: Column, precision: int | None = None) -> Column:
+    if precision is None:
+        return F.floor(col)
+    return F.floor(col, F.lit(precision))
 
 
-def ceil_(col: Column) -> Column:
-    return F.ceil(col)
+def ceil_(col: Column, precision: int | None = None) -> Column:
+    if precision is None:
+        return F.ceil(col)
+    return F.ceil(col, F.lit(precision))
 
 
 def round_(col: Column, precision: int = 0) -> Column:
@@ -371,13 +493,141 @@ def log_(col: Column, base: float | None = None) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# type introspection (is_*.rs, type_def family) + syslog maps
+# ---------------------------------------------------------------------------
+
+
+def to_syslog_level(severity: Column) -> Column:
+    """to_syslog_level.rs: severity int -> keyword."""
+    m = ["emerg", "alert", "crit", "err", "warning", "notice", "info", "debug"]
+    expr = F.when(severity == 0, m[0])
+    for i, name in enumerate(m[1:], 1):
+        expr = expr.when(severity == i, name)
+    return expr.otherwise(F.lit(None).cast("string"))
+
+
+_SYSLOG_FACILITIES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "security", "console",
+    "solaris-cron", "local0", "local1", "local2", "local3", "local4",
+    "local5", "local6", "local7",
+]
+
+
+def to_syslog_facility(code: Column) -> Column:
+    """to_syslog_facility.rs: facility code -> keyword."""
+    expr = F.when(code == 0, _SYSLOG_FACILITIES[0])
+    for i, name in enumerate(_SYSLOG_FACILITIES[1:], 1):
+        expr = expr.when(code == i, name)
+    return expr.otherwise(F.lit(None).cast("string"))
+
+
+def is_nullish(col: Column) -> Column:
+    """is_nullish.rs (util.rs:70-82): null, `-`, or all-whitespace."""
+    return col.isNull() | (col.cast("string") == "-") | col.cast("string").rlike(r"^\s*$")
+
+
+def is_empty(col: Column, dtype: str = "string") -> Column:
+    """is_empty.rs: '' / [] / {} — static Spark types mean the caller
+    resolves the kind (same convention as length_)."""
+    if dtype in ("array", "map", "object", "struct"):
+        return F.size(col) == 0
+    return F.length(col) == 0
+
+
+def is_json(col: Column, variant: str | None = None) -> Column:
+    """is_json.rs: valid-JSON test via try_parse_json (VariantType) —
+    accepts any JSON value incl. scalars, null on bad input. The
+    optional `variant` narrows to one JSON type (the reference's
+    exact-variant mode), dispatched on the first significant char."""
+    valid = F.when(col.isNull(), F.lit(False)).otherwise(
+        F.try_parse_json(col).isNotNull()
+    )
+    if variant is None:
+        return valid
+    t = F.trim(col)
+    head = F.substring(t, 1, 1)
+    checks = {
+        "object": head == "{",
+        "array": head == "[",
+        "string": head == '"',
+        "null": t == "null",
+        "bool": t.isin("true", "false"),
+        "number": head.rlike(r"[0-9+\-]"),
+    }
+    return valid & checks[variant]
+
+
+def _typeof_is(*prefixes: str):
+    def check(col: Column) -> Column:
+        t = F.typeof(col)
+        expr = t.startswith(prefixes[0])
+        for p in prefixes[1:]:
+            expr = expr | t.startswith(p)
+        return expr & col.isNotNull()
+
+    return check
+
+
+is_array = _typeof_is("array")
+is_object = _typeof_is("map", "struct")
+is_boolean = _typeof_is("boolean")
+is_float = _typeof_is("float", "double", "decimal")
+is_integer = _typeof_is("tinyint", "smallint", "int", "bigint")
+is_string = _typeof_is("string")
+is_timestamp = _typeof_is("timestamp")
+
+
+def is_null(col: Column) -> Column:
+    return col.isNull()
+
+
+def ip_subnet(col: Column, mask: str) -> Column:
+    """ip_subnet.rs (IPv4): apply a '/n' prefix or dotted mask."""
+    if mask.startswith("/"):
+        bits = int(mask[1:])
+        if bits > 32:
+            raise ValueError("subnet cannot be greater than 32 for ipv4")
+        mask_int = (0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF if bits else 0
+    else:
+        parts = [int(o) for o in mask.split(".")]
+        mask_int = sum(o << (8 * (3 - i)) for i, o in enumerate(parts))
+    return ip_ntoa(ip_aton(col).bitwiseAND(F.lit(mask_int)))
+
+
+def get_env_var(name: str) -> Column:
+    """get_env_var.rs: resolved on the driver, constant-folded."""
+    import os
+
+    return F.lit(os.environ.get(name))
+
+
+def parse_csv_row(
+    col: Column, n_fields: int, delimiter: str = ","
+) -> Column:
+    """parse_csv.rs: one CSV record -> array of strings. from_csv
+    needs a static arity (Spark schemas are fixed); quoted fields,
+    RFC4180 `""` escapes, and custom delimiters follow the
+    reference's csv crate. Only the first line parses (the reference
+    reads exactly one record)."""
+    schema = ", ".join(f"_c{i} string" for i in range(n_fields))
+    first_line = F.split(col, "\n")[0]
+    parsed = F.from_csv(
+        first_line, F.lit(schema), {"escape": '"', "sep": delimiter}
+    )
+    return F.array(*[
+        F.coalesce(parsed[f"_c{i}"], F.lit("")) for i in range(n_fields)
+    ])
+
+
+# ---------------------------------------------------------------------------
 # registry: VRL function name -> implementation
 # ---------------------------------------------------------------------------
 
 FUNCTIONS: dict[str, object] = {
     # string
     "upcase": F.upper, "downcase": F.lower, "truncate": truncate,
-    "slice": slice_, "find": find, "contains": lambda c, s: c.contains(s),
+    "slice": slice_, "find": find, "contains": contains,
     "starts_with": starts_with, "ends_with": ends_with,
     "match": match_, "match_any": match_any, "replace": replace,
     "split": split, "join": join, "strlen": strlen, "length": length_,
@@ -399,7 +649,8 @@ FUNCTIONS: dict[str, object] = {
     "to_syslog_severity": to_syslog_severity,
     # parsing
     "parse_key_value": parse_key_value, "parse_logfmt": parse_key_value,
-    "parse_duration": parse_duration_ms, "parse_url": parse_url,
+    "parse_duration": parse_duration, "parse_duration_ms": parse_duration_ms,
+    "parse_url": parse_url,
     "parse_query_string": parse_query_string,
     "parse_json": F.from_json, "parse_csv": F.from_csv,
     "parse_timestamp": to_timestamp,
@@ -414,4 +665,15 @@ FUNCTIONS: dict[str, object] = {
     "floor": floor_, "ceil": ceil_, "round": round_, "log": log_,
     "abs": F.abs, "now": F.current_timestamp,
     "get_hostname": lambda: F.lit("localhost"),
+    # syslog maps / env
+    "to_syslog_level": to_syslog_level,
+    "to_syslog_facility": to_syslog_facility,
+    "get_env_var": get_env_var,
+    # type introspection
+    "is_nullish": is_nullish, "is_empty": is_empty, "is_json": is_json,
+    "is_array": is_array, "is_object": is_object, "is_boolean": is_boolean,
+    "is_float": is_float, "is_integer": is_integer, "is_string": is_string,
+    "is_timestamp": is_timestamp, "is_null": is_null,
+    # net / csv
+    "ip_subnet": ip_subnet, "parse_csv_row": parse_csv_row,
 }
