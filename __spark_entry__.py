@@ -542,6 +542,126 @@ def q_docs_lang_id(spark, sf_dir):
     return docs.select("doc_id", lang_id_udf(F.col("text")).alias("lang"))
 
 
+def q_aggregate_mixed_kinds(spark, sf_dir):
+    """MetricData merge (lib/vector-core/src/event/metric/data.rs:
+    81-131): a stream mixing Incremental counters (add-merge) and
+    Absolute gauges (replace/last-wins) rolls up per hour with
+    kind-dispatched merge."""
+    from vector_spark.operators.aggregate import merge_metric_stream
+
+    parsed = _parsed(spark, sf_dir)
+    order = F.format_string("%s#%06d", "conv_id", "turn_idx")
+    counters = parsed.filter(F.col("level") == "ERROR").select(
+        F.lit("errors").alias("name"),
+        F.lit("incremental").alias("metric_kind"),
+        F.lit(1.0).alias("value"),
+        F.lit(None).cast("string").alias("_order"),
+        "ts",
+    )
+    gauges = parsed.filter(F.col("latency_ms").isNotNull()).select(
+        F.lit("latency").alias("name"),
+        F.lit("absolute").alias("metric_kind"),
+        F.col("latency_ms").cast("double").alias("value"),
+        order.alias("_order"),
+        "ts",
+    )
+    merged = merge_metric_stream(counters.unionByName(gauges), keys=["name"])
+    return merged.select(
+        F.col("w.start").alias("window_start"), "name", "metric_kind",
+        "value", "n",
+    )
+
+
+def q_metric_set_members(spark, sf_dir):
+    """MetricValue::Set keeps members, not a count (metric/value.rs):
+    per-hour sorted member list of req_ids."""
+    from vector_spark.operators.aggregate import set_members
+
+    parsed = _parsed(spark, sf_dir).filter(F.col("req_id").isNotNull())
+    out = set_members(parsed, keys=[], member_col="req_id")
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.array_join("members", ",").alias("members"),
+        "n",
+    )
+
+
+def q_latency_histogram(spark, sf_dir):
+    """distribution_to_agg_histogram (metric/value.rs:91-104):
+    latency samples -> AggregatedHistogram bucket counts per hour."""
+    from vector_spark.operators.aggregate import distribution_to_agg_histogram
+
+    parsed = _parsed(spark, sf_dir).filter(F.col("latency_ms").isNotNull())
+    out = distribution_to_agg_histogram(
+        parsed, "latency_ms", bounds=[10.0, 100.0, 1000.0]
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"), "bucket", "bucket_count",
+        F.round("bucket_sum", 2).alias("bucket_sum"),
+    )
+
+
+def q_dropped_port(spark, sf_dir):
+    """First-class `dropped` port (src/transforms/remap.rs:92-105,
+    494-524): parse failures reroute to `.dropped` with reason/
+    component metadata; counts per (reason, component) must equal the
+    oracle's parse_error count."""
+    from vector_spark.functions import with_dropped_port
+
+    parsed = _parsed(spark, sf_dir)
+    _ok, dropped = with_dropped_port(parsed, component_id="flagship_parse")
+    return dropped.groupBy(
+        F.col("metadata_dropped.reason").alias("reason"),
+        F.col("metadata_dropped.component_id").alias("component_id"),
+        F.col("metadata_dropped.component_kind").alias("component_kind"),
+    ).agg(F.count(F.lit(1)).alias("dropped_rows"))
+
+
+def q_sessionize_startswhen(spark, sf_dir):
+    """reduce starts_when (src/transforms/reduce/mod.rs:68): a user
+    turn OPENS a new transaction (the previous one flushes without
+    it), mirror of the ends_when sessionizer."""
+    from vector_spark.operators.reduce import sessionize
+
+    parsed = _parsed(spark, sf_dir)
+    sess = sessionize(
+        parsed, group_by=["conv_id"], order_by="turn_idx",
+        starts_when=F.col("role") == "user",
+    )
+    return sess.groupBy("conv_id", F.col("_session").alias("session")).agg(
+        F.count(F.lit(1)).alias("turns"),
+        F.sum("latency_ms").alias("latency_sum"),
+    )
+
+
+def q_reduce_expire(spark, sf_dir):
+    """reduce expire_after_ms staleness flush
+    (src/transforms/reduce/mod.rs:33,226-241) as event-time gap
+    sessionization: a >30s quiet period flushes the transaction."""
+    from vector_spark.operators.reduce import sessionize_gap
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sess = sessionize_gap(
+        ev, group_by=["user_id"], ts_col="ts", expire_after_ms=30000
+    )
+    return sess.groupBy("user_id", F.col("_session").alias("session")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value") * 100).cast("bigint").alias("value_sum_e2"),
+    )
+
+
+def q_throttle_exclude(spark, sf_dir):
+    """throttle with an exclude condition: excluded events bypass the
+    limiter WITHOUT consuming quota (src/transforms/throttle.rs:
+    144-165 skips limiter.check_key for excluded events) — the
+    round-1 implementation wrongly ranked excluded rows too."""
+    t = load_transcripts(spark, sf_dir)
+    return throttle(
+        t, threshold=2, window_secs=3600, key=["conv_id"],
+        order_by=["turn_idx"], exclude=F.col("role") == "system",
+    ).select("conv_id", "turn_idx", "role")
+
+
 def q_apache_error_parse(spark, sf_dir):
     """apache error-format logs (parse_apache_log format="error",
     lib/vrl/stdlib/src/log_util.rs REGEX_APACHE_ERROR_LOG): generator
@@ -806,6 +926,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id": q_docs_lang_id,
         "geoip_enrich": q_geoip_enrich,
         "metric_to_log": q_metric_to_log,
+        "dropped_port": q_dropped_port,
+        "aggregate_mixed_kinds": q_aggregate_mixed_kinds,
+        "metric_set_members": q_metric_set_members,
+        "latency_histogram": q_latency_histogram,
+        "sessionize_startswhen": q_sessionize_startswhen,
+        "reduce_expire": q_reduce_expire,
+        "throttle_exclude": q_throttle_exclude,
         "apache_error_parse": q_apache_error_parse,
         "nginx_parse": q_nginx_parse,
         "glog_parse": q_glog_parse,
@@ -1191,6 +1318,98 @@ FROM parsed WHERE level = 'ERROR'
 UNION ALL
 SELECT ts, role, 'latency', 'gauge', CAST(latency_ms AS DOUBLE)
 FROM parsed
+"""
+    )
+
+    o["aggregate_mixed_kinds"] = _with(
+        """
+SELECT date_trunc('hour', ts) AS window_start, name, metric_kind,
+  CASE WHEN metric_kind = 'incremental' THEN SUM(v)
+       ELSE arg_max(v, ord) END AS value,
+  CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT 'errors' AS name, 'incremental' AS metric_kind, 1.0 AS v,
+         CAST(NULL AS VARCHAR) AS ord, ts
+  FROM parsed WHERE level = 'ERROR'
+  UNION ALL
+  SELECT 'latency', 'absolute', CAST(latency_ms AS DOUBLE),
+         printf('%s#%06d', conv_id, turn_idx), ts
+  FROM parsed WHERE latency_ms IS NOT NULL
+)
+GROUP BY 1, 2, 3
+"""
+    )
+
+    o["metric_set_members"] = _with(
+        """
+SELECT date_trunc('hour', ts) AS window_start,
+       array_to_string(list_sort(list(DISTINCT req_id)), ',') AS members,
+       CAST(count(*) AS BIGINT) AS n
+FROM parsed WHERE req_id IS NOT NULL
+GROUP BY 1
+"""
+    )
+
+    o["latency_histogram"] = _with(
+        """
+SELECT date_trunc('hour', ts) AS window_start,
+       CAST(len(list_filter([10.0, 100.0, 1000.0],
+                            b -> b < CAST(latency_ms AS DOUBLE))) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS bucket_count,
+       round(SUM(CAST(latency_ms AS DOUBLE)), 2) AS bucket_sum
+FROM parsed WHERE latency_ms IS NOT NULL
+GROUP BY 1, 2
+"""
+    )
+
+    o["dropped_port"] = _with(
+        """
+SELECT 'error' AS reason, 'flagship_parse' AS component_id,
+       'transform' AS component_kind,
+       CAST(count(*) AS BIGINT) AS dropped_rows
+FROM parsed WHERE parse_error
+"""
+    )
+
+    o["sessionize_startswhen"] = _with(
+        """
+SELECT conv_id, session, CAST(count(*) AS BIGINT) AS turns,
+       SUM(latency_ms) AS latency_sum
+FROM (
+  SELECT conv_id, latency_ms,
+    CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+         OVER (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS UNBOUNDED PRECEDING) AS INT) AS session
+  FROM parsed
+) GROUP BY conv_id, session
+"""
+    )
+
+    o["reduce_expire"] = """
+SELECT user_id, session, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(SUM(value) * 100) AS BIGINT) AS value_sum_e2
+FROM (
+  SELECT user_id, value,
+    CAST(SUM(CASE WHEN gap IS NULL OR gap > 30 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS session
+  FROM (
+    SELECT user_id, value, ts,
+      epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+    FROM events
+  )
+) GROUP BY user_id, session
+"""
+
+    o["throttle_exclude"] = _with(
+        """
+SELECT conv_id, turn_idx, role FROM (
+  SELECT conv_id, turn_idx, role,
+    SUM(CASE WHEN role = 'system' THEN 0 ELSE 1 END)
+      OVER (PARTITION BY conv_id, date_trunc('hour', ts) ORDER BY turn_idx
+            ROWS UNBOUNDED PRECEDING) AS rn
+  FROM transcripts
+) WHERE role = 'system' OR rn <= 2
 """
     )
 

@@ -100,37 +100,83 @@ def token_estimate(col: Column) -> Column:
     return (F.ceil(word_chars / 4) + puncts).cast("bigint")
 
 
-_LANG_PROFILES: dict[str, set[str]] = {
-    "en": {"th", "he", "in", "er", "an", "re", "on", "at", " t", "e "},
-    "es": {"de", "la", "os", "el", "en", "ue", "ci", "a ", "o ", " d"},
-    "fr": {"le", "de", "es", "en", "on", "nt", "ou", "e ", " l", "ai"},
-    "de": {"en", "er", "ch", "de", "ei", "ie", "in", "un", " d", "n "},
-    "zh": set(),  # CJK detected by codepoint range, not bigrams
-}
+_LANGID_STATE: dict = {}
+
+
+def guess_language(t: str) -> str:
+    """Language ID for one string: Unicode-script decision first
+    (zh/ja/ko/ar/he/el/th/hi + cyrillic ru/uk split), then classic
+    Cavnar-Trenkle out-of-place trigram-rank distance against the
+    18 Latin-script profiles in langid_data.py, with distinctive-
+    orthography bonuses (ã->pt, ß->de, ...) to separate close
+    relatives."""
+    from collections import Counter
+
+    from vector_spark.dataops.langid_data import (
+        DISTINCTIVE_CHARS,
+        RU_CHARS,
+        SCRIPT_RANGES,
+        TRIGRAM_PROFILES,
+        UK_CHARS,
+    )
+
+    if "prof_ranks" not in _LANGID_STATE:
+        _LANGID_STATE["prof_ranks"] = {
+            lang: {g: r for r, g in enumerate(grams)}
+            for lang, grams in TRIGRAM_PROFILES.items()
+        }
+    prof_ranks = _LANGID_STATE["prof_ranks"]
+    TOP_K = 40
+    MISSING = TOP_K  # out-of-place penalty for absent trigrams
+    CHAR_BONUS = 2 * MISSING
+
+    if not t:
+        return "und"
+    head = t[:400]
+    # full-head script census: kana/hangul outrank ideographs (range
+    # list order), ja/ko text mixes kanji/hanja freely
+    script_hits: dict[str, int] = {}
+    for ch in head:
+        cp = ord(ch)
+        for lo, hi, lang in SCRIPT_RANGES:
+            if lo <= cp <= hi:
+                script_hits[lang] = script_hits.get(lang, 0) + 1
+                break
+    if script_hits:
+        for _, _, lang in SCRIPT_RANGES:  # priority order
+            if script_hits.get(lang):
+                if lang != "ru":
+                    return lang
+                low = head.lower()
+                uk = sum(1 for c in low if c in UK_CHARS)
+                ru = sum(1 for c in low if c in RU_CHARS)
+                return "uk" if uk > ru else "ru"
+    low = " " + head.lower() + " "
+    grams = Counter(low[i : i + 3] for i in range(len(low) - 2))
+    if not grams:
+        return "und"
+    doc_top = [g for g, _ in grams.most_common(TOP_K)]
+    bonus: Counter = Counter()
+    for c in low:
+        langs = DISTINCTIVE_CHARS.get(c)
+        if langs:
+            for lang in langs:
+                bonus[lang] += CHAR_BONUS / len(langs)
+    best, best_score = "und", float("inf")
+    for lang, ranks in prof_ranks.items():
+        dist = sum(
+            abs(i - ranks[g]) if g in ranks else MISSING
+            for i, g in enumerate(doc_top)
+        )
+        score = dist - min(bonus.get(lang, 0), 10 * CHAR_BONUS)
+        if score < best_score:
+            best, best_score = lang, score
+    return best
 
 
 @pandas_udf(T.StringType())
 def lang_id_udf(texts: pd.Series) -> pd.Series:
-    """Character-bigram profile language guesser (vectorized batch;
-    the per-string work is a tiny Python loop over already-batched
-    Arrow data — the classic heuristic, not per-row UDF dispatch)."""
-
-    def guess(t: str) -> str:
-        if not t:
-            return "und"
-        if any("一" <= ch <= "鿿" for ch in t[:200]):
-            return "zh"
-        t2 = t[:500].lower()
-        bigrams = [t2[i : i + 2] for i in range(len(t2) - 1)]
-        if not bigrams:
-            return "und"
-        best, best_hits = "und", 0
-        for lang, prof in _LANG_PROFILES.items():
-            if not prof:
-                continue
-            hits = sum(1 for b in bigrams if b in prof)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        return best
-
-    return texts.map(guess)
+    """guess_language over Arrow batches — the per-string work is a
+    tight loop over already-batched data, never per-row UDF
+    dispatch."""
+    return texts.map(guess_language)

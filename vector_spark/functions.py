@@ -149,6 +149,35 @@ def parse_transcripts_native(df: DataFrame, text_col: str = "text") -> DataFrame
     )
 
 
+def with_dropped_port(
+    df: DataFrame,
+    error_col: str = "_parse_error",
+    component_id: str = "parser",
+    component_type: str = "remap",
+    reason: str = "error",
+    message: str = "parse failure",
+) -> tuple[DataFrame, DataFrame]:
+    """First-class `dropped` port (src/transforms/remap.rs:92-105,
+    494-524): split on the error column into (ok, dropped). Dropped
+    rows keep every original column and gain a `metadata_dropped`
+    struct mirroring the reference's annotate_dropped metadata
+    (reason / message / component_id / component_type /
+    component_kind, remap.rs:414-445)."""
+    err = F.coalesce(F.col(error_col), F.lit(False))
+    ok = df.filter(~err)
+    dropped = df.filter(err).withColumn(
+        "metadata_dropped",
+        F.struct(
+            F.lit(reason).alias("reason"),
+            F.lit(message).alias("message"),
+            F.lit(component_id).alias("component_id"),
+            F.lit(component_type).alias("component_type"),
+            F.lit("transform").alias("component_kind"),
+        ),
+    )
+    return ok, dropped
+
+
 # ---------------------------------------------------------------------------
 # Grok: Vector's parse_grok compiles patterns at VRL-compile time
 # (lib/vrl/stdlib/src/parse_grok.rs). We compile grok -> Python regex

@@ -43,6 +43,77 @@ def aggregate_metrics(
     return df.groupBy(F.window(ts_col, interval).alias("w"), *keys).agg(*aggs)
 
 
+def merge_metric_stream(
+    df: DataFrame,
+    keys: list[str],
+    interval: str = "1 hour",
+    ts_col: str = "ts",
+    metric_kind_col: str = "metric_kind",
+    value_col: str = "value",
+    order_col: str = "_order",
+) -> DataFrame:
+    """MetricData merge semantics (lib/vector-core/src/event/metric/
+    data.rs:81-131): Incremental values ADD (sum), Absolute values
+    REPLACE (last wins). A series carries one kind, so the merged
+    value dispatches on the group's kind: sum for incremental,
+    max_by(value, order) for absolute — Vector's arrival-order "last"
+    becomes an explicit order key (SURVEY §2.7)."""
+    mk = F.col(metric_kind_col)
+    merged = F.when(
+        F.first(mk) == "incremental", F.sum(value_col)
+    ).otherwise(F.max_by(value_col, F.col(order_col)))
+    return (
+        df.groupBy(F.window(ts_col, interval).alias("w"), *keys)
+        .agg(
+            F.first(mk).alias(metric_kind_col),
+            merged.alias(value_col),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def set_members(
+    df: DataFrame,
+    keys: list[str],
+    member_col: str,
+    interval: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """MetricValue::Set keeps the member set, not just a count
+    (metric/value.rs) — collect_set, sorted for determinism."""
+    return df.groupBy(F.window(ts_col, interval).alias("w"), *keys).agg(
+        F.array_sort(F.collect_set(member_col)).alias("members"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def distribution_to_agg_histogram(
+    df: DataFrame,
+    value_col: str,
+    bounds: list[float],
+    keys: list[str] | None = None,
+    interval: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """distribution_to_agg_histogram (lib/vector-core/src/event/
+    metric/value.rs:91-104): samples -> AggregatedHistogram bucket
+    counts + count + sum. bucket = number of upper bounds below the
+    sample (0..len(bounds)); pure Column exprs, one shuffle."""
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    bucket = F.size(
+        F.filter(barr, lambda b: b < F.col(value_col).cast("double"))
+    )
+    return (
+        df.withColumn("_bucket", bucket)
+        .groupBy(F.window(ts_col, interval).alias("w"), *(keys or []), "_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("bucket_count"),
+            F.sum(F.col(value_col).cast("double")).alias("bucket_sum"),
+        )
+        .withColumnRenamed("_bucket", "bucket")
+    )
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],

@@ -101,18 +101,69 @@ def sessionize(
     df: DataFrame,
     group_by: list[str],
     order_by: str,
-    ends_when: Column,
+    ends_when: Column | None = None,
+    starts_when: Column | None = None,
     session_col: str = "_session",
 ) -> DataFrame:
-    """Assign transaction ids within a group: a row with ends_when
-    true closes the current session (reduce's ends_when,
-    reduce/mod.rs:226-293). Running sum of previous end-markers."""
+    """Assign transaction ids within a group (reduce/mod.rs:199-204:
+    exactly one of ends_when/starts_when).
+
+    * ends_when: a matching row CLOSES the current transaction (it is
+      the transaction's last event) -> running sum of end-markers over
+      the PRECEDING rows.
+    * starts_when: a matching row OPENS a new transaction (the
+      previous one is flushed without it, mod.rs:68) -> running sum of
+      start-markers INCLUDING the current row.
+    """
+    if (ends_when is None) == (starts_when is None):
+        raise ValueError("exactly one of ends_when/starts_when required")
+    if ends_when is not None:
+        frame_end, cond = -1, ends_when
+    else:
+        frame_end, cond = Window.currentRow, starts_when
     w = (
         Window.partitionBy(*group_by)
         .orderBy(order_by)
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, frame_end)
     )
-    marker = F.when(ends_when, 1).otherwise(0)
+    marker = F.when(cond, 1).otherwise(0)
     return df.withColumn(
         session_col, F.coalesce(F.sum(marker).over(w), F.lit(0)).cast("int")
     )
+
+
+def sessionize_gap(
+    df: DataFrame,
+    group_by: list[str],
+    ts_col: str,
+    expire_after_ms: int = 30000,
+    session_col: str = "_session",
+) -> DataFrame:
+    """The batch mapping of reduce's staleness flush
+    (reduce/mod.rs:33,226-241 `expire_after_ms`, default 30 s): a
+    group whose next event arrives more than expire_after_ms after
+    the previous one starts a new transaction. Event-time gap
+    sessionization — one window pass; the streaming runner gets the
+    same semantics for free from F.session_window(ts, gap)."""
+    w = Window.partitionBy(*group_by).orderBy(ts_col)
+    # sub-second-exact epoch seconds; the TIMESTAMP cast first makes
+    # this work for TIMESTAMP_NTZ too (bare double cast rejects NTZ,
+    # unix_timestamp truncates the fraction)
+    def secs(c):
+        return c.cast("timestamp").cast("double")
+
+    gap = secs(F.col(ts_col)) - secs(F.lag(F.col(ts_col)).over(w))
+    # two window passes over the SAME (group, ts) ordering — Catalyst
+    # plans a single sort+exchange reused by both Window operators
+    with_gap = df.withColumn("_gap", gap)
+    new_sess = F.when(
+        F.col("_gap").isNull() | (F.col("_gap") > expire_after_ms / 1000.0), 1
+    ).otherwise(0)
+    run = (
+        Window.partitionBy(*group_by)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return with_gap.withColumn(
+        session_col, (F.sum(new_sess).over(run) - 1).cast("int")
+    ).drop("_gap")

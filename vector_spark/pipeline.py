@@ -101,12 +101,30 @@ def _t_remap(df, opts, ctx):
     return out
 
 
+def _with_dropped(out, opts, name_hint="parser"):
+    """reroute_dropped (src/transforms/remap.rs:92-105): expose the
+    default output plus a `.dropped` port carrying failed rows with
+    dropped-metadata annotations. '' is the unnamed default port."""
+    from vector_spark.functions import with_dropped_port
+
+    ok, dropped = with_dropped_port(
+        out, component_id=opts.get("_component_name", name_hint)
+    )
+    return {"": ok, "dropped": dropped}
+
+
 def _t_parse_regex(df, opts, ctx):
-    return parse_transcripts(df, text_col=opts.get("field", "text"))
+    out = parse_transcripts(df, text_col=opts.get("field", "text"))
+    if opts.get("reroute_dropped"):
+        return _with_dropped(out, opts)
+    return out
 
 
 def _t_parse_grok(df, opts, ctx):
-    return parse_grok(df, opts["pattern"], text_col=opts.get("field", "text"))
+    out = parse_grok(df, opts["pattern"], text_col=opts.get("field", "text"))
+    if opts.get("reroute_dropped"):
+        return _with_dropped(out, opts)
+    return out
 
 
 def _t_route(df, opts, ctx):
@@ -275,6 +293,14 @@ def validate_spec(spec: dict) -> None:
         for n, c in transforms.items()
         if c.get("type") == "route"
     }
+    # transforms with reroute_dropped expose the default output AND a
+    # `.dropped` port (remap.rs reroute_dropped)
+    dropped_ports: set[str] = {
+        n
+        for n, c in transforms.items()
+        if c.get("reroute_dropped")
+        and c.get("type") in ("parse_regex", "parse_grok", "remap")
+    }
     for section in ("transforms", "sinks"):
         for name, comp in (spec.get(section) or {}).items():
             inputs = comp.get("inputs", [])
@@ -287,11 +313,14 @@ def validate_spec(spec: dict) -> None:
                 if base in sinks:
                     raise PipelineError(f"{name}: cannot consume a sink {inp!r}")
                 if port:
-                    if base not in route_ports:
+                    if base in dropped_ports:
+                        if port != "dropped":
+                            raise PipelineError(f"{name}: unknown port {inp!r}")
+                    elif base not in route_ports:
                         raise PipelineError(
                             f"{name}: input {inp!r} names a port on a single-output component"
                         )
-                    if port not in route_ports[base]:
+                    elif port not in route_ports[base]:
                         raise PipelineError(f"{name}: unknown port {inp!r}")
                 elif base in route_ports:
                     raise PipelineError(
@@ -344,7 +373,9 @@ def _resolve_inputs(
         base, _, port = inp.partition(".")
         out = outputs[base]
         if isinstance(out, dict):
-            dfs.append(out[port])
+            # '' is the unnamed default port (reroute_dropped
+            # transforms); routes always name an explicit port
+            dfs.append(out[port] if port else out[""])
         else:
             dfs.append(out)
     merged = dfs[0]
@@ -390,6 +421,8 @@ def compile_pipeline(
             opts = comp
             if cache_fanout and comp.get("type") == "route":
                 opts = {**comp, "_fanout_consumers": consumers.get(name, 0)}
+            if comp.get("reroute_dropped"):
+                opts = {**opts, "_component_name": name}
             result = TRANSFORMS[comp["type"]](df, opts, ctx)
             # Fanout: one output feeding N consumers recomputes N times
             # unless cached (fanout.rs analogue); opt out per component

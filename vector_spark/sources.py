@@ -24,7 +24,7 @@ the whole parse stays in whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -391,3 +391,124 @@ def demo_logs_alb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("\"forward\""), F.lit("\"-\""), F.lit("\"-\""),
     )
     return _events(spark, sf_dir).select("event_id", line.alias("line"))
+
+
+# ---------------------------------------------------------------------------
+# multiline aggregation (src/sources/file.rs:154-155 MultilineConfig,
+# lib/file-source multiline): assemble continuation lines (stack
+# traces) into single events.
+# ---------------------------------------------------------------------------
+
+
+def read_files_whole(spark: SparkSession, path: str) -> DataFrame:
+    """(file, content) — one row per file (wholetext). The multiline
+    grouping below is then a pure per-row expression, which makes it
+    identical in batch and streaming (no window over a stream)."""
+    return (
+        spark.read.option("wholetext", True)
+        .text(path)
+        .select(
+            F.input_file_name().alias("file"),
+            F.col("value").alias("content"),
+        )
+    )
+
+
+def assemble_multiline_whole(
+    df: DataFrame,
+    start_pattern: str,
+    content_col: str = "content",
+    file_col: str = "file",
+) -> DataFrame:
+    """Multiline assembly over whole-file rows: events start at lines
+    matching start_pattern; continuation lines attach to the previous
+    event (the file source's `halt_before`/stack-trace shape). Pure
+    higher-order-function expression — zero shuffle, and the same
+    code runs under Structured Streaming (wholetext file stream).
+
+    Output: (file, event_idx, event) with event = the joined lines.
+    """
+    lines = F.split(F.col(content_col), "\n")
+    idx = F.sequence(F.lit(0), F.size(lines) - 1)
+    # indices where a new event starts; index 0 always starts one so
+    # leading continuation lines (no previous event) still emit
+    starts = F.array_union(
+        F.array(F.lit(0)),
+        F.filter(idx, lambda i: F.element_at(lines, i + 1).rlike(start_pattern)),
+    )
+    n_lines = F.size(lines)
+    events = F.transform(
+        starts,
+        lambda s, j: F.array_join(
+            F.slice(
+                lines,
+                s + 1,
+                F.coalesce(F.try_element_at(starts, j + 2), n_lines) - s,
+            ),
+            "\n",
+        ),
+    )
+    return (
+        df.select(
+            F.col(file_col).alias("file"),
+            F.posexplode(events).alias("event_idx", "event"),
+        )
+        .filter(F.col("event") != "")
+    )
+
+
+def assemble_multiline_lines(
+    df: DataFrame,
+    condition_pattern: str,
+    mode: str = "continue_through",
+    file_col: str = "file",
+    line_no_col: str = "line_no",
+    line_col: str = "line",
+) -> DataFrame:
+    """Multiline assembly over (file, line_no, line) rows — the four
+    reference modes (lib/file-source multiline Mode):
+
+    * halt_before:      a matching line STARTS a new event
+    * continue_through: a matching line is a CONTINUATION (stack
+                        trace: indented lines attach upward)
+    * continue_past:    a matching line says the NEXT line continues
+                        (trailing-backslash shape)
+    * halt_with:        a matching line ENDS the event (inclusive)
+
+    One window pass per file to assign event ids, one grouped
+    aggregate to join lines. Batch form; the streaming runner uses
+    the wholetext variant above.
+    """
+    w = Window.partitionBy(file_col).orderBy(line_no_col)
+    m = F.col(line_col).rlike(condition_pattern)
+    if mode == "halt_before":
+        new_event = m
+    elif mode == "continue_through":
+        new_event = ~m
+    elif mode == "continue_past":
+        new_event = ~F.coalesce(
+            F.lag(m).over(w), F.lit(False)
+        )
+    elif mode == "halt_with":
+        new_event = F.coalesce(F.lag(m).over(w), F.lit(True))
+    else:
+        raise ValueError(f"unknown multiline mode {mode!r}")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marker = F.when(new_event, 1).otherwise(0)
+    # first line of a file always opens an event
+    with_id = df.withColumn(
+        "_event", F.greatest(F.sum(marker).over(run), F.lit(1)) - 1
+    )
+    pairs = F.collect_list(
+        F.struct(F.col(line_no_col).alias("o"), F.col(line_col).alias("v"))
+    )
+    return (
+        with_id.groupBy(file_col, "_event")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(pairs), lambda x: x["v"]), "\n"
+            ).alias("event"),
+            F.min(line_no_col).alias("first_line"),
+        )
+        .withColumnRenamed("_event", "event_idx")
+    )
