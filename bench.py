@@ -46,6 +46,15 @@ HEADLINE = [
     "docs_text_stats",
     "docs_minhash_lsh",
     "ann_topk",
+    # round 2 additions: parser family + new operator queries
+    "apache_error_parse",
+    "vpc_flow_parse",
+    "alb_parse",
+    "sessionize_startswhen",
+    "reduce_expire",
+    "aggregate_mixed_kinds",
+    "latency_histogram",
+    "dropped_port",
 ]
 
 
@@ -259,6 +268,47 @@ def _prepare_scaled_input(mult: int) -> str:
     return out
 
 
+def _burn_sha1(deadline: float) -> int:
+    import hashlib
+
+    h, i = hashlib.sha1(b"x"), 0
+    while time.perf_counter() < deadline:
+        for _ in range(1000):
+            h.update(h.digest())
+        i += 1000
+    return i
+
+
+def _host_ceiling_probe(n: int, n4: int, secs: float = 6.0) -> dict:
+    """Pure-CPU scaling ceiling of THIS host, measured with the same
+    N-vs-4N thread counts as the engine legs: each thread runs an
+    independent sha1 loop (no shared state, no I/O); the speedup is
+    the most parallelism the hypervisor physically delivers. Engine
+    efficiency should be judged against this ceiling, not against a
+    perfect 4.0 the host itself cannot reach."""
+    import multiprocessing as mp
+
+    def rate(procs: int) -> float:
+        deadline = time.perf_counter() + secs
+        with mp.Pool(procs) as pool:
+            counts = pool.map(_burn_sha1, [deadline] * procs)
+        return sum(counts) / secs
+
+    # measure the engine window (n vs 4n) AND its doubled shadow
+    # (2n vs 8n): an Arrow-UDF stage runs a JVM task thread plus a
+    # python worker per slot, so local[n] keeps ~2n threads runnable
+    out = {}
+    rates = {k: rate(k) for k in sorted({n, n4, 2 * n, 2 * n4})}
+    for label, lo, hi in (("", n, n4), ("_2x", 2 * n, 2 * n4)):
+        out[f"probe_iters_per_sec_n{label}"] = round(rates[lo])
+        out[f"probe_iters_per_sec_4n{label}"] = round(rates[hi])
+        out[f"host_ceiling_speedup{label}"] = round(rates[hi] / rates[lo], 3)
+        out[f"host_ceiling_efficiency{label}"] = round(
+            rates[hi] / rates[lo] / (n4 / n), 3
+        )
+    return out
+
+
 def main_scaling() -> int:
     """Run the flagship at two parallelism levels (N=8, 4N=32) on the
     same input; report throughput at both plus scaling efficiency
@@ -299,14 +349,36 @@ def main_scaling() -> int:
                 # not this VM's shared-disk jitter
                 TMPDIR=os.environ.get("SPARK_GRAFT_SCALE_TMP", "/dev/shm"),
             )
-            out = subprocess.run(
-                [sys.executable, here, "--flagship-only"],
-                env=env, capture_output=True, text=True, check=True,
-            )
-            samples[cpus].append(json.loads(out.stdout.strip().splitlines()[-1]))
+            # a leg can die to transient host pressure (port clash,
+            # fork failure) — retry once, then skip the sample rather
+            # than losing the whole interleaved run
+            for attempt in (1, 2):
+                out = subprocess.run(
+                    [sys.executable, here, "--flagship-only"],
+                    env=env, capture_output=True, text=True,
+                )
+                if out.returncode == 0 and out.stdout.strip():
+                    samples[cpus].append(
+                        json.loads(out.stdout.strip().splitlines()[-1])
+                    )
+                    break
+                print(
+                    f"# leg local[{cpus}] attempt {attempt} failed "
+                    f"(rc={out.returncode}): {out.stderr[-400:]}",
+                    file=sys.stderr,
+                )
+    if not all(samples[c] for c in pair):
+        print(json.dumps({"error": "no successful samples for a leg"}))
+        return 1
     best = {c: min(s, key=lambda r: r["value"]) for c, s in samples.items()}
     lo, hi = best[pair[0]], best[pair[1]]
     t_lo, t_hi = lo["turns_per_sec"], hi["turns_per_sec"]
+    # host ceiling measured in the SAME session, bracketing the legs
+    probe = _host_ceiling_probe(n, 4 * n)
+    eff = round((t_hi / t_lo) / 4.0, 3)
+    ceiling = max(
+        probe["host_ceiling_efficiency"], probe["host_ceiling_efficiency_2x"]
+    )
     print(json.dumps({
         "metric": f"scaling efficiency local[{pair[0]}] -> local[{pair[1]}]",
         "sf": _sf_label(SF_DIR),
@@ -315,7 +387,9 @@ def main_scaling() -> int:
         f"turns_per_sec_n{pair[0]}": t_lo,
         f"turns_per_sec_n{pair[1]}": t_hi,
         "speedup": round(t_hi / t_lo, 3),
-        "efficiency": round((t_hi / t_lo) / 4.0, 3),
+        "efficiency": eff,
+        "efficiency_vs_host_ceiling": round(eff / ceiling, 3) if ceiling else None,
+        **probe,
         f"sec_n{pair[0]}": lo["value"],
         f"sec_n{pair[1]}": hi["value"],
         "all_secs": {c: [r["value"] for r in s] for c, s in samples.items()},
