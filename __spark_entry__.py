@@ -662,6 +662,28 @@ def q_throttle_exclude(spark, sf_dir):
     ).select("conv_id", "turn_idx", "role")
 
 
+def q_grok_apache(spark, sf_dir):
+    """parse_grok with the canonical grok base-pattern library
+    (lib/vrl/stdlib/src/parse_grok.rs rides the same public pattern
+    vocabulary): COMMONAPACHELOG-shaped grok with logstash :int type
+    suffixes over apache_common demo lines; every extracted field is
+    oracle-rederived arithmetically from events."""
+    from vector_spark.functions import parse_grok
+    from vector_spark.sources import demo_logs_batch
+
+    lines = demo_logs_batch(spark, sf_dir, "apache_common")
+    grok = (
+        r"%{IPORHOST:clientip} %{HTTPDUSER:ident} %{HTTPDUSER:auth} "
+        r"\[%{HTTPDATE:timestamp}\] \"%{WORD:verb} %{NOTSPACE:request} "
+        r"HTTP/%{NUMBER:httpversion}\" %{NUMBER:response:int} "
+        r"%{NUMBER:bytes:int}"
+    )
+    return parse_grok(lines, grok, text_col="line").select(
+        "event_id", "clientip", "auth", "timestamp", "verb", "request",
+        "httpversion", "response", "bytes",
+    )
+
+
 def q_apache_error_parse(spark, sf_dir):
     """apache error-format logs (parse_apache_log format="error",
     lib/vrl/stdlib/src/log_util.rs REGEX_APACHE_ERROR_LOG): generator
@@ -916,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": q_docs_simhash,
         "ann_topk": q_ann_topk,
         "apache_parse": q_apache_parse,
+        "grok_apache": q_grok_apache,
         "syslog_parse": q_syslog_parse,
         "kv_extract": q_kv_extract,
         "sessionize_endswhen": q_sessionize_endswhen,
@@ -1424,6 +1447,20 @@ SELECT conv_id, turn_idx, role FROM (
         "'Mozilla/5.0 (iPhone; CPU iPhone OS 14_0 like Mac OS X) Version/14.0 Mobile/15E148 Safari/604.1',"
         "'Googlebot/2.1 (+http://www.google.com/bot.html)']"
     )
+
+    o["grok_apache"] = """
+SELECT event_id,
+  concat(10, '.', event_id % 256, '.', (event_id // 256) % 256, '.',
+         (event_id // 65536) % 256) AS clientip,
+  concat('user', event_id % 100) AS auth,
+  strftime(ts, '%d/%b/%Y:%H:%M:%S +0000') AS timestamp,
+  (['GET','POST','PUT','DELETE','HEAD'])[cast(event_id % 5 as int) + 1] AS verb,
+  (['/api/v1/users','/api/v1/orders','/index.html','/health','/metrics'])[cast(event_id % 7 % 5 as int) + 1] AS request,
+  '1.1' AS httpversion,
+  cast(([200,200,200,301,404,500])[cast(event_id % 6 as int) + 1] as bigint) AS response,
+  cast(floor(value * 100) as bigint) % 100000 AS bytes
+FROM events
+"""
 
     o["apache_error_parse"] = f"""
 SELECT event_id,

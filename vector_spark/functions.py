@@ -184,49 +184,78 @@ def with_dropped_port(
 # on the driver and reuse make_regex_parser.
 # ---------------------------------------------------------------------------
 
-GROK_PATTERNS: dict[str, str] = {
-    "WORD": r"\w+",
-    "NOTSPACE": r"\S+",
-    "DATA": r".*?",
-    "GREEDYDATA": r".*",
-    "INT": r"[+-]?\d+",
-    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
-    "BASE16NUM": r"[0-9a-fA-F]+",
-    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
-    "HOSTNAME": r"[a-zA-Z0-9._-]+",
-    "USERNAME": r"[a-zA-Z0-9._-]+",
-    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
-    "LOGLEVEL": r"TRACE|DEBUG|INFO|WARN|WARNING|ERROR|FATAL",
-    "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
-}
+from vector_spark.grok_patterns import GROK_LIBRARY
 
-_GROK_TOKEN = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+GROK_PATTERNS: dict[str, str] = dict(GROK_LIBRARY)
+
+# %{NAME}, %{NAME:alias}, %{NAME:alias:int|float} (logstash type cast)
+_GROK_TOKEN = re.compile(r"%\{(\w+)(?::([\w.\[\]@-]+))?(?::(int|float))?\}")
+_GROK_MAX_DEPTH = 16
+
+
+def _sanitize_alias(alias: str) -> str:
+    """Grok aliases may contain dots/brackets ([@metadata][x],
+    response.time); RE2 named groups may not — map to underscores."""
+    return re.sub(r"\W+", "_", alias).strip("_")
+
+
+def grok_to_regex_typed(
+    grok: str, patterns: dict[str, str] | None = None
+) -> tuple[str, dict[str, str]]:
+    """Compile a grok pattern string to an RE2 regex with named groups
+    plus an {alias: "int"|"float"} cast map — the driver-side analogue
+    of parse_grok's compile() (lib/vrl/stdlib/src/parse_grok.rs).
+    Composite library patterns (COMBINEDAPACHELOG, SYSLOGBASE, ...)
+    reference other patterns via %{NAME} and are expanded recursively."""
+    pats = GROK_PATTERNS if patterns is None else patterns
+    casts: dict[str, str] = {}
+
+    def repl(m: re.Match) -> str:
+        name, alias, typ = m.group(1), m.group(2), m.group(3)
+        if name not in pats:
+            raise ValueError(f"unknown grok pattern %{{{name}}}")
+        body = pats[name]
+        if alias:
+            alias = _sanitize_alias(alias)
+            if typ:
+                casts[alias] = typ
+            return f"(?P<{alias}>{body})"
+        return f"(?:{body})"
+
+    out = grok
+    for _ in range(_GROK_MAX_DEPTH):
+        expanded = _GROK_TOKEN.sub(repl, out)
+        if expanded == out:
+            break
+        out = expanded
+    else:
+        raise ValueError("grok pattern expansion exceeded max depth (cycle?)")
+    return out, casts
 
 
 def grok_to_regex(grok: str) -> str:
-    """Compile a grok pattern string to a Python regex with named
-    groups — the driver-side analogue of parse_grok's compile()."""
-
-    def repl(m: re.Match) -> str:
-        name, alias = m.group(1), m.group(2)
-        if name not in GROK_PATTERNS:
-            raise ValueError(f"unknown grok pattern %{{{name}}}")
-        body = GROK_PATTERNS[name]
-        return f"(?P<{alias}>{body})" if alias else f"(?:{body})"
-
-    return _GROK_TOKEN.sub(repl, grok)
+    """Compile a grok pattern string to a regex with named groups."""
+    return grok_to_regex_typed(grok)[0]
 
 
 def parse_grok(df: DataFrame, grok: str, text_col: str = "text") -> DataFrame:
-    """parse_grok as a vectorized stage: grok -> regex -> pandas UDF."""
-    parser, _ = make_regex_parser(grok_to_regex(grok))
+    """parse_grok as a vectorized stage: grok -> regex -> pandas UDF.
+    Logstash-style ``%{NUMBER:bytes:int}`` type suffixes cast the
+    extracted string column after extraction (long / double)."""
+    pattern, casts = grok_to_regex_typed(grok)
+    parser, _ = make_regex_parser(pattern)
     parsed = df.withColumn("_p", parser(F.col(text_col)))
     first_field = parsed.schema["_p"].dataType.fields[0].name
-    return (
+    out = (
         parsed.select("*", "_p.*")
         .drop("_p")
         .withColumn("_parse_error", F.col(first_field).isNull())
     )
+    for alias, typ in casts.items():
+        out = out.withColumn(
+            alias, F.col(alias).cast("long" if typ == "int" else "double")
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
