@@ -79,7 +79,11 @@ ADAPTERS = {
         to_lit(a["value"]), a["start"], a.get("end"),
         dtype=_dtype_of(a["value"]),
     ),
-    "find": lambda a: vrl.find(to_lit(a["value"]), a["pattern"]),
+    "find": lambda a: vrl.find(
+        to_lit(a["value"]),
+        a["pattern"]["$regex"] if isinstance(a["pattern"], dict) else a["pattern"],
+        regex=isinstance(a["pattern"], dict),
+    ),
     "contains": lambda a: vrl.contains(
         to_lit(a["value"]), a["substring"],
         case_sensitive=a.get("case_sensitive", True),
@@ -186,7 +190,61 @@ ADAPTERS = {
     "is_timestamp": lambda a: vrl.is_timestamp(to_lit(a["value"])),
     "is_null": lambda a: vrl.is_null(to_lit(a["value"])),
     "is_object": lambda a: vrl.is_object(to_lit(a["value"])),
+    # round-2 tail: objects / regex values / ip conversions / tagging
+    "encode_key_value": lambda a: vrl.encode_key_value(
+        to_str_map(a["value"]),
+        fields_ordering=a.get("fields_ordering"),
+        key_value_delimiter=a.get("key_value_delimiter", "="),
+        field_delimiter=a.get("field_delimiter", " "),
+        flatten_boolean=a.get("flatten_boolean", False),
+    ),
+    "match_array": lambda a: vrl.match_array(
+        to_lit(a["value"]), regex_pat(a["pattern"]), all=a.get("all", False)
+    ),
+    "tag_types_externally": lambda a: vrl.tag_types_externally(
+        to_lit(a["value"]), python_dtype(a["value"])
+    ),
+    "ip_to_ipv6": lambda a: vrl.ip_to_ipv6(to_lit(a["value"])),
+    "ipv6_to_ipv4": lambda a: vrl.ipv6_to_ipv4(to_lit(a["value"])),
+    "ip_ntop": lambda a: vrl.ip_ntop(F.lit(a["value"].encode("latin1"))),
+    "ip_pton": lambda a: vrl.ip_pton(to_lit(a["value"])),
 }
+
+
+def to_str_map(d):
+    """dict -> map<string,string> literal with Value::to_string
+    rendering (booleans lowercase) for encode_key_value vectors."""
+    if not isinstance(d, dict):
+        raise Unsupported(f"expected object, got {d!r}")
+    if not d:
+        return F.create_map().cast("map<string,string>")
+    kvs = []
+    for k, v in d.items():
+        if isinstance(v, (dict, list)):
+            raise Unsupported(f"nested object value {v!r}")
+        s = ("true" if v else "false") if isinstance(v, bool) else str(v)
+        kvs += [F.lit(k), F.lit(s)]
+    return F.create_map(*kvs)
+
+
+def regex_pat(p):
+    if isinstance(p, dict) and "$regex" in p:
+        return p["$regex"]
+    if isinstance(p, str):
+        return p
+    raise Unsupported(f"pattern {p!r}")
+
+
+def python_dtype(v):
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, str):
+        return "string"
+    raise Unsupported(f"untaggable {v!r}")
 
 
 def normalize(v):
@@ -238,6 +296,9 @@ def test_golden(spark, case):
             pytest.skip(str(e))
     row = spark.range(1).select(args_col.alias("out")).first()
     got = row["out"]
+    if isinstance(got, (bytes, bytearray)):
+        got = bytes(got).decode("latin1")  # binary wants are harvested
+        # as latin1-escaped strings (ip_pton)
     if isinstance(got, dict):
         pass
     elif hasattr(got, "asDict"):

@@ -69,7 +69,37 @@ def parse_value(v: str):
     v = v.strip()
     if v.startswith("value!(") and v.endswith(")"):
         return parse_value(v[len("value!("):-1])
-    if v.startswith("btreemap!") or v.startswith("Value::") or "::" in v:
+    rx = re.match(r'Value::Regex\(Regex::new\("((?:[^"\\]|\\.)*)"\)', v)
+    if rx:
+        # VRL regex literal -> tagged pattern string
+        return {"$regex": rx.group(1).encode().decode("unicode_escape")}
+    bm = re.match(r"btreemap!\s*\{(.*)\}\s*$", v, re.S)
+    if bm:
+        out = {}
+        inner = bm.group(1).strip()
+        for pair in split_top(inner) if inner else []:
+            k, sep, val = pair.partition("=>")
+            if not sep:
+                raise ValueError(v)
+            out[parse_value(k)] = parse_value(val)
+        return out
+    # string literals first: '::' inside a quoted IPv6/path string is
+    # data, not a Rust path
+    if (v.startswith('s"') or v.startswith("s'")) and len(v) >= 3:
+        return v[2:-1]
+    if v.startswith('r#"') and v.endswith('"#'):
+        return v[3:-2]
+    if v.startswith('"') and v.endswith('"'):
+        try:
+            return json.loads(v)
+        except json.JSONDecodeError:
+            # rust \x escapes (binary-ish literals)
+            return v[1:-1].encode().decode("unicode_escape")
+    if v.startswith("'") and v.endswith("'"):
+        return v[1:-1]
+    if v.startswith("Value::from(") and v.endswith(")"):
+        return parse_value(v[len("Value::from("):-1])
+    if v.startswith("Value::") or "::" in v:
         raise ValueError(v)
     if v.startswith("vec![") and v.endswith("]"):
         inner = v[len("vec!["):-1].strip()

@@ -258,6 +258,63 @@ def parse_grok(df: DataFrame, grok: str, text_col: str = "text") -> DataFrame:
     return out
 
 
+def parse_groks(
+    df: DataFrame, groks: list[str], text_col: str = "text"
+) -> DataFrame:
+    """parse_groks (lib/vrl/stdlib/src/parse_groks.rs): try patterns
+    in order, first MATCHING pattern supplies its fields; later
+    patterns only fire for rows earlier ones missed. One extraction
+    struct per pattern in a single projection (no per-pattern passes
+    over the data); the output schema is the union of all patterns'
+    aliases."""
+    if not groks:
+        raise ValueError("parse_groks needs at least one pattern")
+    compiled = []
+    all_fields: list[str] = []
+    for g in groks:
+        pattern, casts = grok_to_regex_typed(g)
+        parser, struct = make_regex_parser(pattern)
+        names = [f.name for f in struct.fields]
+        compiled.append((parser, names, casts))
+        for n in names:
+            if n not in all_fields:
+                all_fields.append(n)
+
+    tagged = df
+    match_cols = []
+    for i, (parser, names, _) in enumerate(compiled):
+        tagged = tagged.withColumn(f"_p{i}", parser(F.col(text_col)))
+        match_cols.append(F.col(f"_p{i}.{names[0]}").isNotNull())
+
+    # first matching pattern index per row (-1 = none matched)
+    idx = F.lit(-1)
+    for i in reversed(range(len(compiled))):
+        idx = F.when(match_cols[i], F.lit(i)).otherwise(idx)
+    tagged = tagged.withColumn("_gidx", idx)
+
+    out_cols = []
+    cast_map: dict[str, str] = {}
+    for fname in all_fields:
+        expr = F.lit(None).cast("string")
+        for i, (_, names, casts) in enumerate(compiled):
+            if fname in names:
+                expr = F.when(
+                    F.col("_gidx") == i, F.col(f"_p{i}.{fname}").cast("string")
+                ).otherwise(expr)
+                if fname in casts:
+                    cast_map[fname] = casts[fname]
+        out_cols.append(expr.alias(fname))
+
+    result = tagged.select(
+        *df.columns, *out_cols, (F.col("_gidx") == -1).alias("_parse_error")
+    )
+    for alias, typ in cast_map.items():
+        result = result.withColumn(
+            alias, F.col(alias).cast("long" if typ == "int" else "double")
+        )
+    return result
+
+
 # ---------------------------------------------------------------------------
 # VRL stdlib equivalents that aren't 1:1 builtins (SURVEY.md §2.4).
 # Most of VRL's ~130 functions ARE Spark builtins (upcase->upper, ...);
@@ -334,5 +391,9 @@ def redact(col: Column, filters: list, replacement: str = "[REDACTED]") -> Colum
 
 
 def strip_ansi_escape_codes(col: Column) -> Column:
-    """VRL strip_ansi_escape_codes (lib/vrl/stdlib/src/strip_ansi_escape_codes.rs)."""
-    return F.regexp_replace(col, r"\x1b\[[0-9;]*[a-zA-Z]", "")
+    """VRL strip_ansi_escape_codes (lib/vrl/stdlib/src/strip_ansi_escape_codes.rs):
+    full CSI grammar (params 0x30-0x3F incl. '?'/'=', intermediates,
+    final byte) plus two-char ESC sequences."""
+    return F.regexp_replace(
+        col, r"\x1B(?:\[[0-?]*[ -/]*[@-~]|[@-Z\\-_])", ""
+    )

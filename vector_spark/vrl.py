@@ -60,9 +60,12 @@ def slice_(
     return F.substring(col, s + 1, length)
 
 
-def find(col: Column, substring: str) -> Column:
-    """find.rs: first 0-based index of substring, -1 if absent."""
-    return F.locate(substring, col) - 1
+def find(col: Column, pattern: str, regex: bool = False) -> Column:
+    """find.rs: first 0-based index of the substring or regex match,
+    -1 if absent (regexp_instr/locate are 1-based with 0 = no match)."""
+    if regex:
+        return F.regexp_instr(col, F.lit(pattern)) - 1
+    return F.locate(pattern, col) - 1
 
 
 def contains(col: Column, substring: str, case_sensitive: bool = True) -> Column:
@@ -583,16 +586,42 @@ def is_null(col: Column) -> Column:
 
 
 def ip_subnet(col: Column, mask: str) -> Column:
-    """ip_subnet.rs (IPv4): apply a '/n' prefix or dotted mask."""
-    if mask.startswith("/"):
-        bits = int(mask[1:])
-        if bits > 32:
-            raise ValueError("subnet cannot be greater than 32 for ipv4")
-        mask_int = (0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF if bits else 0
-    else:
+    """ip_subnet.rs: apply a '/n' prefix or mask address, both IP
+    families. Dotted-quad masks stay on the pure-JVM int path
+    (codegen'd); '/n' and IPv6 masks need per-family runtime dispatch
+    -> Arrow-batched ipaddress UDF (cold-path function)."""
+    if "." in mask and not mask.startswith("/"):
         parts = [int(o) for o in mask.split(".")]
         mask_int = sum(o << (8 * (3 - i)) for i, o in enumerate(parts))
-    return ip_ntoa(ip_aton(col).bitwiseAND(F.lit(mask_int)))
+        return ip_ntoa(ip_aton(col).bitwiseAND(F.lit(mask_int)))
+
+    @pandas_udf(T.StringType())
+    def run(s: pd.Series) -> pd.Series:
+        import ipaddress
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                a = ipaddress.ip_address(v)
+                if mask.startswith("/"):
+                    net = ipaddress.ip_network(
+                        f"{a}/{int(mask[1:])}", strict=False
+                    )
+                    return str(net.network_address)
+                m = ipaddress.ip_address(mask)
+                if m.version != a.version:
+                    return None
+                packed = bytes(
+                    x & y for x, y in zip(a.packed, m.packed)
+                )
+                return str(ipaddress.ip_address(packed))
+            except ValueError:
+                return None
+
+        return s.map(one)
+
+    return run(col)
 
 
 def get_env_var(name: str) -> Column:
@@ -618,6 +647,315 @@ def parse_csv_row(
     return F.array(*[
         F.coalesce(parsed[f"_c{i}"], F.lit("")) for i in range(n_fields)
     ])
+
+
+# ---------------------------------------------------------------------------
+# type coercion assertions (array.rs, boolean.rs, float.rs, integer.rs,
+# object.rs, string.rs, timestamp.rs): VRL's `string!(x)` family aborts
+# the program if the value has the wrong type. Runtime check via
+# typeof() + assert_true; Spark's static schema usually makes the
+# check free (constant-folded) — it only fires on variant columns.
+# ---------------------------------------------------------------------------
+
+
+def _coerce_assert(checker, label: str):
+    def coerce(col: Column) -> Column:
+        ok = checker(col) | col.isNull()
+        return F.when(
+            F.assert_true(ok, f"expected {label} value").isNull(), col
+        )
+
+    return coerce
+
+
+array_ = _coerce_assert(is_array, "array")
+boolean_ = _coerce_assert(is_boolean, "boolean")
+float__ = _coerce_assert(is_float, "float")
+integer_ = _coerce_assert(is_integer, "integer")
+object_ = _coerce_assert(is_object, "object")
+string_ = _coerce_assert(is_string, "string")
+timestamp_ = _coerce_assert(is_timestamp, "timestamp")
+
+
+def assert_(cond: Column, message: str = "assertion failed") -> Column:
+    """assert.rs: abort on false condition."""
+    return F.assert_true(cond, message)
+
+
+def assert_eq(left: Column, right: Column, message: str | None = None) -> Column:
+    """assert_eq.rs: abort unless left == right (null-safe)."""
+    return F.assert_true(
+        left.eqNullSafe(right), message or "assert_eq failed"
+    )
+
+
+# ---------------------------------------------------------------------------
+# object / path ops over map<string,_> columns (del.rs, exists.rs,
+# get.rs, set.rs, remove.rs, only_fields — VRL event paths become map
+# keys in column-land; struct paths are native `F.col("a.b")`)
+# ---------------------------------------------------------------------------
+
+
+def del_(m: Column, key: str) -> Column:
+    """del.rs / remove.rs: drop a key from an object."""
+    return F.map_filter(m, lambda k, v: k != F.lit(key))
+
+
+def exists(m: Column, key: str) -> Column:
+    """exists.rs: key presence on an object column."""
+    return F.array_contains(F.map_keys(m), key)
+
+
+def get_(m: Column, key: str) -> Column:
+    """get.rs: dynamic-path lookup -> value or null."""
+    return F.try_element_at(m, F.lit(key))
+
+
+def set_(m: Column, key: str, value) -> Column:
+    """set.rs: insert/overwrite a key. Existing key is filtered first
+    because map_concat under the default EXCEPTION dedup policy
+    rejects duplicates."""
+    v = value if isinstance(value, Column) else F.lit(value)
+    cleaned = F.map_filter(m, lambda k, _: k != F.lit(key))
+    return F.map_concat(cleaned, F.create_map(F.lit(key), v))
+
+
+def only_fields(m: Column, keys: list[str]) -> Column:
+    """only_fields.rs: keep listed keys, drop the rest."""
+    keep = F.array(*[F.lit(k) for k in keys])
+    return F.map_filter(m, lambda k, _: F.array_contains(keep, k))
+
+
+def unnest(df, col: str):
+    """unnest.rs: one event per element of an array field — the one
+    cardinality-changing stdlib fn, so it takes/returns a DataFrame
+    (explode stays JVM-side)."""
+    return df.withColumn(col, F.explode(col))
+
+
+def filter_(col: Column, fn) -> Column:
+    """filter.rs: keep elements/entries where fn is true (arrays via
+    F.filter(el), objects via map_filter(k, v))."""
+    return F.filter(col, fn)
+
+
+def filter_object(m: Column, fn) -> Column:
+    return F.map_filter(m, fn)
+
+
+def for_each(col: Column, fn) -> Column:
+    """for_each.rs side-effect loop — in a pure column algebra this is
+    transform (map) over elements."""
+    return F.transform(col, fn)
+
+
+def _ekv_quote(col: Column) -> Column:
+    """encode_key_value.rs encode_string: quote when the token holds
+    whitespace or '\"'; escape backslash, quote, newline."""
+    esc = F.regexp_replace(col, r"\\", r"\\\\")
+    esc = F.regexp_replace(esc, r'"', r'\\"')
+    esc = F.regexp_replace(esc, r"\n", r"\\\\n")
+    return F.when(
+        col.rlike('[\\s"]'), F.concat(F.lit('"'), esc, F.lit('"'))
+    ).otherwise(esc)
+
+
+def encode_key_value(
+    m: Column,
+    fields_ordering: list[str] | None = None,
+    key_value_delimiter: str = "=",
+    field_delimiter: str = " ",
+    flatten_boolean: bool = False,
+) -> Column:
+    """encode_key_value.rs (via lib/vector-common/src/encode_key_value.rs):
+    object -> 'k=v k2=v2'. Listed fields first in the given order, the
+    rest in sorted (BTreeMap) order; tokens with whitespace/quotes are
+    quoted with backslash escapes; flatten_boolean renders bare keys
+    for true and omits false. Map values arrive stringified ('true'/
+    'false' for booleans), matching Value::to_string."""
+
+    def render(k: Column, v: Column) -> Column:
+        pair = F.concat(
+            _ekv_quote(k), F.lit(key_value_delimiter), _ekv_quote(v)
+        )
+        if not flatten_boolean:
+            return pair
+        return (
+            F.when(v == "false", F.lit(None))
+            .when(v == "true", _ekv_quote(k))
+            .otherwise(pair)
+        )
+
+    ordered = list(fields_ordering or [])
+    lead = [
+        F.when(
+            F.array_contains(F.map_keys(m), k),
+            render(F.lit(k), F.element_at(m, k).cast("string")),
+        )
+        for k in ordered
+    ]
+    rest_src = m
+    if ordered:
+        skip = F.array(*[F.lit(k) for k in ordered])
+        rest_src = F.map_filter(m, lambda k, _: ~F.array_contains(skip, k))
+    rest = F.transform(
+        F.array_sort(F.map_entries(rest_src)),
+        lambda e: render(e["key"], e["value"].cast("string")),
+    )
+    all_parts = F.concat(F.array(*lead), rest) if lead else rest
+    return F.array_join(
+        F.filter(all_parts, lambda x: x.isNotNull()), field_delimiter
+    )
+
+
+# ---------------------------------------------------------------------------
+# crypto (encrypt.rs / decrypt.rs / random_bytes.rs): Spark's JVM-side
+# aes_encrypt/aes_decrypt cover the AES family; mode names map from
+# VRL's "AES-256-CBC" style. Unsupported modes (CFB/CTR/SALSA) raise.
+# ---------------------------------------------------------------------------
+
+_AES_MODES = {"CBC": "CBC", "GCM": "GCM", "ECB": "ECB"}
+
+
+def _aes_mode(algorithm: str) -> str:
+    parts = algorithm.upper().split("-")  # AES-256-CBC
+    if len(parts) != 3 or parts[0] != "AES" or parts[2] not in _AES_MODES:
+        raise ValueError(
+            f"unsupported algorithm {algorithm!r}: Spark-side AES "
+            "supports CBC/GCM/ECB (encrypt.rs lists more stream "
+            "ciphers; out of JVM scope)"
+        )
+    return _AES_MODES[parts[2]]
+
+
+def encrypt(plaintext: Column, algorithm: str, key: Column, iv: Column | None = None) -> Column:
+    """encrypt.rs via F.aes_encrypt (binary out)."""
+    mode = _aes_mode(algorithm)
+    if iv is not None and mode != "ECB":
+        return F.aes_encrypt(plaintext, key, F.lit(mode), F.lit("DEFAULT"), iv)
+    return F.aes_encrypt(plaintext, key, F.lit(mode))
+
+
+def decrypt(ciphertext: Column, algorithm: str, key: Column) -> Column:
+    """decrypt.rs via F.aes_decrypt."""
+    return F.aes_decrypt(ciphertext, key, F.lit(_aes_mode(algorithm)))
+
+
+def random_bytes(length: int) -> Column:
+    """random_bytes.rs: n random bytes. Built from chained sha2(rand())
+    hex so it stays a JVM expression; cryptographic randomness is NOT
+    claimed (the reference uses the OS RNG) — documented divergence,
+    fine for sampling/jitter use."""
+    if length > 1024:
+        raise ValueError("random_bytes capped at 1024 in this build")
+    n_blocks = (length + 31) // 32
+    blocks = [
+        F.sha2(F.concat(F.rand().cast("string"), F.lit(str(i))), 256)
+        for i in range(n_blocks)
+    ]
+    return F.unhex(F.substring(F.concat(*blocks), 1, length * 2))
+
+
+# ---------------------------------------------------------------------------
+# IP conversions (ip_ntop.rs, ip_pton.rs, ip_to_ipv6.rs,
+# ipv6_to_ipv4.rs): Python's ipaddress over Arrow batches — cold-path
+# functions, and the per-batch loop beats a per-row UDF by the usual
+# Arrow margin.
+# ---------------------------------------------------------------------------
+
+
+def _ip_batch_udf(fn):
+    @pandas_udf(T.StringType())
+    def run(s: pd.Series) -> pd.Series:
+        import ipaddress
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return fn(ipaddress, v)
+            except (ValueError, OSError):
+                return None
+
+        return s.map(one)
+
+    return run
+
+
+ip_ntop = _ip_batch_udf(
+    lambda ipa, v: str(ipa.ip_address(v if isinstance(v, bytes) else v.encode("latin1")))
+)
+ip_pton_hex = _ip_batch_udf(
+    lambda ipa, v: ipa.ip_address(v).packed.hex()
+)
+
+
+def ip_pton(col: Column) -> Column:
+    """ip_pton.rs: text IP -> packed binary (via hex to keep the UDF
+    Arrow-string-typed end to end)."""
+    return F.unhex(ip_pton_hex(col))
+
+
+def ip_to_ipv6(col: Column) -> Column:
+    """ip_to_ipv6.rs: v4 -> ::ffff:a.b.c.d mapped form, v6 unchanged."""
+    return F.when(
+        col.contains(":"), col
+    ).otherwise(F.concat(F.lit("::ffff:"), col))
+
+
+ipv6_to_ipv4 = _ip_batch_udf(
+    lambda ipa, v: str(a.ipv4_mapped)
+    if (a := ipa.ip_address(v)).version == 6 and a.ipv4_mapped
+    else (str(a) if a.version == 4 else None)
+)
+
+
+def match_array(arr: Column, pattern: str, all: bool = False) -> Column:
+    """match_array.rs: any (or all) element matches the regex."""
+    pred = lambda x: x.rlike(pattern)  # noqa: E731
+    return F.forall(arr, pred) if all else F.exists(arr, pred)
+
+
+def to_regex(col: Column) -> Column:
+    """to_regex.rs: regex values are represented as their pattern
+    string in column-land (Spark has no regex runtime type); the
+    string feeds rlike/regexp_* directly."""
+    return col
+
+
+def is_regex(col: Column) -> Column:
+    """is_regex.rs: no regex runtime type in column-land — always
+    false for data columns (regexes live in the plan, not in rows)."""
+    return F.lit(False) & col.isNotNull()
+
+
+def tag_types_externally(col: Column, dtype: str) -> Column:
+    """tag_types_externally.rs: wrap a scalar as {"<type>": value} for
+    the externally-tagged JSON codec."""
+    name = {
+        "string": "string", "int": "integer", "bigint": "integer",
+        "double": "float", "float": "float", "boolean": "boolean",
+        "timestamp": "timestamp",
+    }.get(dtype)
+    if name is None:
+        raise ValueError(f"unsupported external tag type {dtype!r}")
+    return F.struct(col.alias(name))
+
+
+def reverse_dns(col: Column, hosts: "object" = None) -> Column:
+    """reverse_dns.rs needs live PTR lookups — no network in this
+    build. Callers supply a (ip -> hostname) mapping and join it
+    broadcast-side (vector_spark.enrich); this helper only covers the
+    map-literal form for tests."""
+    if hosts is None:
+        raise NotImplementedError(
+            "reverse_dns requires a hosts mapping in this build "
+            "(no resolver); use enrich.enrich_equality with a dns dim"
+        )
+    mapping = F.create_map(
+        *[F.lit(x) for kv in hosts.items() for x in kv]
+    )
+    return F.try_element_at(mapping, col)
 
 
 # ---------------------------------------------------------------------------
@@ -676,4 +1014,63 @@ FUNCTIONS: dict[str, object] = {
     "is_timestamp": is_timestamp, "is_null": is_null,
     # net / csv
     "ip_subnet": ip_subnet, "parse_csv_row": parse_csv_row,
+    # type coercion assertions (round 2)
+    "array": array_, "boolean": boolean_, "float": float__,
+    "integer": integer_, "object": object_, "string": string_,
+    "timestamp": timestamp_,
+    "assert": assert_, "assert_eq": assert_eq,
+    # object / path ops
+    "del": del_, "remove": del_, "exists": exists, "get": get_,
+    "set": set_, "only_fields": only_fields, "unnest": unnest,
+    "filter": filter_, "filter_object": filter_object,
+    "for_each": for_each, "encode_key_value": encode_key_value,
+    # crypto / random
+    "encrypt": encrypt, "decrypt": decrypt, "random_bytes": random_bytes,
+    # net conversions
+    "ip_ntop": ip_ntop, "ip_pton": ip_pton, "ip_to_ipv6": ip_to_ipv6,
+    "ipv6_to_ipv4": ipv6_to_ipv4, "reverse_dns": reverse_dns,
+    # regex values / tagging
+    "match_array": match_array, "to_regex": to_regex,
+    "is_regex": is_regex, "tag_types_externally": tag_types_externally,
 }
+
+
+def _register_parser_family() -> None:
+    """Cross-register the parse_* family implemented in functions.py /
+    parsers.py / sources.py so FUNCTIONS is the one audit surface for
+    SURVEY §2.4 (each target cites its lib/vrl/stdlib file in its own
+    docstring). These operate on DataFrames (they add many columns),
+    unlike the Column builders above — the registry records the
+    callable either way."""
+    from vector_spark import parsers as P
+    from vector_spark import sources as S
+    from vector_spark.functions import (
+        make_regex_parser,
+        parse_grok,
+        parse_groks,
+    )
+
+    FUNCTIONS.update({
+        "parse_regex": make_regex_parser,
+        "parse_grok": parse_grok,
+        "parse_groks": parse_groks,
+        "parse_regex_all": P.parse_regex_all,
+        "parse_common_log": S.parse_common_log,
+        "parse_syslog": S.parse_syslog,
+        "parse_apache_log": P.parse_apache_error,
+        "parse_syslog_3164": P.parse_syslog_3164,
+        "parse_nginx_log": P.parse_nginx_log,
+        "parse_glog": P.parse_glog,
+        "parse_klog": P.parse_klog,
+        "parse_linux_authorization": P.parse_linux_authorization,
+        "parse_aws_vpc_flow_log": P.parse_aws_vpc_flow_log,
+        "parse_aws_alb_log": P.parse_aws_alb_log,
+        "parse_aws_cloudwatch_log_subscription_message": P.parse_aws_cloudwatch_log_subscription_message,
+        "parse_tokens": P.parse_tokens,
+        "parse_user_agent": P.parse_user_agent,
+        "parse_ruby_hash": P.parse_ruby_hash,
+        "parse_xml": P.parse_xml,
+    })
+
+
+_register_parser_family()
