@@ -132,3 +132,37 @@ def test_multi_input_union(spark, transcripts):
     small = transcripts.limit(10)
     res = run_pipeline(PipelineContext(spark), spec, {"a": small, "b": small})
     assert res["out"] == 20
+
+
+def test_sink_timestamp_format(spark, transcripts):
+    """Encoding transformer timestamp_format (config.rs:159): unix ->
+    epoch seconds, rfc3339 -> UTC text; non-timestamp columns pass
+    through untouched."""
+    spec = {
+        "sources": {"transcripts": {"type": "parquet"}},
+        "transforms": {},
+        "sinks": {
+            "unix": {
+                "type": "memory", "inputs": ["transcripts"],
+                "only_fields": ["conv_id", "ts"],
+                "timestamp_format": "unix",
+            },
+            "rfc": {
+                "type": "memory", "inputs": ["transcripts"],
+                "only_fields": ["conv_id", "ts"],
+                "timestamp_format": "rfc3339",
+            },
+        },
+    }
+    out = run_pipeline(_ctx(spark), spec, {"transcripts": transcripts})
+    u = out["unix"].first()
+    r = out["rfc"].first()
+    assert dict(out["unix"].dtypes)["ts"] == "bigint" and u.ts > 1_000_000_000
+    assert dict(out["rfc"].dtypes)["ts"] == "string"
+    assert r.ts.endswith("Z") and "T" in r.ts
+
+    bad = dict(spec, sinks={"s": {
+        "type": "memory", "inputs": ["transcripts"], "timestamp_format": "nope",
+    }})
+    with pytest.raises(PipelineError):
+        run_pipeline(_ctx(spark), bad, {"transcripts": transcripts})

@@ -459,6 +459,25 @@ def run_pipeline(
             df = df.select(*only)
         for drop_f in comp.get("except_fields") or []:
             df = df.drop(drop_f)
+        tf = comp.get("timestamp_format")
+        if tf:  # encoding transformer TimestampFormat (config.rs:159;
+            # lib/vector-core Unix -> epoch seconds, RFC3339 -> UTC text)
+            if tf not in ("unix", "rfc3339"):
+                raise PipelineError(
+                    f"{name}: timestamp_format must be unix|rfc3339"
+                )
+            for fld in df.schema.fields:
+                if fld.dataType.typeName().startswith("timestamp"):
+                    col = F.col(fld.name)
+                    df = df.withColumn(
+                        fld.name,
+                        # NTZ needs the LTZ hop before long (UTC session)
+                        col.cast("timestamp_ltz").cast("long")
+                        if tf == "unix"
+                        else F.date_format(
+                            col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+                        ),
+                    )
         kind = comp.get("type", "memory")
         if kind == "memory":
             results[name] = df
