@@ -257,11 +257,13 @@ def uuid_v4() -> Column:
 
 
 def to_int(col: Column) -> Column:
-    return col.cast("long")
+    """to_int.rs: failed conversions are VRL errors (callers recover
+    via `??`) -> try_cast nulls, never ANSI throws."""
+    return col.try_cast("long")
 
 
 def to_float(col: Column) -> Column:
-    return col.cast("double")
+    return col.try_cast("double")
 
 
 def to_string(col: Column) -> Column:
@@ -319,14 +321,48 @@ def from_unix_timestamp(col: Column) -> Column:
     return F.timestamp_seconds(col)
 
 
+# strftime -> JVM DateTimeFormatter pattern map (parse_timestamp.rs /
+# format_timestamp.rs use chrono strftime; Spark wants Java patterns).
+# Longest-first so %:z wins over %z.
+_STRFTIME_TO_JAVA = [
+    ("%+", "yyyy-MM-dd'T'HH:mm:ssXXX"),
+    ("%:z", "xxx"),
+    ("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%e", "d"),
+    ("%H", "HH"), ("%M", "mm"), ("%S", "ss"),
+    ("%b", "MMM"), ("%B", "MMMM"), ("%a", "EEE"), ("%A", "EEEE"),
+    ("%j", "DDD"), ("%z", "xx"), ("%3f", "SSS"), ("%f", "SSSSSS"),
+    ("%T", "HH:mm:ss"), ("%F", "yyyy-MM-dd"), ("%%", "%"),
+]
+
+
+def strftime_to_java(fmt: str) -> str:
+    if "%" not in fmt:
+        return fmt
+    out, i = [], 0
+    while i < len(fmt):
+        for k, v in _STRFTIME_TO_JAVA:
+            if fmt.startswith(k, i):
+                out.append(v)
+                i += len(k)
+                break
+        else:
+            c = fmt[i]
+            # quote literal letters so they aren't pattern chars
+            out.append(f"'{c}'" if c.isalpha() else c)
+            i += 1
+    return "".join(out)
+
+
 def to_timestamp(col: Column, fmt: str | None = None) -> Column:
-    return F.to_timestamp(col, fmt) if fmt else F.to_timestamp(col)
+    if fmt:
+        return F.to_timestamp(col, strftime_to_java(fmt))
+    return F.to_timestamp(col)
 
 
 def format_timestamp(col: Column, fmt: str) -> Column:
-    """format_timestamp.rs (strftime specifiers -> JVM pattern is the
-    caller's concern; common ISO8601 default)."""
-    return F.date_format(col, fmt)
+    """format_timestamp.rs (chrono strftime specifiers translated to
+    JVM patterns; ISO8601 via %+)."""
+    return F.date_format(col, strftime_to_java(fmt))
 
 
 def format_int(col: Column, base: int = 10) -> Column:
@@ -678,8 +714,9 @@ timestamp_ = _coerce_assert(is_timestamp, "timestamp")
 
 
 def assert_(cond: Column, message: str = "assertion failed") -> Column:
-    """assert.rs: abort on false condition."""
-    return F.assert_true(cond, message)
+    """assert.rs: abort on false condition; returns true on success
+    (the reference's assert resolves to `true`, assert.rs:61)."""
+    return F.when(F.assert_true(cond, message).isNull(), F.lit(True))
 
 
 def assert_eq(left: Column, right: Column, message: str | None = None) -> Column:

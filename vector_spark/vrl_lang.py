@@ -1,0 +1,2413 @@
+"""VRL language subset -> Spark Column compiler.
+
+Vector's remap transform executes a VRL program per event
+(src/transforms/remap.rs; language under lib/vrl/). This module
+compiles VRL **source text** into Column expressions so a remap
+program runs as ordinary Catalyst-optimized projections — per-batch
+JVM execution instead of the reference's per-event tree-walk, which
+is the whole point of the Spark rebuild.
+
+Supported subset (the practical remap surface):
+  * path assignment      .foo = expr, .a.b = expr (struct rebuild via
+                         withField), variable assignment x = expr,
+                         variable-path assignment x.f = / x[2] =
+                         (withField / positional array rebuild)
+  * fallible assignment  ok, err = expr  (Vector's error capture:
+                         Spark expressions fail to null, so err is
+                         derived; division-by-zero matches the
+                         reference's message + typed default)
+  * merge operator       a | b and a |= b on objects (struct rebuild,
+                         right-biased like merge.rs)
+  * del(.path), exists(.path), set/remove on the whole event
+  * if cond { ... } else if ... { ... } else { ... }   (expression-
+    valued; assignments inside branches become conditional updates);
+    newline-tolerant; parenthesized statement-sequence predicates
+  * blocks as expressions: { stmt; stmt; value } (shared scope, VRL
+    blocks do not introduce scope)
+  * closures: map_values / map_keys / for_each with `-> |k, v| {..}`
+    — arrays compile to F.transform (JVM higher-order function),
+    objects unroll at compile time over the statically-known keys
+    (lib/vrl/compiler iteration is BTreeMap-ordered => sorted)
+  * literals: strings (escapes incl. line-continuation), s'..'/r'..',
+    t'..' timestamps, ints/floats (with _ separators), booleans,
+    null, arrays, objects; regex r'...' feeds functions
+  * operators: ?? (error/null coalesce), || && !, == != < <= > >=,
+    + - * / %, unary -, postfix field/index access on any expression
+  * function calls into the FUNCTIONS registry (vrl.py), with the
+    trailing-! infallible marker accepted (Spark surfaces runtime
+    failure as null; `??` supplies the fallback)
+  * final-expression value: the program's value is its last
+    expression (`.` yields the whole event)
+
+Declared out of scope (compile errors name the construct): dynamic
+paths `.(a|b)`, abort, metadata `%`/`@`, type_def, heterogeneous
+arrays (Spark arrays are homogeneous). Divergence: VRL `??` catches
+*errors* while null is a valid value; Spark expressions fail to
+null, so `??` compiles to coalesce — programs relying on "null is
+not an error" differ (documented, matches the _parse_error
+convention used across the repo).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class VrlCompileError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>[ \t]+)
+  | (?P<comment>\#[^\n]*)
+  | (?P<nl>\r?\n)
+  | (?P<float>\d[\d_]*\.\d[\d_]*)
+  | (?P<int>\d[\d_]*)
+  | (?P<rawstr>r'(?:[^'\\]|\\[\s\S])*')
+  | (?P<sstr>s'(?:[^'\\]|\\[\s\S])*')
+  | (?P<tstr>t'(?:[^'\\]|\\[\s\S])*')
+  | (?P<dstr>"(?:[^"\\]|\\[\s\S])*")
+  | (?P<op>\?\?|==|!=|<=|>=|&&|\|\||->|[-+*/%<>=!,;:(){}\[\].|])
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*!?)
+  | (?P<atident>@[A-Za-z0-9_]+)
+    """,
+    re.X,
+)
+
+_KEYWORDS = {"if", "else", "null", "true", "false", "abort"}
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def tokenize(src: str) -> list[Tok]:
+    toks: list[Tok] = []
+    i = 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise VrlCompileError(f"unexpected character {src[i]!r} at {i}")
+        kind = m.lastgroup
+        text = m.group()
+        if kind not in ("ws", "comment"):
+            toks.append(Tok(kind, text, i))
+        i = m.end()
+    toks.append(Tok("eof", "", len(src)))
+    return toks
+
+
+def _unescape(body: str) -> str:
+    # escaped newline swallows the newline and the next line's indent
+    body = re.sub(r"\\\r?\n[ \t]*", "", body)
+    return (
+        body.replace(r"\\", "\x00")
+        .replace(r"\n", "\n")
+        .replace(r"\t", "\t")
+        .replace(r"\"", '"')
+        .replace(r"\'", "'")
+        .replace("\x00", "\\")
+    )
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Lit:
+    value: Any
+
+
+@dataclass
+class TsLit:
+    text: str
+
+
+@dataclass
+class Regex:
+    pattern: str
+
+
+@dataclass
+class Path:
+    segments: list  # str | int for indexing
+
+
+@dataclass
+class Var:
+    name: str
+
+
+@dataclass
+class VarPath:
+    name: str
+    segments: list  # str | int
+
+
+@dataclass
+class Arr:
+    items: list
+
+
+@dataclass
+class Obj:
+    pairs: list  # (str, node)
+
+
+@dataclass
+class Bin:
+    op: str
+    left: Any
+    right: Any
+
+
+@dataclass
+class Un:
+    op: str
+    operand: Any
+
+
+@dataclass
+class Call:
+    name: str
+    args: list  # positional nodes
+    kwargs: dict  # name -> node
+    infallible: bool
+    closure: Any = None  # (params: list[str], body: list[stmt]) | None
+
+
+@dataclass
+class If:
+    cond: Any
+    then: list  # statements
+    orelse: list  # statements
+
+
+@dataclass
+class Block:
+    stmts: list
+
+
+@dataclass
+class Assign:
+    target: Any  # Path | Var | VarPath
+    expr: Any
+    op: str  # '=' or '|='
+
+
+@dataclass
+class MultiAssign:
+    ok: Any  # Path | Var | VarPath
+    err: Any
+    expr: Any
+    op: str
+
+
+# ---------------------------------------------------------------------------
+# parser (recursive descent, precedence climbing)
+# ---------------------------------------------------------------------------
+
+
+class Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, k: int = 0) -> Tok:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def skip_nl(self):
+        while self.peek().kind == "nl" or self.peek().text == ";":
+            self.next()
+
+    def expect(self, text: str) -> Tok:
+        t = self.next()
+        if t.text != text:
+            raise VrlCompileError(f"expected {text!r}, got {t.text!r} at {t.pos}")
+        return t
+
+    # ---- program ----
+
+    def program(self) -> list:
+        stmts = []
+        self.skip_nl()
+        while self.peek().kind != "eof":
+            stmts.append(self.statement())
+            self.skip_nl()
+        return stmts
+
+    def statement(self):
+        save = self.i
+        target = self.try_target()
+        if target is not None:
+            t = self.peek()
+            if t.text == ",":
+                self.next()
+                self.skip_nl()
+                err_t = self.try_target()
+                if err_t is not None:
+                    if self.peek().text == "=" and self.peek(1).text != "=":
+                        self.next()
+                        self.skip_nl()
+                        return MultiAssign(target, err_t, self.expr(), "=")
+                    if (
+                        self.peek().text == "|"
+                        and self.peek(1).text == "="
+                    ):
+                        self.next(), self.next()
+                        self.skip_nl()
+                        return MultiAssign(target, err_t, self.expr(), "|=")
+            elif t.text == "=" and self.peek(1).text != "=":
+                self.next()
+                self.skip_nl()
+                return Assign(target, self.expr(), "=")
+            elif t.text == "|" and self.peek(1).text == "=":
+                self.next(), self.next()
+                self.skip_nl()
+                return Assign(target, self.expr(), "|=")
+        self.i = save
+        return self.expr()
+
+    def try_target(self):
+        """Parse an assignment target (Path | Var | VarPath) or return
+        None (caller restores position)."""
+        t = self.peek()
+        if t.text == ".":
+            try:
+                return self.parse_path()
+            except VrlCompileError:
+                return None
+        if t.kind == "ident" and t.text not in _KEYWORDS:
+            name = self.next().text
+            if name.endswith("!") or self.peek().text == "(":
+                return None
+            segs: list = []
+            while True:
+                if self.peek().text == "." and self.peek(1).kind in (
+                    "ident",
+                    "dstr",
+                ):
+                    self.next()
+                    kt = self.next()
+                    segs.append(
+                        _unescape(kt.text[1:-1])
+                        if kt.kind == "dstr"
+                        else kt.text.rstrip("!")
+                    )
+                elif self.peek().text == "[":
+                    save2 = self.i
+                    self.next()
+                    sign = 1
+                    it = self.next()
+                    if it.text == "-":
+                        sign, it = -1, self.next()
+                    if it.kind != "int" or self.peek().text != "]":
+                        self.i = save2
+                        return None
+                    self.next()
+                    segs.append(sign * int(it.text.replace("_", "")))
+                else:
+                    break
+            return VarPath(name, segs) if segs else Var(name)
+        return None
+
+    # ---- expressions ----
+
+    def expr(self):
+        return self.coalesce()
+
+    def coalesce(self):
+        left = self.logic_or()
+        while self.peek().text == "??":
+            self.next()
+            self.skip_nl()
+            left = Bin("??", left, self.logic_or())
+        return left
+
+    def logic_or(self):
+        left = self.logic_and()
+        while self.peek().text == "||":
+            self.next()
+            self.skip_nl()
+            left = Bin("||", left, self.logic_and())
+        return left
+
+    def logic_and(self):
+        left = self.merge_lvl()
+        while self.peek().text == "&&":
+            self.next()
+            self.skip_nl()
+            left = Bin("&&", left, self.merge_lvl())
+        return left
+
+    def merge_lvl(self):
+        # VRL object-merge operator (merge.rs semantics, right-biased)
+        left = self.equality()
+        while self.peek().text == "|" and self.peek(1).text not in ("=", "|"):
+            self.next()
+            self.skip_nl()
+            left = Bin("|", left, self.equality())
+        return left
+
+    def equality(self):
+        left = self.comparison()
+        while self.peek().text in ("==", "!="):
+            op = self.next().text
+            self.skip_nl()
+            left = Bin(op, left, self.comparison())
+        return left
+
+    def comparison(self):
+        left = self.additive()
+        while self.peek().text in ("<", "<=", ">", ">="):
+            op = self.next().text
+            left = Bin(op, left, self.additive())
+        return left
+
+    def additive(self):
+        left = self.multiplicative()
+        while self.peek().text in ("+", "-"):
+            op = self.next().text
+            self.skip_nl()
+            left = Bin(op, left, self.multiplicative())
+        return left
+
+    def multiplicative(self):
+        left = self.unary()
+        while self.peek().text in ("*", "/", "%"):
+            op = self.next().text
+            left = Bin(op, left, self.unary())
+        return left
+
+    def unary(self):
+        t = self.peek()
+        if t.text == "!":
+            self.next()
+            return Un("!", self.unary())
+        if t.text == "-":
+            self.next()
+            return Un("-", self.unary())
+        return self.postfix()
+
+    def postfix(self):
+        node = self.primary()
+        while True:
+            t = self.peek()
+            if t.text == "[":
+                self.next()
+                it = self.peek()
+                sign = 1
+                if it.text == "-":
+                    self.next()
+                    sign, it = -1, self.peek()
+                if it.kind == "int":
+                    self.next()
+                    seg: Any = sign * int(it.text.replace("_", ""))
+                elif it.kind == "dstr" and sign == 1:
+                    self.next()
+                    seg = _unescape(it.text[1:-1])
+                else:
+                    raise VrlCompileError(
+                        f"only literal indexes supported at {it.pos}"
+                    )
+                self.expect("]")
+                if isinstance(node, Path):
+                    node = Path(node.segments + [seg])
+                elif isinstance(seg, int):
+                    node = Bin("index", node, Lit(seg))
+                else:
+                    node = Bin("getfield", node, Lit(seg))
+            elif (
+                t.text == "."
+                and not isinstance(node, Path)
+                and self.peek(1).kind in ("ident", "dstr")
+            ):
+                self.next()
+                kt = self.next()
+                key = (
+                    _unescape(kt.text[1:-1])
+                    if kt.kind == "dstr"
+                    else kt.text.rstrip("!")
+                )
+                node = Bin("getfield", node, Lit(key))
+            else:
+                return node
+
+    def parse_path(self) -> Path:
+        self.expect(".")
+        segs: list = []
+        while True:
+            t = self.peek()
+            if t.kind in ("ident", "atident"):
+                segs.append(self.next().text.rstrip("!"))
+            elif t.kind == "dstr":
+                segs.append(_unescape(self.next().text[1:-1]))
+            elif t.text == "(":
+                raise VrlCompileError(
+                    f"dynamic path coalescing at {t.pos} (out of scope)"
+                )
+            else:
+                break
+            while self.peek().text == "[":
+                self.next()
+                idx = self.next()
+                sign = 1
+                if idx.text == "-":
+                    sign, idx = -1, self.next()
+                if idx.kind != "int":
+                    raise VrlCompileError("only literal indexes supported")
+                self.expect("]")
+                segs.append(sign * int(idx.text.replace("_", "")))
+            if self.peek().text == "." and (
+                self.peek(1).kind in ("ident", "atident", "dstr")
+            ):
+                self.next()
+                continue
+            break
+        return Path(segs)  # [] = whole event
+
+    def primary(self):
+        t = self.peek()
+        if t.text == ".":
+            return self.parse_path()
+        if t.kind == "int":
+            self.next()
+            return Lit(int(t.text.replace("_", "")))
+        if t.kind == "float":
+            self.next()
+            return Lit(float(t.text.replace("_", "")))
+        if t.kind == "dstr":
+            self.next()
+            return Lit(_unescape(t.text[1:-1]))
+        if t.kind == "sstr":
+            # s'..' is a raw string: no escape processing except \'
+            self.next()
+            return Lit(t.text[2:-1].replace("\\'", "'"))
+        if t.kind == "rawstr":
+            self.next()
+            return Regex(t.text[2:-1])
+        if t.kind == "tstr":
+            self.next()
+            return TsLit(t.text[2:-1])
+        if t.text == "null":
+            self.next()
+            return Lit(None)
+        if t.text in ("true", "false"):
+            self.next()
+            return Lit(t.text == "true")
+        if t.text == "abort":
+            raise VrlCompileError("abort (out of scope)")
+        if t.text == "if":
+            return self.if_expr()
+        if t.text == "{":
+            # object literal iff it opens with `key:`; else a block
+            k = 1
+            while self.peek(k).kind == "nl":
+                k += 1
+            a, b = self.peek(k), self.peek(k + 1)
+            if a.text == "}" or (
+                a.kind in ("ident", "dstr") and b.text == ":"
+            ):
+                return self.object_literal()
+            return Block(self.block())
+        if t.text == "[":
+            return self.array_literal()
+        if t.text == "(":
+            # parenthesized expression or statement sequence
+            # (if-predicates like `(x = x + 1; x == 3)`)
+            self.next()
+            stmts = []
+            self.skip_nl()
+            while self.peek().text != ")":
+                stmts.append(self.statement())
+                self.skip_nl()
+            self.expect(")")
+            if not stmts:
+                raise VrlCompileError(f"empty parentheses at {t.pos}")
+            if len(stmts) == 1 and not isinstance(
+                stmts[0], (Assign, MultiAssign)
+            ):
+                return stmts[0]
+            return Block(stmts)
+        if t.kind == "ident" and t.text not in _KEYWORDS:
+            name = self.next().text
+            infallible = name.endswith("!")
+            name = name.rstrip("!")
+            if self.peek().text == "(":
+                return self.call(name, infallible)
+            return Var(name)
+        raise VrlCompileError(f"unexpected token {t.text!r} at {t.pos}")
+
+    def call(self, name: str, infallible: bool) -> Call:
+        self.expect("(")
+        args, kwargs = [], {}
+        self.skip_nl()
+        while self.peek().text != ")":
+            if (
+                self.peek().kind == "ident"
+                and self.peek(1).text == ":"
+            ):
+                k = self.next().text
+                self.next()
+                self.skip_nl()
+                kwargs[k] = self.expr()
+            else:
+                args.append(self.expr())
+            self.skip_nl()
+            if self.peek().text == ",":
+                self.next()
+                self.skip_nl()
+        self.expect(")")
+        closure = None
+        if self.peek().text == "->":
+            self.next()
+            self.skip_nl()
+            self.expect("|")
+            params = []
+            while self.peek().text != "|":
+                pt = self.next()
+                if pt.kind != "ident":
+                    raise VrlCompileError(
+                        f"bad closure parameter {pt.text!r} at {pt.pos}"
+                    )
+                params.append(pt.text)
+                if self.peek().text == ",":
+                    self.next()
+            self.expect("|")
+            self.skip_nl()
+            closure = (params, self.block())
+        return Call(name, args, kwargs, infallible, closure)
+
+    def if_expr(self) -> If:
+        self.expect("if")
+        self.skip_nl()
+        cond = self.expr()
+        self.skip_nl()
+        then = self.block()
+        if self._else_ahead():
+            self.skip_nl()
+        orelse: list = []
+        if self.peek().text == "else":
+            self.next()
+            self.skip_nl()
+            if self.peek().text == "if":
+                orelse = [self.if_expr()]
+            else:
+                orelse = self.block()
+        return If(cond, then, orelse)
+
+    def _else_ahead(self) -> bool:
+        k = 0
+        while self.peek(k).kind == "nl" or self.peek(k).text == ";":
+            k += 1
+        return self.peek(k).text == "else"
+
+    def block(self) -> list:
+        self.expect("{")
+        stmts = []
+        self.skip_nl()
+        while self.peek().text != "}":
+            stmts.append(self.statement())
+            self.skip_nl()
+        self.expect("}")
+        return stmts
+
+    def object_literal(self) -> Obj:
+        self.expect("{")
+        pairs = []
+        self.skip_nl()
+        while self.peek().text != "}":
+            kt = self.next()
+            if kt.kind == "dstr":
+                key = _unescape(kt.text[1:-1])
+            elif kt.kind == "ident":
+                key = kt.text
+            else:
+                raise VrlCompileError(f"bad object key {kt.text!r}")
+            self.expect(":")
+            self.skip_nl()
+            pairs.append((key, self.expr()))
+            self.skip_nl()
+            if self.peek().text == ",":
+                self.next()
+                self.skip_nl()
+        self.expect("}")
+        return Obj(pairs)
+
+    def array_literal(self) -> Arr:
+        self.expect("[")
+        items = []
+        self.skip_nl()
+        while self.peek().text != "]":
+            items.append(self.expr())
+            self.skip_nl()
+            if self.peek().text == ",":
+                self.next()
+                self.skip_nl()
+        self.expect("]")
+        return Arr(items)
+
+
+def parse_program(src: str) -> list:
+    return Parser(tokenize(src)).program()
+
+
+# ---------------------------------------------------------------------------
+# compiler: AST -> Column over an environment
+# ---------------------------------------------------------------------------
+
+
+class Env:
+    """Mutable compile-time environment: event fields ('.'-prefixed
+    keys) and variables, each bound to a Column, plus best-effort
+    static knowledge: `shape` (obj/arr structure — Spark structs need
+    their fields known at plan time), `py` (constant values for
+    compile-time folding: object-key iteration, set!/remove! keys,
+    map_keys renames), and `nodes` (literal AST provenance so closure
+    calls over literal collections unroll). Assignments rebind;
+    if-branches fork and merge with F.when."""
+
+    def __init__(self, fields: dict[str, Column]):
+        self.bind: dict[str, Column] = dict(fields)
+        self.deleted: set[str] = set()
+        self.shape: dict[str, Any] = {}
+        self.py: dict[str, Any] = {}
+        self.nodes: dict[str, Any] = {}
+        # top-level event field NAMES (may contain dots — the bind-key
+        # encoding alone can't distinguish `.a.b` from field "a.b")
+        self.top: set[str] = set()
+        # best-effort VRL type definitions (type_def.rs lattice)
+        self.tdef: dict[str, Any] = {}
+
+    def fork(self) -> "Env":
+        e = Env({})
+        e.bind = dict(self.bind)
+        e.deleted = set(self.deleted)
+        e.shape = dict(self.shape)
+        e.py = dict(self.py)
+        e.nodes = dict(self.nodes)
+        e.top = set(self.top)
+        e.tdef = dict(self.tdef)
+        return e
+
+
+def _shape_of_py(v) -> Any:
+    if isinstance(v, dict):
+        return ("obj", {k: _shape_of_py(x) for k, x in v.items()})
+    if isinstance(v, list):
+        return ("arr", _shape_of_py(v[0]) if v else None)
+    return None
+
+
+def _shape_step(sh, seg):
+    if sh is None:
+        return None
+    if sh[0] == "obj" and isinstance(seg, str):
+        return sh[1].get(seg)
+    if sh[0] == "arr" and isinstance(seg, int):
+        return sh[1]
+    return None
+
+
+# VRL functions whose registry impls take Python-native (non-Column)
+# arguments in given positions / keywords
+_NATIVE_ARGS = {
+    "truncate": {1: True, "limit": True, "ellipsis": True, "suffix": True},
+    "slice": {1: True, 2: True, "start": True, "end": True},
+    "split": {1: True, 2: True, "pattern": True, "limit": True},
+    "replace": {1: True, 2: True, 3: True, "pattern": True, "with": True,
+                "count": True},
+    "find": {1: True, "pattern": True},
+    "contains": {1: True, "substring": True, "case_sensitive": True},
+    "starts_with": {1: True, "substring": True, "case_sensitive": True},
+    "ends_with": {1: True, "substring": True, "case_sensitive": True},
+    "match": {1: True, "pattern": True},
+    "match_any": {1: True, "patterns": True},
+    "match_array": {1: True, "pattern": True, "all": True},
+    "join": {1: True, "separator": True},
+    "parse_duration": {1: True, "unit": True},
+    "format_timestamp": {1: True, "format": True},
+    "to_timestamp": {1: True, "format": True},
+    "parse_timestamp": {1: True, "format": True},
+    "format_int": {1: True, "base": True},
+    "format_number": {1: True, 2: True, "scale": True,
+                      "decimal_separator": True, "grouping_separator": True},
+    "parse_int": {1: True, "base": True},
+    "sha2": {1: True, "variant": True},
+    "sha3": {1: True, "variant": True},
+    "encode_base64": {1: True, 2: True, "padding": True, "charset": True},
+    "decode_base64": {1: True, "charset": True},
+    "redact": {1: True, "filters": True},
+    "ip_cidr_contains": {0: True, "cidr": True},
+    "ip_subnet": {1: True, "subnet": True},
+    "round": {1: True, "precision": True},
+    "floor": {1: True, "precision": True},
+    "ceil": {1: True, "precision": True},
+    "log": {1: True, "base": True},
+    "is_empty": {1: True},
+    "is_json": {1: True, "variant": True},
+    "tag_types_externally": {1: True},
+    "only_fields": {1: True},
+    "encode_key_value": {
+        "fields_ordering": True, "key_value_delimiter": True,
+        "field_delimiter": True, "flatten_boolean": True,
+    },
+    "parse_key_value": {
+        1: True, 2: True, "key_value_delimiter": True,
+        "field_delimiter": True,
+    },
+}
+
+# VRL param-name order for keyword-style calls (kwargs -> positional)
+_KWARG_ORDER = {
+    "truncate": ["value", "limit", "suffix", "ellipsis"],
+    "slice": ["value", "start", "end"],
+    "split": ["value", "pattern", "limit"],
+    "replace": ["value", "pattern", "with", "count"],
+    "contains": ["value", "substring", "case_sensitive"],
+    "starts_with": ["value", "substring", "case_sensitive"],
+    "ends_with": ["value", "substring", "case_sensitive"],
+    "join": ["value", "separator"],
+    "parse_duration": ["value", "unit"],
+    "format_timestamp": ["value", "format"],
+    "parse_timestamp": ["value", "format"],
+    "parse_int": ["value", "base"],
+    "md5": ["value"],
+    "sha1": ["value"],
+    "sha2": ["value", "variant"],
+    "sha3": ["value", "variant"],
+    "encode_base64": ["value", "padding", "charset"],
+    "decode_base64": ["value", "charset"],
+    "encode_json": ["value"],
+    "upcase": ["value"],
+    "downcase": ["value"],
+    "round": ["value", "precision"],
+    "floor": ["value", "precision"],
+    "ceil": ["value", "precision"],
+    "log": ["value", "base"],
+    "match": ["value", "pattern"],
+    "find": ["value", "pattern"],
+}
+
+# corpus spellings for coercion asserts (lib/vrl/stdlib int.rs/bool.rs)
+_FN_ALIASES = {"int": "integer", "bool": "boolean"}
+
+
+def _array_set(arr: Column, i: int, val: Column) -> Column:
+    """VRL array index assignment with the reference's padding rules
+    (expressions/assignment/indexing.vrl): positive overflow pads the
+    tail with nulls; negative indexes count from the end and overflow
+    pads (prepends to) the front."""
+    size = F.size(arr)
+    if i >= 0:
+        replaced = F.transform(
+            arr, lambda x, j: F.when(j == F.lit(i), val).otherwise(x)
+        )
+        padded = F.transform(
+            F.sequence(F.lit(0), F.lit(i)),
+            lambda j: F.when(
+                j < size, F.element_at(arr, j.cast("int") + 1)
+            ).when(j == F.lit(i), val),
+        )
+        return F.when(size > i, replaced).otherwise(padded)
+    k = -i
+    replaced = F.transform(
+        arr, lambda x, j: F.when(j == size - k, val).otherwise(x)
+    )
+    n_new = F.lit(k) - size  # fresh leading slots
+    padded = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.when(j == 0, val).when(
+            j >= n_new, F.element_at(arr, (j - n_new).cast("int") + 1)
+        ),
+    )
+    return F.when(size >= k, replaced).otherwise(padded)
+
+
+class Compiler:
+    def __init__(self, env: Env, probe_spark=None):
+        self.env = env
+        # SparkSession for analysis probes: `??` must catch *type*
+        # errors, which Spark raises at analysis time. Only safe when
+        # expressions are self-contained (eval mode) — compile_vrl
+        # plans reference real df columns and skip probing.
+        self._spark = probe_spark
+
+    # ---- helpers ----
+
+    def _event_key(self, path: Path) -> str:
+        if not path.segments:
+            return "."
+        if len(path.segments) == 1 and isinstance(path.segments[0], str):
+            return "." + path.segments[0]
+        return "." + ".".join(str(s) for s in path.segments)
+
+    def _top_fields(self) -> list[str]:
+        return sorted(
+            t for t in self.env.top if ("." + t) in self.env.bind
+        )
+
+    def _probe_ok(self, col: Column) -> bool:
+        """Analysis-check a self-contained Column expression. True if
+        it resolves (or probing is unavailable)."""
+        if self._spark is None:
+            return True
+        try:
+            self._spark.range(1).select(col).schema
+            return True
+        except Exception:
+            return False
+
+    def event_struct(self) -> Column:
+        fields = self._top_fields()
+        if not fields:
+            return F.lit(None)
+        return F.struct(*[self.env.bind["." + f].alias(f) for f in fields])
+
+    def lookup_path(self, path: Path) -> Column:
+        if not path.segments:
+            return self.event_struct()
+        key = self._event_key(path)
+        if key in self.env.bind:
+            return self.env.bind[key]
+        # nested access into a bound parent (struct field / map key /
+        # array index — getItem covers all three)
+        head = "." + str(path.segments[0])
+        if head in self.env.bind:
+            col = self.env.bind[head]
+            for seg in path.segments[1:]:
+                if isinstance(seg, int):
+                    col = F.try_element_at(
+                        col, F.lit(seg + 1 if seg >= 0 else seg)
+                    )
+                else:
+                    col = col.getItem(seg)
+            return col
+        return F.lit(None)
+
+    # ---- static knowledge: shapes + constant folding ----
+
+    def infer_shape(self, node) -> Any:
+        if isinstance(node, Obj):
+            return ("obj", {k: self.infer_shape(v) for k, v in node.pairs})
+        if isinstance(node, Arr):
+            return (
+                "arr",
+                self.infer_shape(node.items[0]) if node.items else None,
+            )
+        if isinstance(node, Var):
+            return self.env.shape.get(node.name)
+        if isinstance(node, VarPath):
+            sh = self.env.shape.get(node.name)
+            for seg in node.segments:
+                sh = _shape_step(sh, seg)
+            return sh
+        if isinstance(node, Path):
+            if not node.segments:
+                return (
+                    "obj",
+                    {
+                        f: self.env.shape.get("." + f)
+                        for f in self._top_fields()
+                    },
+                )
+            sh = self.env.shape.get("." + str(node.segments[0]))
+            for seg in node.segments[1:]:
+                sh = _shape_step(sh, seg)
+            return sh
+        if isinstance(node, Bin):
+            if node.op == "|":
+                lt = self.infer_shape(node.left)
+                rt = self.infer_shape(node.right)
+                if lt and lt[0] == "obj" and rt and rt[0] == "obj":
+                    d = dict(lt[1])
+                    d.update(rt[1])
+                    return ("obj", d)
+                return None
+            if node.op in ("getfield", "index"):
+                return _shape_step(
+                    self.infer_shape(node.left), node.right.value
+                )
+            if node.op == "??":
+                return self.infer_shape(node.left) or self.infer_shape(
+                    node.right
+                )
+            return None
+        if isinstance(node, Call):
+            if node.name in ("array", "object") and node.args:
+                return self.infer_shape(node.args[0])
+            if (
+                node.name == "parse_json"
+                and node.args
+                and isinstance(node.args[0], Lit)
+                and isinstance(node.args[0].value, str)
+            ):
+                try:
+                    return _shape_of_py(json.loads(node.args[0].value))
+                except Exception:
+                    return None
+            if node.name == "compact" and node.args:
+                sh = self.infer_shape(node.args[0])
+                if sh and sh[0] == "obj":
+                    kept = {}
+                    for k, ksh in sh[1].items():
+                        known, v = self.py_value(
+                            Bin("getfield", node.args[0], Lit(k))
+                        )
+                        if known and v is None:
+                            continue
+                        kept[k] = ksh
+                    return ("obj", kept)
+                return sh
+            if node.name in ("unique", "push", "append"):
+                if node.args:
+                    return self.infer_shape(node.args[0])
+            if node.name == "del" and node.args and isinstance(
+                node.args[0], Path
+            ):
+                return self.infer_shape(node.args[0])
+            if node.name == "parse_common_log":
+                return _CLF_SHAPE
+            if node.name == "parse_syslog":
+                return _SYSLOG_SHAPE
+            if node.name == "merge" and len(node.args) == 2:
+                return self.infer_shape(
+                    Bin("|", node.args[0], node.args[1])
+                )
+            if node.name in ("set", "remove") and node.args:
+                base = self.infer_shape(node.args[0])
+                known, keys = self.py_value(node.args[1]) if len(
+                    node.args
+                ) > 1 else (False, None)
+                if base and base[0] == "obj" and known and keys:
+                    d = dict(base[1])
+                    if node.name == "set":
+                        d[keys[0]] = (
+                            self.infer_shape(node.args[2])
+                            if len(node.args) > 2
+                            else None
+                        )
+                    else:
+                        d.pop(keys[0], None)
+                    return ("obj", d)
+                return base
+            return None
+        if isinstance(node, If):
+            a = (
+                self.infer_shape(node.then[-1]) if node.then else None
+            )
+            b = (
+                self.infer_shape(node.orelse[-1]) if node.orelse else None
+            )
+            return a if a == b else None
+        return None
+
+    def py_value(self, node):
+        """Best-effort compile-time constant: (known, value)."""
+        if isinstance(node, Lit):
+            return True, node.value
+        if isinstance(node, Regex):
+            return True, node.pattern
+        if isinstance(node, Un) and node.op == "-":
+            known, v = self.py_value(node.operand)
+            if known and isinstance(v, (int, float)):
+                return True, -v
+            return False, None
+        if isinstance(node, Arr):
+            out = []
+            for item in node.items:
+                known, v = self.py_value(item)
+                if not known:
+                    return False, None
+                out.append(v)
+            return True, out
+        if isinstance(node, Obj):
+            out = {}
+            for k, v in node.pairs:
+                known, pv = self.py_value(v)
+                if not known:
+                    return False, None
+                out[k] = pv
+            return True, out
+        if isinstance(node, Var):
+            if node.name in self.env.py:
+                return True, self.env.py[node.name]
+            if node.name in self.env.nodes:
+                return self.py_value(self.env.nodes[node.name])
+            return False, None
+        if isinstance(node, Path):
+            key = self._event_key(node)
+            if key in self.env.py:
+                return True, self.env.py[key]
+            return False, None
+        if isinstance(node, Un) and node.op == "!":
+            known, v = self.py_value(node.operand)
+            if known and isinstance(v, bool):
+                return True, not v
+            return False, None
+        if isinstance(node, Bin):
+            if node.op in ("getfield", "index"):
+                known, parent = self.py_value(node.left)
+                if known:
+                    try:
+                        return True, parent[node.right.value]
+                    except Exception:
+                        return False, None
+                return False, None
+            if node.op == "+":
+                kl, lv = self.py_value(node.left)
+                kr, rv = self.py_value(node.right)
+                if kl and kr:
+                    try:
+                        return True, lv + rv
+                    except Exception:
+                        return False, None
+                return False, None
+            if node.op in ("==", "!="):
+                kl, lv = self.py_value(node.left)
+                kr, rv = self.py_value(node.right)
+                if kl and kr:
+                    eq = _strict_eq(lv, rv)
+                    return True, (eq if node.op == "==" else not eq)
+                return False, None
+            if node.op in ("&&", "||"):
+                kl, lv = self.py_value(node.left)
+                if not kl:
+                    return False, None
+                truthy = not (lv is None or lv is False)
+                if node.op == "&&":
+                    if not truthy:
+                        return True, False
+                    return self.py_value(node.right)
+                if truthy:
+                    return True, lv
+                return self.py_value(node.right)
+            return False, None
+        if isinstance(node, Call):
+            return self._py_call(node)
+        return False, None
+
+    def _py_call(self, node: Call):
+        """Constant-fold the function kernels that compile-time object
+        iteration actually leans on (keys are Python strings)."""
+        name = _FN_ALIASES.get(node.name, node.name)
+        if name == "replace" and len(node.args) >= 3:
+            ks = [self.py_value(a) for a in node.args[:3]]
+            if all(k for k, _ in ks):
+                v, pat, repl = (x for _, x in ks)
+                if isinstance(node.args[1], Regex):
+                    return True, re.sub(pat, repl, str(v))
+                return True, str(v).replace(pat, repl)
+        if name in ("upcase", "downcase") and node.args:
+            known, v = self.py_value(node.args[0])
+            if known and isinstance(v, str):
+                return True, (
+                    v.upper() if name == "upcase" else v.lower()
+                )
+        if name in ("push", "append") and len(node.args) == 2:
+            ka, av = self.py_value(node.args[0])
+            kb, bv = self.py_value(node.args[1])
+            if ka and isinstance(av, list) and kb:
+                if name == "push":
+                    return True, av + [bv]
+                if isinstance(bv, list):
+                    return True, av + bv
+        if name == "join" and node.args:
+            ka, av = self.py_value(node.args[0])
+            sep_node = node.args[1] if len(node.args) > 1 else (
+                node.kwargs.get("separator")
+            )
+            ks, sv = (
+                self.py_value(sep_node) if sep_node is not None
+                else (True, "")
+            )
+            if ka and isinstance(av, list) and ks and all(
+                isinstance(x, str) for x in av
+            ):
+                return True, str(sv).join(av)
+        if name == "includes" and len(node.args) == 2:
+            ka, av = self.py_value(node.args[0])
+            kb, bv = self.py_value(node.args[1])
+            if ka and isinstance(av, list) and kb:
+                return True, any(_strict_eq(x, bv) for x in av)
+        if name == "encode_json" and node.args:
+            known, v = self.py_value(node.args[0])
+            if known:
+                return True, json.dumps(v, separators=(",", ":"))
+        if name == "type_def" and node.args:
+            td = self.infer_tdef(node.args[0])
+            if td is not None:
+                return True, td
+        if name.startswith("is_") and node.args:
+            return self._py_is(name, node.args[0])
+        return False, None
+
+    def _py_is(self, name: str, arg):
+        """Type predicates foldable from static shape/constants —
+        Spark types are static, so these are compile-time facts."""
+        sh = self.infer_shape(arg)
+        known, v = self.py_value(arg)
+        if name == "is_object":
+            if sh and sh[0] == "obj":
+                return True, True
+            if known:
+                return True, isinstance(v, dict)
+            if sh and sh[0] == "arr":
+                return True, False
+            return False, None
+        if name == "is_array":
+            if sh and sh[0] == "arr":
+                return True, True
+            if known:
+                return True, isinstance(v, list)
+            if sh and sh[0] == "obj":
+                return True, False
+            return False, None
+        if not known:
+            return False, None
+        if name == "is_string":
+            return True, isinstance(v, str)
+        if name == "is_boolean":
+            return True, isinstance(v, bool)
+        if name == "is_integer":
+            return True, isinstance(v, int) and not isinstance(v, bool)
+        if name == "is_float":
+            return True, isinstance(v, float)
+        if name == "is_null":
+            return True, v is None
+        if name == "is_nullish":
+            return True, v is None or v == "" or v == "-"
+        return False, None
+
+    def infer_tdef(self, node):
+        """Best-effort VRL type-def lattice (type_def.rs): a dict of
+        {kind: True}. None = unknown. If-expressions union branches
+        (+ null when a branch is missing) — matching the reference's
+        type checker, which does NOT narrow on constant conditions."""
+        if isinstance(node, Lit):
+            v = node.value
+            if v is None:
+                return {"null": True}
+            if isinstance(v, bool):
+                return {"boolean": True}
+            if isinstance(v, int):
+                return {"integer": True}
+            if isinstance(v, float):
+                return {"float": True}
+            if isinstance(v, str):
+                return {"bytes": True}
+            return None
+        if isinstance(node, Var):
+            return self.env.tdef.get(node.name)
+        if isinstance(node, Path):
+            return self.env.tdef.get(self._event_key(node))
+        if isinstance(node, Block):
+            return self.infer_tdef(node.stmts[-1]) if node.stmts else None
+        if isinstance(node, If):
+            t = (
+                self.infer_tdef(node.then[-1])
+                if node.then
+                else {"null": True}
+            )
+            e = (
+                self.infer_tdef(node.orelse[-1])
+                if node.orelse
+                else {"null": True}
+            )
+            if t is None or e is None:
+                return None
+            return {**t, **e}
+        if isinstance(node, Bin):
+            if node.op == "||":
+                t = self.infer_tdef(node.left)
+                e = self.infer_tdef(node.right)
+                if t and e:
+                    return {**t, **e}
+                return t or e
+            if node.op in ("==", "!=", "<", "<=", ">", ">=", "&&"):
+                return {"boolean": True}
+            return None
+        if isinstance(node, Call):
+            name = _FN_ALIASES.get(node.name, node.name)
+            if name == "del" and node.args and isinstance(
+                node.args[0], Path
+            ):
+                return self.env.tdef.get(self._event_key(node.args[0]))
+            if name in (
+                "sha1", "sha2", "sha3", "md5", "upcase", "downcase",
+                "to_string", "encode_json", "join", "truncate",
+                "strip_whitespace", "replace",
+            ):
+                return {"bytes": True}
+            if name in ("strlen", "length", "to_int", "parse_int"):
+                return {"integer": True}
+            if name in ("to_float",):
+                return {"float": True}
+            if name.startswith("is_") or name in ("exists", "includes",
+                                                  "contains", "match"):
+                return {"boolean": True}
+            return None
+        return None
+
+    def native_value(self, node) -> Any:
+        known, v = self.py_value(node)
+        if known:
+            return v
+        raise VrlCompileError(
+            f"argument must be a literal for this function: {node}"
+        )
+
+    # ---- structured update helpers ----
+
+    def _set_in(self, base: Column, segs: list, val: Column) -> Column:
+        seg = segs[0]
+        if isinstance(seg, str):
+            if len(segs) == 1:
+                return base.withField(seg, val)
+            return base.withField(
+                seg, self._set_in(base.getField(seg), segs[1:], val)
+            )
+        if len(segs) > 1:
+            elem = F.element_at(base, seg + 1 if seg >= 0 else seg)
+            val = self._set_in(elem, segs[1:], val)
+        return _array_set(base, seg, val)
+
+    def _fresh_container(self, segs: list, val: Column) -> Column:
+        for seg in reversed(segs):
+            if isinstance(seg, str):
+                val = F.struct(val.alias(seg))
+            else:
+                val = _array_set(F.array(), seg, val)
+        return val
+
+    def _shape_set(self, sh, segs: list, leaf):
+        if not segs:
+            return leaf
+        seg = segs[0]
+        if isinstance(seg, str):
+            d = dict(sh[1]) if sh and sh[0] == "obj" else {}
+            d[seg] = self._shape_set(d.get(seg), segs[1:], leaf)
+            return ("obj", d)
+        return ("arr", None)
+
+    def assign_target(self, target, col: Column, shape=None, pynode=None):
+        known, pv = (
+            self.py_value(pynode) if pynode is not None else (False, None)
+        )
+        tdef = self.infer_tdef(pynode) if pynode is not None else None
+        if isinstance(target, Var):
+            self.env.bind[target.name] = col
+            self.env.shape[target.name] = shape
+            if tdef is not None:
+                self.env.tdef[target.name] = tdef
+            else:
+                self.env.tdef.pop(target.name, None)
+            if known:
+                self.env.py[target.name] = pv
+            else:
+                self.env.py.pop(target.name, None)
+            if pynode is not None and isinstance(pynode, (Arr, Obj)):
+                self.env.nodes[target.name] = pynode
+            else:
+                self.env.nodes.pop(target.name, None)
+            return
+        if isinstance(target, VarPath):
+            base = self.env.bind.get(target.name)
+            if base is None:
+                self.env.bind[target.name] = self._fresh_container(
+                    target.segments, col
+                )
+                self.env.shape[target.name] = self._shape_set(
+                    None, target.segments, shape
+                )
+            else:
+                self.env.bind[target.name] = self._set_in(
+                    base, target.segments, col
+                )
+                self.env.shape[target.name] = self._shape_set(
+                    self.env.shape.get(target.name), target.segments, shape
+                )
+            self.env.py.pop(target.name, None)
+            self.env.nodes.pop(target.name, None)
+            return
+        if isinstance(target, Path):
+            segs = target.segments
+            if not segs:
+                # '. = expr' replaces the event
+                for t in list(self.env.top):
+                    self.env.bind.pop("." + t, None)
+                    self.env.shape.pop("." + t, None)
+                    self.env.py.pop("." + t, None)
+                    self.env.tdef.pop("." + t, None)
+                self.env.top = set()
+                if pynode is not None and isinstance(pynode, Obj):
+                    for k, v in pynode.pairs:
+                        self.assign_target(
+                            Path([k]),
+                            self.compile(v),
+                            self.infer_shape(v),
+                            pynode=v,
+                        )
+                elif shape and shape[0] == "obj":
+                    for k, ksh in shape[1].items():
+                        self.env.bind["." + k] = col.getItem(k)
+                        self.env.shape["." + k] = ksh
+                        self.env.top.add(k)
+                else:
+                    raise VrlCompileError(
+                        "assigning a non-object to '.' needs a known "
+                        "object shape"
+                    )
+                return
+            head = "." + str(segs[0])
+            if len(segs) == 1:
+                self.env.bind[head] = col
+                self.env.shape[head] = shape
+                self.env.deleted.discard(head)
+                self.env.top.add(str(segs[0]))
+                if tdef is not None:
+                    self.env.tdef[head] = tdef
+                else:
+                    self.env.tdef.pop(head, None)
+                if known:
+                    self.env.py[head] = pv
+                else:
+                    self.env.py.pop(head, None)
+                return
+            base = self.env.bind.get(head)
+            if base is None:
+                self.env.bind[head] = self._fresh_container(segs[1:], col)
+                self.env.shape[head] = self._shape_set(
+                    None, segs[1:], shape
+                )
+            else:
+                self.env.bind[head] = self._set_in(base, segs[1:], col)
+                self.env.shape[head] = self._shape_set(
+                    self.env.shape.get(head), segs[1:], shape
+                )
+            self.env.deleted.discard(head)
+            self.env.top.add(str(segs[0]))
+            self.env.py.pop(head, None)
+            self.env.tdef.pop(head, None)
+            return
+        raise VrlCompileError(f"bad assignment target {target!r}")
+
+    def _target_expr(self, target):
+        if isinstance(target, Var):
+            return target
+        if isinstance(target, VarPath):
+            node: Any = Var(target.name)
+            for seg in target.segments:
+                node = Bin(
+                    "index" if isinstance(seg, int) else "getfield",
+                    node,
+                    Lit(seg),
+                )
+            return node
+        return target
+
+    def _obj_fields(self, node, col: Column, shape) -> dict[str, Column]:
+        """Field name -> Column for an object-valued expression."""
+        if isinstance(node, Obj):
+            return {k: self.compile(v) for k, v in node.pairs}
+        if isinstance(node, Path) and not node.segments:
+            return {
+                f: self.env.bind["." + f] for f in self._top_fields()
+            }
+        if shape and shape[0] == "obj":
+            return {k: col.getItem(k) for k in shape[1]}
+        raise VrlCompileError(
+            "object operation needs an object literal, the event, or a "
+            "known object shape"
+        )
+
+    # ---- expression compilation ----
+
+    def compile(self, node) -> Column:
+        if isinstance(node, Lit):
+            if isinstance(node.value, (dict, list)):
+                return _py_to_col(node.value)
+            return F.lit(node.value)
+        if isinstance(node, TsLit):
+            return F.to_timestamp(F.lit(node.text))
+        if isinstance(node, Regex):
+            return F.lit(node.pattern)
+        if isinstance(node, Path):
+            return self.lookup_path(node)
+        if isinstance(node, Var):
+            if node.name in self.env.bind:
+                return self.env.bind[node.name]
+            raise VrlCompileError(f"undefined variable {node.name!r}")
+        if isinstance(node, VarPath):
+            return self.compile(self._target_expr(node))
+        if isinstance(node, Arr):
+            if not node.items:
+                return F.array()
+            return F.array(*[self.compile(i) for i in node.items])
+        if isinstance(node, Obj):
+            if not node.pairs:
+                return F.struct()  # struct<> — withField-able
+            return F.struct(
+                *[self.compile(v).alias(k) for k, v in node.pairs]
+            )
+        if isinstance(node, Un):
+            c = self.compile(node.operand)
+            return (~c) if node.op == "!" else (-c)
+        if isinstance(node, Bin):
+            return self.compile_bin(node)
+        if isinstance(node, Call):
+            return self.compile_call(node)
+        if isinstance(node, Block):
+            val = None
+            for s in node.stmts:
+                val = self.exec_stmt(s)
+            return val if val is not None else F.lit(None)
+        if isinstance(node, If):
+            # constant condition: execute only the taken branch, so
+            # branch-local deletes/renames really happen (a merged
+            # when() can only null a field, never drop it)
+            kc, cv = self.py_value(node.cond)
+            if kc and (isinstance(cv, bool) or cv is None):
+                branch = node.then if cv is True else node.orelse
+                val = None
+                for s in branch:
+                    val = self.exec_stmt(s)
+                return val if val is not None else F.lit(None)
+            cond = self.compile(node.cond)
+            then_env, then_val = self.run_block(node.then, self.env.fork())
+            else_env, else_val = self.run_block(node.orelse, self.env.fork())
+            self.merge_branches(cond, then_env, else_env)
+            if then_val is None and else_val is None:
+                return F.lit(None)
+            return F.when(
+                F.coalesce(cond, F.lit(False)),
+                then_val if then_val is not None else F.lit(None),
+            ).otherwise(else_val if else_val is not None else F.lit(None))
+        raise VrlCompileError(f"cannot compile node {node!r}")
+
+    def compile_bin(self, node: Bin) -> Column:
+        if node.op == "??":
+            # VRL ?? catches errors; Spark raises type errors at
+            # analysis time, so probe the left plan and fall back
+            try:
+                left = self.compile(node.left)
+            except VrlCompileError:
+                left = None
+            if left is None:
+                return self.compile(node.right)
+            right = self.compile(node.right)
+            combined = F.coalesce(left, right)
+            if self._probe_ok(combined):
+                return combined
+            if not self._probe_ok(left):
+                return right
+            return left
+        if node.op == "|":
+            return self.compile_merge(node.left, node.right)
+        if node.op in ("==", "!="):
+            kl, lv = self.py_value(node.left)
+            kr, rv = self.py_value(node.right)
+            if kl and kr:
+                eq = _strict_eq(lv, rv)
+                return F.lit(eq if node.op == "==" else not eq)
+        if node.op in ("&&", "||"):
+            kl, lv = self.py_value(node.left)
+            if kl:
+                truthy = not (lv is None or lv is False)
+                if node.op == "&&":
+                    return (
+                        self.compile(node.right)
+                        if truthy
+                        else F.lit(False)
+                    )
+                return (
+                    self.compile(node.left)
+                    if truthy
+                    else self.compile(node.right)
+                )
+        if node.op == "+":
+            kl, lv = self.py_value(node.left)
+            kr, rv = self.py_value(node.right)
+            if kl and kr and isinstance(lv, str) and isinstance(rv, str):
+                return F.lit(lv + rv)
+            left, right = self.compile(node.left), self.compile(node.right)
+            # string concat when a side is statically a string; VRL
+            # treats null + "s" as "s" (concat_ws skips nulls)
+            if (
+                _is_str(node.left)
+                or _is_str(node.right)
+                or self.infer_tdef(node.left) == {"bytes": True}
+                or self.infer_tdef(node.right) == {"bytes": True}
+            ):
+                return F.concat_ws("", left, right)
+            return left + right
+        if node.op == "*":
+            kl, lv = self.py_value(node.left)
+            kr, rv = self.py_value(node.right)
+            # VRL int * string repeats the string
+            if kl and kr and isinstance(lv, int) and isinstance(rv, str):
+                return F.lit(rv * lv)
+            if kl and kr and isinstance(lv, str) and isinstance(rv, int):
+                return F.lit(lv * rv)
+        left, right = self.compile(node.left), self.compile(node.right)
+        if node.op == "-":
+            return left - right
+        if node.op == "*":
+            return left * right
+        if node.op == "/":
+            return left / right
+        if node.op == "%":
+            return left % right
+        if node.op == "==":
+            return left.eqNullSafe(right)
+        if node.op == "!=":
+            return ~left.eqNullSafe(right)
+        if node.op == "<":
+            return left < right
+        if node.op == "<=":
+            return left <= right
+        if node.op == ">":
+            return left > right
+        if node.op == ">=":
+            return left >= right
+        if node.op == "&&":
+            if isinstance(node.left, Lit) and node.left.value is None:
+                left = left.cast("boolean")
+            if isinstance(node.right, Lit) and node.right.value is None:
+                right = right.cast("boolean")
+            return left & right
+        if node.op == "||":
+            # VRL || is value-or: left when truthy, else right
+            truthy = F.coalesce(
+                left.try_cast("boolean"), left.isNotNull()
+            )
+            return F.when(truthy, left).otherwise(right)
+        if node.op == "index":
+            i = node.right.value
+            return F.try_element_at(
+                left, F.lit(i + 1 if i >= 0 else i)
+            )
+        if node.op == "getfield":
+            return left.getItem(node.right.value)
+        raise VrlCompileError(f"operator {node.op!r} unsupported")
+
+    def compile_merge(self, lnode, rnode) -> Column:
+        """`a | b` object merge (merge.rs): shallow, right-biased.
+        Spark structs are positional, so the merged struct is rebuilt
+        from the statically-known field sets."""
+        lsh = self.infer_shape(lnode)
+        rsh = self.infer_shape(rnode)
+        if not (lsh and lsh[0] == "obj" and rsh and rsh[0] == "obj"):
+            raise VrlCompileError(
+                "merge '|' needs object shapes known at compile time"
+            )
+        lcol = self.compile(lnode)
+        rcol = self.compile(rnode)
+        lf = self._obj_fields(lnode, lcol, lsh)
+        rf = self._obj_fields(rnode, rcol, rsh)
+        merged = dict(lf)
+        merged.update(rf)
+        if not merged:
+            return F.lit(None)
+        return F.struct(*[c.alias(k) for k, c in merged.items()])
+
+    def compile_call(self, node: Call) -> Column:
+        from vector_spark.vrl import FUNCTIONS
+
+        name = _FN_ALIASES.get(node.name, node.name)
+        if node.closure is not None:
+            return self.compile_closure_call(node)
+        # path-operating builtins handled by the statement layer get
+        # expression forms here
+        if name == "del":
+            return self._del(node)
+        if name == "exists" and node.args and isinstance(node.args[0], Path):
+            return self._exists(node.args[0])
+        if (
+            name == "parse_json"
+            and node.args
+            and isinstance(node.args[0], Lit)
+            and isinstance(node.args[0].value, str)
+        ):
+            try:
+                return _py_to_col(json.loads(node.args[0].value))
+            except Exception:
+                return F.lit(None)  # fallible; `??` supplies fallback
+        if name in ("set", "remove") and node.args:
+            out = self._set_remove(name, node)
+            if out is not None:
+                return out
+        if name == "type_def" and node.args:
+            td = self.infer_tdef(node.args[0])
+            # the argument still evaluates (type_def(del(.a)) deletes)
+            if not isinstance(node.args[0], (Lit, Var, Path)):
+                self.compile(node.args[0])
+            if td is None:
+                raise VrlCompileError("type_def: type not inferable")
+            return _py_to_col(td)
+        if name == "merge" and len(node.args) == 2:
+            lsh = self.infer_shape(node.args[0])
+            rsh = self.infer_shape(node.args[1])
+            if lsh and lsh[0] == "obj" and rsh and rsh[0] == "obj":
+                return self.compile_merge(node.args[0], node.args[1])
+        if name == "compact" and node.args:
+            sh = self.infer_shape(node.args[0])
+            if sh and sh[0] == "obj":
+                col = self.compile(node.args[0])
+                fields = self._obj_fields(node.args[0], col, sh)
+                kept = {}
+                for k in fields:
+                    known, v = self.py_value(
+                        Bin("getfield", node.args[0], Lit(k))
+                    )
+                    if known and v is None:
+                        continue
+                    kept[k] = fields[k]
+                if not kept:
+                    return F.struct()
+                return F.struct(*[c.alias(k) for k, c in kept.items()])
+        if name in ("length", "strlen") and node.args:
+            sh = self.infer_shape(node.args[0])
+            if sh and sh[0] == "arr":
+                return F.size(self.compile(node.args[0]))
+            if sh and sh[0] == "obj":
+                self.compile(node.args[0])
+                return F.lit(len(sh[1]))
+        if name == "encode_json" and node.args:
+            known, v = self.py_value(node.args[0])
+            if known:
+                return F.lit(json.dumps(v, separators=(",", ":")))
+        if name == "parse_common_log" and node.args:
+            return _parse_common_log_col(self.compile(node.args[0]))
+        if name == "parse_syslog" and node.args:
+            return _parse_syslog_col(self.compile(node.args[0]))
+        if name == "log" and ("level" in node.kwargs or (
+            node.args and self.infer_tdef(node.args[0]) == {"bytes": True}
+        )):
+            # VRL's diagnostic log(msg, level:) — a no-op null here
+            return F.lit(None)
+        if name not in FUNCTIONS:
+            raise VrlCompileError(f"unknown function {name!r}")
+        fn = FUNCTIONS[name]
+        natives = _NATIVE_ARGS.get(name, {})
+        order = _KWARG_ORDER.get(name)
+        args = list(node.args)
+        kwargs = dict(node.kwargs)
+        if kwargs and order:
+            # kwargs -> positional by VRL param order
+            merged = []
+            for i, pname in enumerate(order):
+                if i < len(args):
+                    merged.append(args[i])
+                elif pname in kwargs:
+                    merged.append(kwargs.pop(pname))
+                else:
+                    break
+            args = merged
+        py_args = []
+        for i, a in enumerate(args):
+            if natives.get(i, False):
+                py_args.append(self.native_value(a))
+            elif isinstance(a, Regex):
+                py_args.append(a.pattern)
+            else:
+                py_args.append(self.compile(a))
+        py_kwargs = {}
+        for k, v in kwargs.items():
+            if natives.get(k, False):
+                py_kwargs[k] = self.native_value(v)
+            elif isinstance(v, Regex):
+                py_kwargs[k] = v.pattern
+            else:
+                py_kwargs[k] = self.compile(v)
+        try:
+            out = fn(*py_args, **py_kwargs)
+        except TypeError as e:
+            raise VrlCompileError(f"{name}: {e}") from e
+        if not isinstance(out, Column):
+            raise VrlCompileError(
+                f"{name} is DataFrame-level (parser family); use the "
+                "pipeline transform form"
+            )
+        return out
+
+    def _exists(self, path: Path) -> Column:
+        key = self._event_key(path)
+        if key in self.env.bind:
+            return F.lit(key not in self.env.deleted)
+        if len(path.segments) <= 1:
+            return F.lit(False)
+        head = "." + str(path.segments[0])
+        if head in self.env.bind:
+            return self.lookup_path(path).isNotNull()
+        return F.lit(False)
+
+    def _set_remove(self, name: str, node: Call) -> Column | None:
+        """set!(target, [keys], value) / remove!(target, [keys]) on an
+        object-shaped target (set.rs / remove.rs). Only compile-time
+        key paths are supported — returns None to fall through to the
+        map-typed registry impls otherwise."""
+        target = node.args[0]
+        tsh = self.infer_shape(target)
+        if not (tsh and tsh[0] == "obj") or len(node.args) < 2:
+            return None
+        known, keys = self.py_value(node.args[1])
+        if not known or not isinstance(keys, list) or not all(
+            isinstance(k, str) for k in keys
+        ):
+            return None
+        col = self.compile(target)
+        fields = self._obj_fields(target, col, tsh)
+        if not fields and name == "set" and len(keys) == 1:
+            val = self.compile(node.args[2])
+            return F.struct(val.alias(keys[0]))
+        base = F.struct(*[c.alias(k) for k, c in fields.items()])
+        if name == "remove":
+            if keys[0] not in fields:
+                return base
+            if len(keys) == 1:
+                return base.dropFields(f"`{keys[0]}`")
+            return base  # nested removes: out of corpus scope
+        if len(keys) != 1:
+            return None  # nested set paths: fall through / skip
+        val = self.compile(node.args[2])
+        return base.withField(f"`{keys[0]}`", val)
+
+    # ---- closures ----
+
+    def compile_closure_call(self, node: Call) -> Column:
+        params, body = node.closure
+        name = _FN_ALIASES.get(node.name, node.name)
+        if name not in ("map_values", "map_keys", "for_each", "filter"):
+            raise VrlCompileError(
+                f"closure on {name!r} unsupported"
+            )
+        if not node.args:
+            raise VrlCompileError(f"{name} needs a collection argument")
+        arg = node.args[0]
+        recursive = False
+        if "recursive" in node.kwargs:
+            known, rv = self.py_value(node.kwargs["recursive"])
+            recursive = bool(rv) if known else False
+        # literal provenance: unroll over AST elements
+        argnode = arg
+        if isinstance(arg, Var) and arg.name in self.env.nodes:
+            argnode = self.env.nodes[arg.name]
+        shape = self.infer_shape(arg)
+
+        if isinstance(argnode, Arr):
+            return self._closure_over_literal_array(
+                name, params, body, argnode
+            )
+        if isinstance(argnode, Obj) or (
+            isinstance(arg, Path) and not arg.segments
+        ) or (shape and shape[0] == "obj"):
+            return self._closure_over_object(
+                name, params, body, arg, argnode, shape, recursive
+            )
+        # opaque array column -> JVM higher-order function
+        if name == "map_values":
+            col = self.compile(arg)
+            return F.transform(col, lambda v: self._closure_body(body, {
+                params[0]: (v, _shape_step(shape, 0))
+            }))
+        raise VrlCompileError(
+            f"{name} over an opaque array needs map_values (fold-style "
+            "for_each over unknown arrays is out of scope)"
+        )
+
+    def _closure_body(
+        self, body: list, bindings: dict[str, tuple[Column, Any]]
+    ) -> Column:
+        """Run a closure body in a forked env with params bound;
+        return its value. Side effects are discarded (VRL map_*
+        closures are pure over their input)."""
+        env = self.env.fork()
+        for p, (c, sh) in bindings.items():
+            env.bind[p] = c
+            env.shape[p] = sh
+            env.py.pop(p, None)
+            env.nodes.pop(p, None)
+        saved = self.env
+        self.env = env
+        try:
+            val = None
+            for s in body:
+                val = self.exec_stmt(s)
+        finally:
+            self.env = saved
+        return val if val is not None else F.lit(None)
+
+    def _exec_body_shared(
+        self, body: list, bindings: dict[str, tuple[Column, Any, Any]]
+    ):
+        """for_each semantics: params shadow (restored after), other
+        assignments persist — matches the reference's closure scope
+        (expressions/function_call/closure_scope_inheritance.vrl)."""
+        saved = {
+            p: (
+                self.env.bind.get(p),
+                self.env.shape.get(p),
+                self.env.py.get(p),
+                self.env.nodes.get(p),
+            )
+            for p in bindings
+        }
+        for p, (c, sh, pv) in bindings.items():
+            self.env.bind[p] = c
+            self.env.shape[p] = sh
+            if pv is not _MISSING:
+                self.env.py[p] = pv
+            else:
+                self.env.py.pop(p, None)
+            self.env.nodes.pop(p, None)
+        val = None
+        for s in body:
+            val = self.exec_stmt(s)
+        for p, (b, sh, pv, nd) in saved.items():
+            if b is None:
+                self.env.bind.pop(p, None)
+            else:
+                self.env.bind[p] = b
+            if sh is None:
+                self.env.shape.pop(p, None)
+            else:
+                self.env.shape[p] = sh
+            if pv is None:
+                self.env.py.pop(p, None)
+            else:
+                self.env.py[p] = pv
+            if nd is None:
+                self.env.nodes.pop(p, None)
+            else:
+                self.env.nodes[p] = nd
+        return val
+
+    def _closure_over_literal_array(
+        self, name: str, params: list, body: list, argnode: Arr
+    ) -> Column:
+        if name == "map_values":
+            outs = []
+            for item in argnode.items:
+                outs.append(
+                    self._closure_body(
+                        body,
+                        {params[0]: (
+                            self.compile(item), self.infer_shape(item)
+                        )},
+                    )
+                )
+            return F.array(*outs) if outs else F.array()
+        if name == "for_each":
+            for idx, item in enumerate(argnode.items):
+                binds = {}
+                if len(params) >= 1:
+                    binds[params[0]] = (F.lit(idx), None, idx)
+                if len(params) >= 2:
+                    known, pv = self.py_value(item)
+                    binds[params[1]] = (
+                        self.compile(item),
+                        self.infer_shape(item),
+                        pv if known else _MISSING,
+                    )
+                self._exec_body_shared(body, binds)
+            return F.lit(None)
+        raise VrlCompileError(f"{name} over a literal array unsupported")
+
+    def _closure_over_object(
+        self, name, params, body, arg, argnode, shape, recursive
+    ) -> Column:
+        # field name -> (Column, shape)
+        if isinstance(argnode, Obj):
+            fields = {
+                k: (self.compile(v), self.infer_shape(v))
+                for k, v in argnode.pairs
+            }
+        elif isinstance(arg, Path) and not arg.segments:
+            fields = {
+                f: (
+                    self.env.bind["." + f],
+                    self.env.shape.get("." + f),
+                )
+                for f in self._top_fields()
+            }
+        else:
+            col = self.compile(arg)
+            fields = {
+                k: (col.getItem(k), ksh) for k, ksh in shape[1].items()
+            }
+        keys = sorted(fields)  # BTreeMap iteration order
+
+        if name == "for_each":
+            for k in keys:
+                c, sh = fields[k]
+                binds = {}
+                if len(params) >= 1:
+                    binds[params[0]] = (F.lit(k), None, k)
+                if len(params) >= 2:
+                    binds[params[1]] = (c, sh, _MISSING)
+                self._exec_body_shared(body, binds)
+            return F.lit(None)
+
+        if name == "map_values":
+            def rec(c, sh):
+                if recursive and sh and sh[0] == "obj":
+                    if not sh[1]:
+                        return c
+                    return F.struct(*[
+                        rec(c.getItem(k2), s2).alias(k2)
+                        for k2, s2 in sh[1].items()
+                    ])
+                if recursive and sh and sh[0] == "arr" and sh[1]:
+                    return F.transform(c, lambda e: rec(e, sh[1]))
+                return self._closure_body(body, {params[0]: (c, sh)})
+
+            outs = {k: rec(*fields[k]) for k in keys}
+            if not outs:
+                return F.lit(None)
+            return F.struct(*[outs[k].alias(k) for k in keys])
+
+        if name == "map_keys":
+            def rename(k: str) -> str:
+                known, nk = self._py_closure(body, {params[0]: k})
+                if not known or not isinstance(nk, str):
+                    raise VrlCompileError(
+                        "map_keys closure must fold to a constant key"
+                    )
+                return nk
+
+            def rec_keys(c, sh):
+                if sh and sh[0] == "obj":
+                    return F.struct(*[
+                        rec_keys(c.getItem(k2), s2).alias(rename(k2))
+                        for k2, s2 in sh[1].items()
+                    ]) if sh[1] else c
+                if sh and sh[0] == "arr" and sh[1]:
+                    return F.transform(c, lambda e: rec_keys(e, sh[1]))
+                return c
+
+            outs = {}
+            for k in keys:
+                c, sh = fields[k]
+                outs[rename(k)] = (
+                    rec_keys(c, sh) if recursive else c
+                )
+            if not outs:
+                return F.lit(None)
+            return F.struct(*[c.alias(k) for k, c in outs.items()])
+
+        raise VrlCompileError(f"{name} over an object unsupported")
+
+    def _py_closure(self, body: list, pybinds: dict[str, Any]):
+        """Constant-fold a closure body (map_keys key rewriting)."""
+        saved = {p: self.env.py.get(p) for p in pybinds}
+        saved_bind = {p: self.env.bind.get(p) for p in pybinds}
+        for p, v in pybinds.items():
+            self.env.py[p] = v
+            self.env.bind[p] = F.lit(v)
+        try:
+            if len(body) != 1:
+                return False, None
+            return self.py_value(body[0])
+        finally:
+            for p in pybinds:
+                if saved[p] is None:
+                    self.env.py.pop(p, None)
+                else:
+                    self.env.py[p] = saved[p]
+                if saved_bind[p] is None:
+                    self.env.bind.pop(p, None)
+                else:
+                    self.env.bind[p] = saved_bind[p]
+
+    def _del(self, node: Call) -> Column:
+        if not node.args:
+            raise VrlCompileError("del() takes a path")
+        t = node.args[0]
+        if isinstance(t, Path):
+            key = self._event_key(t)
+            if key in self.env.bind:
+                old = self.env.bind.pop(key)
+                self.env.shape.pop(key, None)
+                self.env.py.pop(key, None)
+                self.env.deleted.add(key)
+                return old
+            if len(t.segments) > 1:
+                head = "." + str(t.segments[0])
+                if head in self.env.bind and all(
+                    isinstance(s, str) for s in t.segments
+                ):
+                    old = self.lookup_path(t)
+                    dotted = ".".join(
+                        f"`{s}`" for s in t.segments[1:]
+                    )
+                    self.env.bind[head] = self.env.bind[head].dropFields(
+                        dotted
+                    )
+                    sh = self.env.shape.get(head)
+                    self.env.shape[head] = self._shape_drop(
+                        sh, t.segments[1:]
+                    )
+                    return old
+            self.env.deleted.add(key)
+            return F.lit(None)
+        if isinstance(t, VarPath) and all(
+            isinstance(s, str) for s in t.segments
+        ):
+            base = self.env.bind.get(t.name)
+            if base is None:
+                raise VrlCompileError(f"undefined variable {t.name!r}")
+            old = self.compile(self._target_expr(t))
+            dotted = ".".join(f"`{s}`" for s in t.segments)
+            self.env.bind[t.name] = base.dropFields(dotted)
+            self.env.shape[t.name] = self._shape_drop(
+                self.env.shape.get(t.name), t.segments
+            )
+            self.env.py.pop(t.name, None)
+            self.env.nodes.pop(t.name, None)
+            return old
+        raise VrlCompileError("del() takes an event path or variable path")
+
+    def _shape_drop(self, sh, segs):
+        if not (sh and sh[0] == "obj"):
+            return sh
+        d = dict(sh[1])
+        if len(segs) == 1:
+            d.pop(segs[0], None)
+        elif segs[0] in d:
+            d[segs[0]] = self._shape_drop(d[segs[0]], segs[1:])
+        return ("obj", d)
+
+    # ---- statements ----
+
+    def run_block(self, stmts: list, env: Env):
+        saved = self.env
+        self.env = env
+        val = None
+        for s in stmts:
+            val = self.exec_stmt(s)
+        out_env = self.env
+        self.env = saved
+        return out_env, val
+
+    def merge_branches(self, cond: Column, then_env: Env, else_env: Env):
+        cond = F.coalesce(cond, F.lit(False))
+        keys = set(then_env.bind) | set(else_env.bind)
+        merged: dict[str, Column] = {}
+        for k in keys:
+            t = then_env.bind.get(k)
+            e = else_env.bind.get(k)
+            if t is None:
+                t = F.lit(None)
+            if e is None:
+                e = F.lit(None)
+            base = self.env.bind.get(k)
+            same_as_base = (
+                base is not None
+                and then_env.bind.get(k) is base
+                and else_env.bind.get(k) is base
+            )
+            merged[k] = base if same_as_base else F.when(cond, t).otherwise(e)
+        self.env.bind = merged
+        self.env.deleted = then_env.deleted | else_env.deleted
+        self.env.shape = {
+            k: then_env.shape[k]
+            for k in set(then_env.shape) & set(else_env.shape)
+            if then_env.shape[k] == else_env.shape.get(k)
+        }
+        self.env.py = {
+            k: then_env.py[k]
+            for k in set(then_env.py) & set(else_env.py)
+            if then_env.py[k] == else_env.py.get(k)
+        }
+        self.env.nodes = {
+            k: then_env.nodes[k]
+            for k in set(then_env.nodes) & set(else_env.nodes)
+            if then_env.nodes[k] is else_env.nodes.get(k)
+        }
+        self.env.top = then_env.top | else_env.top
+        self.env.tdef = {
+            k: {**then_env.tdef[k], **else_env.tdef[k]}
+            for k in set(then_env.tdef) & set(else_env.tdef)
+        }
+
+    def exec_stmt(self, node):
+        if isinstance(node, Assign):
+            expr = node.expr
+            if node.op == "|=":
+                expr = Bin("|", self._target_expr(node.target), node.expr)
+            val = self.compile(expr)
+            self.assign_target(
+                node.target, val, self.infer_shape(expr), pynode=expr
+            )
+            return val
+        if isinstance(node, MultiAssign):
+            return self.exec_multi(node)
+        if isinstance(node, If):
+            return self.compile(node)
+        return self.compile(node)
+
+    def exec_multi(self, node: MultiAssign):
+        """`ok, err = expr` (fallible assignment, remap.rs error
+        capture). Spark expressions fail to null rather than erroring,
+        so err derives from null-ness; division/remainder match the
+        reference's zero-divisor message and ok-side typed default."""
+        expr = node.expr
+        if node.op == "|=":
+            expr = Bin("|", self._target_expr(node.ok), node.expr)
+        if isinstance(expr, Bin) and expr.op in ("/", "%"):
+            right = self.compile(expr.right)
+            raw = self.compile(expr)
+            err = F.when(
+                right == 0, F.lit("can't divide by zero")
+            ).otherwise(F.lit(None))
+            val = F.coalesce(
+                raw, F.lit(0.0) if expr.op == "/" else F.lit(0)
+            )
+        else:
+            val = self.compile(expr)
+            err = F.when(val.isNull(), F.lit("error")).otherwise(
+                F.lit(None)
+            )
+        self.assign_target(
+            node.ok, val, self.infer_shape(expr), pynode=expr
+        )
+        if not (isinstance(node.err, Var) and node.err.name == "_"):
+            self.assign_target(node.err, err, None)
+        return val
+
+
+_MISSING = object()
+
+
+# Apache Common Log Format (parse_common_log.rs). `identity` is
+# omitted like the reference omits unmatched "-" groups; timestamps
+# render RFC3339-UTC (the reference's serialization).
+_CLF_RE = (
+    r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) (\S+)" '
+    r"(\d+) (\d+)\s*$"
+)
+
+_CLF_SHAPE = (
+    "obj",
+    {
+        "host": None, "user": None, "timestamp": None,
+        "message": None, "method": None, "path": None,
+        "protocol": None, "status": None, "size": None,
+    },
+)
+
+
+def _parse_common_log_col(col: Column) -> Column:
+    g = lambda i: F.regexp_extract(col, _CLF_RE, i)  # noqa: E731
+    ts = F.date_format(
+        F.to_timestamp(g(4), "dd/MMM/yyyy:HH:mm:ss xx"),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    )
+    fields = F.struct(
+        g(1).alias("host"),
+        F.when(g(3) != "-", g(3)).alias("user"),
+        ts.alias("timestamp"),
+        F.concat_ws(" ", g(5), g(6), g(7)).alias("message"),
+        g(5).alias("method"),
+        g(6).alias("path"),
+        g(7).alias("protocol"),
+        g(8).cast("long").alias("status"),
+        g(9).cast("long").alias("size"),
+    )
+    return F.when(col.rlike(_CLF_RE), fields)
+
+
+# Syslog RFC5424 + RFC3164 (parse_syslog.rs rides the syslog_loose
+# crate, which accepts both).
+_SYSLOG_5424_RE = (
+    r"^<(\d+)>(\d+) (\S+) (\S+) (\S+) (\S+) (\S+) (\[.*\]|-) ?(.*)$"
+)
+_SYSLOG_3164_RE = (
+    r"^<(\d+)>([A-Z][a-z]{2} [ \d]?\d \d{2}:\d{2}:\d{2}) (\S+?) "
+    r"([^\s\[:]+)(?:\[(\d+)\])?:\s?(.*)$"
+)
+
+_SYSLOG_SHAPE = (
+    "obj",
+    {
+        "message": None, "appname": None, "hostname": None,
+        "procid": None, "facility": None, "severity": None,
+        "timestamp": None,
+    },
+)
+
+
+def _parse_syslog_col(col: Column) -> Column:
+    def nn(c):  # "-" and "" are absent values in syslog
+        return F.when((c != "-") & (c != ""), c)
+
+    g5 = lambda i: F.regexp_extract(col, _SYSLOG_5424_RE, i)  # noqa: E731
+    g3 = lambda i: F.regexp_extract(col, _SYSLOG_3164_RE, i)  # noqa: E731
+    is_5424 = col.rlike(r"^<\d+>\d+ ")
+    pri = F.when(is_5424, g5(1)).otherwise(g3(1)).cast("int")
+    new = F.struct(
+        F.when(is_5424, nn(g5(9))).otherwise(nn(g3(6))).alias("message"),
+        F.when(is_5424, nn(g5(4))).otherwise(nn(g3(4))).alias("appname"),
+        F.when(is_5424, nn(g5(3))).otherwise(nn(g3(3))).alias("hostname"),
+        F.when(is_5424, nn(g5(5))).otherwise(nn(g3(5)))
+        .cast("long").alias("procid"),
+        (pri / 8).cast("int").alias("facility"),
+        (pri % 8).alias("severity"),
+        F.when(
+            is_5424,
+            F.date_format(
+                F.to_timestamp(g5(2)), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+            ),
+        ).alias("timestamp"),
+    )
+    return F.when(col.rlike(r"^<\d+>"), new)
+
+
+def _is_str(node) -> bool:
+    return isinstance(node, Lit) and isinstance(node.value, str)
+
+
+def _strict_eq(a, b) -> bool:
+    """VRL equality is type-strict: 1 != 1.0, \"true\" != true
+    (expressions/equality tests)."""
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return type(a) is type(b) and a == b
+    if isinstance(a, dict) and isinstance(b, dict):
+        return set(a) == set(b) and all(
+            _strict_eq(a[k], b[k]) for k in a
+        )
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(
+            _strict_eq(x, y) for x, y in zip(a, b)
+        )
+    if type(a) is not type(b) and a is not None and b is not None:
+        return False
+    return a == b
+
+
+def _py_to_col(v) -> Column:
+    if isinstance(v, dict):
+        if not v:
+            return F.struct()
+        return F.struct(*[_py_to_col(x).alias(k) for k, x in v.items()])
+    if isinstance(v, list):
+        if not v:
+            return F.array()
+        return F.array(*[_py_to_col(x) for x in v])
+    return F.lit(v)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def compile_vrl(df: DataFrame, source: str) -> DataFrame:
+    """Compile and apply a VRL program to a DataFrame: event paths map
+    to columns; the result keeps every (possibly reassigned) event
+    field as a column. Used by the pipeline `remap` transform's
+    `source:` key."""
+    stmts = parse_program(source)
+    env = Env({"." + c: F.col(c) for c in df.columns})
+    env.top = set(df.columns)
+    comp = Compiler(env)
+    for s in stmts:
+        # a bare trailing '.' (common program terminator) is a no-op here
+        if isinstance(s, Path) and not s.segments:
+            continue
+        comp.exec_stmt(s)
+    cols = [
+        comp.env.bind["." + n].alias(n) for n in comp._top_fields()
+    ]
+    return df.select(*cols)
+
+
+def eval_vrl(spark, source: str, event: dict | None = None):
+    """Evaluate a VRL program against a single JSON-ish event —
+    the `vector vrl` REPL / golden-corpus analogue. Returns
+    (final_value, event_dict) computed via a one-row Spark plan.
+    Runs with ANSI off (VRL expressions fail to errors the program
+    recovers from; fail-to-null is the Spark equivalent) and a UTC
+    session zone (the reference serializes timestamps RFC3339-UTC)."""
+    stmts = parse_program(source)
+    env = Env({})
+    for k, v in (event or {}).items():
+        env.bind["." + k] = _py_to_col(v)
+        env.shape["." + k] = _shape_of_py(v)
+        env.py["." + k] = v
+        env.top.add(k)
+    comp = Compiler(env, probe_spark=spark)
+    confs = {
+        "spark.sql.ansi.enabled": "false",
+        "spark.sql.session.timeZone": "UTC",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        val_col = None
+        for s in stmts:
+            out = comp.exec_stmt(s)
+            val_col = out if isinstance(out, Column) else None
+        names = comp._top_fields()
+        sel = [
+            comp.env.bind["." + n].alias(f"f_{i}")
+            for i, n in enumerate(names)
+        ]
+        sel.append(
+            (val_col if val_col is not None else F.lit(None)).alias("_val")
+        )
+        row = spark.range(1).select(*sel).first()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    ev = {n: _to_py(row[f"f_{i}"]) for i, n in enumerate(names)}
+    return _to_py(row["_val"]), ev
+
+
+def _to_py(v):
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        s = v.strftime("%Y-%m-%dT%H:%M:%S")
+        if v.microsecond:
+            s += ("%.6f" % (v.microsecond / 1e6))[1:].rstrip("0")
+        return s + "Z"
+    if hasattr(v, "asDict"):
+        return {k: _to_py(x) for k, x in v.asDict().items()}
+    if isinstance(v, list):
+        return [_to_py(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _to_py(x) for k, x in v.items()}
+    return v
