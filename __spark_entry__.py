@@ -905,6 +905,56 @@ def q_cloudwatch_parse(spark, sf_dir):
     )
 
 
+# remap as a VRL *program* (src/transforms/remap.rs `source`), both
+# execution tiers: the Column compiler (vrl_lang.compile_vrl, pure
+# Catalyst) and the distributed tree-walk interpreter
+# (vrl_interp.remap_interp) for the dynamic tail (abort, coalescing).
+
+_VRL_REMAP_SRC = """\
+.level_lc = downcase!(.level)
+.slow = .latency_ms > 250
+.msg_len = length(.msg)
+.
+"""
+
+_VRL_INTERP_SRC = """\
+if .level == "DEBUG" { abort }
+.sev = .(level | "lvl")
+.sev_lc = downcase!(.sev)
+.slow = .latency_ms > 250
+.
+"""
+
+
+def q_remap_vrl(spark, sf_dir):
+    from vector_spark.vrl_lang import compile_vrl
+
+    base = _parsed(spark, sf_dir).filter(~F.col("_parse_error")).select(
+        "conv_id", "turn_idx", "level", "latency_ms", "msg"
+    )
+    return compile_vrl(base, _VRL_REMAP_SRC).select(
+        "conv_id", "turn_idx", "level_lc", "slow", "msg_len"
+    )
+
+
+def q_remap_vrl_interp(spark, sf_dir):
+    """Interpreter tier: `abort` (drop_on_abort, reference default
+    true) drops DEBUG turns; dynamic path coalescing picks .level.
+    Runs executor-side over Arrow batches via mapInPandas."""
+    from vector_spark.vrl_interp import remap_interp
+
+    base = _parsed(spark, sf_dir).filter(~F.col("_parse_error")).select(
+        "conv_id", "turn_idx", "level", "latency_ms"
+    )
+    out = remap_interp(base, _VRL_INTERP_SRC)
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "sev_lc",
+        "slow",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse -> enrich -> route -> hourly aggregate at sf0.001."""
     routed = build_flagship(spark, SF0001)
@@ -969,6 +1019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ruby_hash_parse": q_ruby_hash_parse,
         "xml_parse": q_xml_parse,
         "cloudwatch_parse": q_cloudwatch_parse,
+        "remap_vrl": q_remap_vrl,
+        "remap_vrl_interp": q_remap_vrl_interp,
     }
 
 
@@ -1623,6 +1675,22 @@ SELECT event_id,
   concat('msg ', event_id) AS message
 FROM events
 """
+
+    o["remap_vrl"] = _with(
+        """
+SELECT conv_id, turn_idx, lower(level) AS level_lc,
+       latency_ms > 250 AS slow, length(msg) AS msg_len
+FROM parsed WHERE NOT parse_error
+"""
+    )
+
+    o["remap_vrl_interp"] = _with(
+        """
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       lower(level) AS sev_lc, latency_ms > 250 AS slow
+FROM parsed WHERE NOT parse_error AND level <> 'DEBUG'
+"""
+    )
 
     # docs_minhash_lsh / docs_simhash intentionally have no oracle:
     # LSH banding is approximate-by-construction (rows-only check);

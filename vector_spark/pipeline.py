@@ -88,10 +88,42 @@ def _t_filter(df, opts, ctx):
 
 
 def _t_remap(df, opts, ctx):
-    """remap (src/transforms/remap.rs): declarative field assignments
-    as SQL expressions (Catalyst-compiled — the VRL-program analogue)
-    plus optional field drops. `parse_regex`/`parse_grok` heavy
-    lifting lives in the dedicated parse transforms."""
+    """remap (src/transforms/remap.rs): three program forms, fastest
+    wins —
+
+    * `assignments`/`drop`: declarative SQL expressions (Catalyst).
+    * `source`: a VRL program. Tried on the Column compiler first
+      (vrl_lang.compile_vrl — stays inside whole-stage codegen); if
+      the program uses the dynamic tail the compiler rejects (abort,
+      dynamic path coalescing, heterogeneous arrays, ...), falls back
+      to the distributed tree-walk interpreter
+      (vrl_interp.remap_interp, mapInPandas over Arrow batches).
+    * `source` + `reroute_dropped`/`drop_on_*`: always the
+      interpreter — only it implements the reference's full abort /
+      error dispatch (remap.rs:465-524).
+    """
+    src = opts.get("source")
+    if src:
+        from vector_spark.vrl_lang import VrlCompileError, compile_vrl
+        from vector_spark.vrl_interp import remap_interp
+
+        dispatch_keys = (
+            "reroute_dropped", "drop_on_abort", "drop_on_error"
+        )
+        needs_dispatch = any(k in opts for k in dispatch_keys)
+        if not needs_dispatch:
+            try:
+                return compile_vrl(df, src)
+            except VrlCompileError:
+                pass  # dynamic tail -> interpreter slow path
+        return remap_interp(
+            df,
+            src,
+            drop_on_abort=opts.get("drop_on_abort", True),
+            drop_on_error=opts.get("drop_on_error", False),
+            reroute_dropped=opts.get("reroute_dropped", False),
+            component_id=opts.get("_component_name", "remap"),
+        )
     out = df
     for name, expr in (opts.get("assignments") or {}).items():
         out = out.withColumn(name, F.expr(expr))

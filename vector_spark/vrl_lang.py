@@ -73,17 +73,20 @@ _TOKEN_RE = re.compile(
   | (?P<comment>\#[^\n]*)
   | (?P<nl>\r?\n)
   | (?P<float>\d[\d_]*\.\d[\d_]*)
-  | (?P<int>\d[\d_]*)
   | (?P<rawstr>r'(?:[^'\\]|\\[\s\S])*')
   | (?P<sstr>s'(?:[^'\\]|\\[\s\S])*')
   | (?P<tstr>t'(?:[^'\\]|\\[\s\S])*')
   | (?P<dstr>"(?:[^"\\]|\\[\s\S])*")
+  | (?P<ident>(?=[0-9@_]*[@A-Za-z])[A-Za-z0-9_@]+!?|_[A-Za-z0-9_]*)
+  | (?P<int>\d[\d_]*)
   | (?P<op>\?\?|==|!=|<=|>=|&&|\|\||->|[-+*/%<>=!,;:(){}\[\].|])
-  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*!?)
-  | (?P<atident>@[A-Za-z0-9_]+)
     """,
     re.X,
 )
+# ident is deliberately broad: VRL *path* fields may contain `@` and
+# start with digits (`.foo@bar`, `.0tar`, `.wibble@` — reference path
+# lexer), and those only ever reach the parser inside paths. The
+# lookahead keeps pure numbers flowing to int/float.
 
 _KEYWORDS = {"if", "else", "null", "true", "false", "abort"}
 
@@ -190,6 +193,7 @@ class Call:
     kwargs: dict  # name -> node
     infallible: bool
     closure: Any = None  # (params: list[str], body: list[stmt]) | None
+    span: Any = None  # (start, end) 1-based inclusive source span
 
 
 @dataclass
@@ -202,6 +206,9 @@ class If:
 @dataclass
 class Block:
     stmts: list
+    # parenthesized statement-sequences (if-predicates) share the
+    # enclosing scope; `{ .. }` blocks get a child scope (interpreter)
+    paren: bool = False
 
 
 @dataclass
@@ -209,6 +216,14 @@ class Assign:
     target: Any  # Path | Var | VarPath
     expr: Any
     op: str  # '=' or '|='
+
+
+@dataclass
+class Abort:
+    # abort [message-expr] — drops the event (remap.rs dropped-port);
+    # the Column compiler declares it out of scope, the interpreter
+    # (vrl_interp.py) implements it.
+    message: Any = None
 
 
 @dataclass
@@ -315,6 +330,31 @@ class Parser:
                         if kt.kind == "dstr"
                         else kt.text.rstrip("!")
                     )
+                elif self.peek().text == "." and self.peek(1).text == "(":
+                    # coalesce segment in a variable target:
+                    # foo.bar.(qux | "quux qux") = ...
+                    save2 = self.i
+                    self.next(), self.next()
+                    alts: list[str] = []
+                    ok = True
+                    while True:
+                        at = self.next()
+                        if at.kind == "dstr":
+                            alts.append(_unescape(at.text[1:-1]))
+                        elif at.kind in ("ident", "atident", "int"):
+                            alts.append(at.text.rstrip("!"))
+                        else:
+                            ok = False
+                            break
+                        if self.peek().text == "|":
+                            self.next()
+                            continue
+                        break
+                    if not ok or self.peek().text != ")":
+                        self.i = save2
+                        return None
+                    self.next()
+                    segs.append(("|", alts))
                 elif self.peek().text == "[":
                     save2 = self.i
                     self.next()
@@ -451,6 +491,31 @@ class Parser:
                     else kt.text.rstrip("!")
                 )
                 node = Bin("getfield", node, Lit(key))
+            elif (
+                t.text == "."
+                and not isinstance(node, Path)
+                and self.peek(1).text == "("
+            ):
+                # var-rooted dynamic coalescing: foo.(a | b)
+                self.next()
+                self.next()
+                alts: list[str] = []
+                while True:
+                    at = self.next()
+                    if at.kind == "dstr":
+                        alts.append(_unescape(at.text[1:-1]))
+                    elif at.kind in ("ident", "int"):
+                        alts.append(at.text.rstrip("!"))
+                    else:
+                        raise VrlCompileError(
+                            f"bad path alternative {at.text!r} at {at.pos}"
+                        )
+                    if self.peek().text == "|":
+                        self.next()
+                        continue
+                    break
+                self.expect(")")
+                node = Bin("coalfield", node, Lit(alts))
             else:
                 return node
 
@@ -464,9 +529,27 @@ class Parser:
             elif t.kind == "dstr":
                 segs.append(_unescape(self.next().text[1:-1]))
             elif t.text == "(":
-                raise VrlCompileError(
-                    f"dynamic path coalescing at {t.pos} (out of scope)"
-                )
+                # dynamic path coalescing `.(a | b)` -> tuple segment
+                # ("|", [alternatives]); compiler rejects, interpreter
+                # resolves first-existing (last alt for targets)
+                self.next()
+                alts: list[str] = []
+                while True:
+                    at = self.next()
+                    if at.kind == "dstr":
+                        alts.append(_unescape(at.text[1:-1]))
+                    elif at.kind in ("ident", "int"):
+                        alts.append(at.text.rstrip("!"))
+                    else:
+                        raise VrlCompileError(
+                            f"bad path alternative {at.text!r} at {at.pos}"
+                        )
+                    if self.peek().text == "|":
+                        self.next()
+                        continue
+                    break
+                self.expect(")")
+                segs.append(("|", alts))
             else:
                 break
             while self.peek().text == "[":
@@ -481,6 +564,7 @@ class Parser:
                 segs.append(sign * int(idx.text.replace("_", "")))
             if self.peek().text == "." and (
                 self.peek(1).kind in ("ident", "atident", "dstr")
+                or self.peek(1).text == "("
             ):
                 self.next()
                 continue
@@ -517,7 +601,13 @@ class Parser:
             self.next()
             return Lit(t.text == "true")
         if t.text == "abort":
-            raise VrlCompileError("abort (out of scope)")
+            self.next()
+            nxt = self.peek()
+            if nxt.kind in ("nl", "eof") or nxt.text in (
+                "}", ")", "]", ",", ";",
+            ):
+                return Abort(None)
+            return Abort(self.expr())
         if t.text == "if":
             return self.if_expr()
         if t.text == "{":
@@ -549,17 +639,17 @@ class Parser:
                 stmts[0], (Assign, MultiAssign)
             ):
                 return stmts[0]
-            return Block(stmts)
+            return Block(stmts, paren=True)
         if t.kind == "ident" and t.text not in _KEYWORDS:
             name = self.next().text
             infallible = name.endswith("!")
             name = name.rstrip("!")
             if self.peek().text == "(":
-                return self.call(name, infallible)
+                return self.call(name, infallible, t.pos)
             return Var(name)
         raise VrlCompileError(f"unexpected token {t.text!r} at {t.pos}")
 
-    def call(self, name: str, infallible: bool) -> Call:
+    def call(self, name: str, infallible: bool, name_pos: int = 0) -> Call:
         self.expect("(")
         args, kwargs = [], {}
         self.skip_nl()
@@ -578,7 +668,10 @@ class Parser:
             if self.peek().text == ",":
                 self.next()
                 self.skip_nl()
-        self.expect(")")
+        rp = self.expect(")")
+        # the reference's diagnostic span format `at (start:end)` is
+        # 1-based start, exclusive end (0-based [start,end) shifted +1)
+        span = (name_pos + 1, rp.pos + 2)
         closure = None
         if self.peek().text == "->":
             self.next()
@@ -597,7 +690,7 @@ class Parser:
             self.expect("|")
             self.skip_nl()
             closure = (params, self.block())
-        return Call(name, args, kwargs, infallible, closure)
+        return Call(name, args, kwargs, infallible, closure, span)
 
     def if_expr(self) -> If:
         self.expect("if")
@@ -857,6 +950,10 @@ class Compiler:
     # ---- helpers ----
 
     def _event_key(self, path: Path) -> str:
+        if any(isinstance(s, tuple) for s in path.segments):
+            raise VrlCompileError(
+                "dynamic path coalescing (out of scope; use vrl_interp)"
+            )
         if not path.segments:
             return "."
         if len(path.segments) == 1 and isinstance(path.segments[0], str):
@@ -1504,6 +1601,8 @@ class Compiler:
                 F.coalesce(cond, F.lit(False)),
                 then_val if then_val is not None else F.lit(None),
             ).otherwise(else_val if else_val is not None else F.lit(None))
+        if isinstance(node, Abort):
+            raise VrlCompileError("abort (out of scope; use vrl_interp)")
         raise VrlCompileError(f"cannot compile node {node!r}")
 
     def compile_bin(self, node: Bin) -> Column:
