@@ -129,32 +129,66 @@ def minhash_signatures(
     shuffles nothing. Hash family identical (hash_params), so
     signatures are byte-identical to the old path.
     """
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    # Arrow-batched pandas UDF, vectorized with numpy inside the
+    # batch. Why not pure Column exprs: the 64-way min over per-doc
+    # shingle hashes needs either (a) explode + groupBy — shuffles
+    # the ENTIRE token stream at 100 TB (the round-1 form), or (b)
+    # nested higher-order functions — which Spark evaluates
+    # *interpreted*, per element, with no subexpression elimination
+    # (measured 15-300 s at sf0.1 depending on nesting). The UDF is
+    # shuffle-free, runs one numpy matmul-shaped min per doc, and
+    # parallelizes across all cores. Hash family identical to
+    # hash_params(i) and the md5-hex-15 token hash, so signatures are
+    # byte-identical to the Column form.
+    return df.select(
+        F.col(id_col).alias("id"),
+        _minhash_sig_udf(n)(F.col(text_col)).alias("sig"),
     )
-    xs = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
-        % P,
-    )
-    # a_i = 2i+1, b_i = (1000003*i + 12345) % P  (== hash_params(i));
-    # a_i * x < 127 * 2^32 < 2^39 — no int64 overflow
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                xs,
-                lambda x: (
-                    (2 * i.cast("bigint") + 1) * x
-                    + (1000003 * i.cast("bigint") + 12345) % P
-                )
-                % P,
+
+
+_MINHASH_UDFS: dict[int, object] = {}
+
+
+def _minhash_sig_udf(n: int):
+    if n in _MINHASH_UDFS:
+        return _MINHASH_UDFS[n]
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def sig_udf(texts):
+        import hashlib
+        import re as _re
+
+        import numpy as np
+
+        A = (2 * np.arange(N_HASHES, dtype=np.int64) + 1)[:, None]
+        B = ((1000003 * np.arange(N_HASHES, dtype=np.int64) + 12345) % P)[
+            :, None
+        ]
+
+        def sig_of(text):
+            if text is None:
+                return None
+            # mirror the Column shingler exactly: split(lower, \s+)
+            # keeps a leading "" on leading whitespace (Java split)
+            toks = _re.split(r"\s+", text.lower())
+            hi = max(len(toks) - n, 0)
+            grams = {" ".join(toks[i : i + n]) for i in range(hi + 1)}
+            xs = np.fromiter(
+                (
+                    int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % P
+                    for g in grams
+                ),
+                dtype=np.int64,
+                count=len(grams),
             )
-        ),
-    )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+            return (A * xs[None, :] + B).__mod__(P).min(axis=1)
+
+        return texts.map(sig_of)
+
+    _MINHASH_UDFS[n] = sig_udf
+    return sig_udf
 
 
 def minhash_lsh_pairs(
@@ -167,6 +201,12 @@ def minhash_lsh_pairs(
     """Candidate pairs via LSH banding, similarity = fraction of
     equal minhash positions (unbiased Jaccard estimator)."""
     sigs = minhash_signatures(df, id_col, text_col, n).cache()
+    # Materialize before the self-join: its two sides (and the two
+    # signature re-joins) otherwise run as CONCURRENT stages that
+    # each race the not-yet-populated cache and recompute the UDF.
+    # One eager pass makes every branch a cache read. At scale the
+    # cached frame is 64*8 bytes/doc — orders smaller than the corpus.
+    sigs.count()
     bands = sigs.select(
         "id",
         F.posexplode(

@@ -2205,6 +2205,10 @@ def _f_parse_grok(args, kwargs):
     out = {}
     for k, v in m.groupdict().items():
         if v is None:
+            if kwargs.get("_keep_empty"):
+                # parse_groks (datadog-grok) surfaces unmatched
+                # captures as ""; parse_grok (grok crate) drops them
+                out[k] = ""
             continue
         t = types.get(k)
         if t == "int":
@@ -2329,20 +2333,28 @@ def _f_unique(args, kwargs):
 @_fn("floor")
 def _f_floor(args, kwargs):
     v = _arg(args, kwargs, 0, "value")
+    prec = _arg(args, kwargs, 1, "precision", 0) or 0
     if not _is_num(v):
         raise VrlRuntimeError(
             f"expected number, got {type_name(v)}"
         )
+    if prec:
+        f = 10 ** int(prec)
+        return math.floor(v * f) / f
     return math.floor(v) if isinstance(v, float) else v
 
 
 @_fn("ceil")
 def _f_ceil(args, kwargs):
     v = _arg(args, kwargs, 0, "value")
+    prec = _arg(args, kwargs, 1, "precision", 0) or 0
     if not _is_num(v):
         raise VrlRuntimeError(
             f"expected number, got {type_name(v)}"
         )
+    if prec:
+        f = 10 ** int(prec)
+        return math.ceil(v * f) / f
     return math.ceil(v) if isinstance(v, float) else v
 
 
@@ -2402,6 +2414,628 @@ def _f_get(args, kwargs):
     path = _want_arr(_arg(args, kwargs, 1, "path"))
     got = Interp.query(v, list(path))
     return None if got is _MISSING else got
+
+
+# ---------------------------------------------------------------------------
+# encoding / formatting tail (validated against the reference's own
+# test vectors in tests/fixtures/vrl_golden.json)
+# ---------------------------------------------------------------------------
+
+
+@_fn("decode_percent")
+def _f_decode_percent(args, kwargs):
+    import urllib.parse
+
+    return urllib.parse.unquote(
+        _want_str(_arg(args, kwargs, 0, "value"))
+    )
+
+
+# percent-encode sets per lib/vrl/stdlib/src/encode_percent.rs
+# (WHATWG URL spec sets built on CONTROLS); each is the set of ASCII
+# codepoints that MUST be encoded — non-ASCII bytes always encode.
+_CONTROLS = set(range(0x20)) | {0x7F}
+_FRAGMENT = _CONTROLS | set(map(ord, ' "<>`'))
+_QUERY = _CONTROLS | set(map(ord, ' "#<>'))
+_SPECIAL = _QUERY | {ord("'")}
+_PATH = _QUERY | set(map(ord, "?`{}"))
+_USERINFO = _PATH | set(map(ord, "/:;=@[\\]^|"))
+_COMPONENT = _USERINFO | set(map(ord, "$%&+,"))
+_WWW_FORM = _COMPONENT | set(map(ord, "!'()~"))
+_NON_ALNUM = {
+    c for c in range(0x80)
+    if not (chr(c).isalpha() or chr(c).isdigit())
+}
+_ASCII_SETS = {
+    "NON_ALPHANUMERIC": _NON_ALNUM,
+    "CONTROLS": _CONTROLS,
+    "FRAGMENT": _FRAGMENT,
+    "QUERY": _QUERY,
+    "SPECIAL": _SPECIAL,
+    "PATH": _PATH,
+    "USERINFO": _USERINFO,
+    "COMPONENT": _COMPONENT,
+    "WWW_FORM_URLENCODED": _WWW_FORM,
+}
+
+
+@_fn("encode_percent")
+def _f_encode_percent(args, kwargs):
+    s = _want_str(_arg(args, kwargs, 0, "value"))
+    set_name = _arg(args, kwargs, 1, "ascii_set", "NON_ALPHANUMERIC")
+    try:
+        enc = _ASCII_SETS[_want_str(set_name)]
+    except KeyError:
+        raise VrlRuntimeError(f"unknown ascii set {set_name!r}")
+    out = []
+    for b in s.encode("utf-8"):
+        if b >= 0x80 or b in enc:
+            out.append(f"%{b:02X}")
+        else:
+            out.append(chr(b))
+    return "".join(out)
+
+
+def _kv_flatten(v, prefix: str, out: dict):
+    if isinstance(v, dict):
+        for k in sorted(v):
+            _kv_flatten(v[k], f"{prefix}.{k}" if prefix else k, out)
+    elif isinstance(v, list):
+        for i, x in enumerate(v):
+            _kv_flatten(x, f"{prefix}.{i}" if prefix else str(i), out)
+    else:
+        out[prefix] = v
+
+
+def _kv_encode_string(s: str) -> str:
+    # encode_string (lib/vector-common/src/encode_key_value.rs):
+    # quote when whitespace/quote present; \ -> \\, " -> \",
+    # newline -> the literal two-char sequence \\n (reference quirk)
+    quoted = any(c.isspace() or c == '"' for c in s)
+    body = []
+    for c in s:
+        if c == "\\":
+            body.append("\\\\")
+        elif c == '"':
+            body.append('\\"')
+        elif c == "\n":
+            body.append("\\\\n")
+        else:
+            body.append(c)
+    b = "".join(body)
+    return f'"{b}"' if quoted else b
+
+
+def _kv_value_str(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return ""
+    if isinstance(v, float):
+        return _f_to_string([v], {})
+    return str(v)
+
+
+@_fn("encode_key_value")
+def _f_encode_key_value(args, kwargs):
+    v = _want_obj(_arg(args, kwargs, 0, "value"))
+    order = _arg(args, kwargs, 1, "fields_ordering", [])
+    kv_delim = _arg(args, kwargs, 2, "key_value_delimiter", "=")
+    f_delim = _arg(args, kwargs, 3, "field_delimiter", " ")
+    flat_bool = _arg(args, kwargs, 4, "flatten_boolean", False)
+    flat: dict = {}
+    _kv_flatten(v, "", flat)
+    parts = []
+
+    def emit(key, val):
+        if isinstance(val, bool) and flat_bool:
+            if val:
+                parts.append(_kv_encode_string(key))
+            return
+        parts.append(
+            _kv_encode_string(key)
+            + kv_delim
+            + _kv_encode_string(_kv_value_str(val))
+        )
+
+    for key in order or []:
+        if key in flat:
+            emit(key, flat.pop(key))
+    for key in sorted(flat):
+        emit(key, flat[key])
+    return f_delim.join(parts)
+
+
+@_fn("find")
+def _f_find(args, kwargs):
+    s = _want_str(_arg(args, kwargs, 0, "value"))
+    pat = _arg(args, kwargs, 1, "pattern")
+    frm = _arg(args, kwargs, 2, "from", 0) or 0
+    if isinstance(pat, VRegex):
+        m = pat.re.search(s, frm)
+        return m.start() if m else -1
+    return s.find(_want_str(pat), frm)
+
+
+@_fn("format_int")
+def _f_format_int(args, kwargs):
+    v = _arg(args, kwargs, 0, "value")
+    base = _arg(args, kwargs, 1, "base", 10)
+    if not isinstance(v, int) or isinstance(v, bool):
+        raise VrlRuntimeError(f"expected integer, got {type_name(v)}")
+    if not 2 <= base <= 36:
+        raise VrlRuntimeError(
+            f"base must be be between 2 and 36 (inclusive)"
+        )
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+    n, sign = abs(v), "-" if v < 0 else ""
+    if n == 0:
+        return "0"
+    out = []
+    while n:
+        n, r = divmod(n, base)
+        out.append(digits[r])
+    return sign + "".join(reversed(out))
+
+
+@_fn("format_number")
+def _f_format_number(args, kwargs):
+    v = _arg(args, kwargs, 0, "value")
+    scale = _arg(args, kwargs, 1, "scale", None)
+    dec_sep = _arg(args, kwargs, 2, "decimal_separator", ".")
+    grp_sep = _arg(args, kwargs, 3, "grouping_separator", "")
+    if not _is_num(v):
+        raise VrlRuntimeError(f"expected number, got {type_name(v)}")
+    if scale is None:
+        if isinstance(v, int) or v == int(v):
+            int_part, frac_part = str(int(v)), ""
+        else:
+            s = repr(float(v))
+            int_part, _, frac_part = s.partition(".")
+    else:
+        scale = int(scale)
+        # the reference truncates toward zero, not rounds
+        sign = "-" if v < 0 else ""
+        a = abs(float(v))
+        scaled = int(a * (10**scale))
+        int_part = sign + str(scaled // (10**scale))
+        frac_part = (
+            str(scaled % (10**scale)).rjust(scale, "0") if scale else ""
+        )
+    if grp_sep:
+        neg = int_part.startswith("-")
+        digits = int_part.lstrip("-")
+        grouped = []
+        while len(digits) > 3:
+            grouped.append(digits[-3:])
+            digits = digits[:-3]
+        grouped.append(digits)
+        int_part = ("-" if neg else "") + grp_sep.join(reversed(grouped))
+    return int_part + (dec_sep + frac_part if frac_part else "")
+
+
+# ---- ip conversions (ip_ntop.rs / ip_pton.rs / ip_subnet.rs / ...)
+
+
+@_fn("ip_ntop")
+def _f_ip_ntop(args, kwargs):
+    s = _want_str(_arg(args, kwargs, 0, "value"))
+    try:
+        raw = s.encode("latin-1")
+    except UnicodeEncodeError:
+        raise VrlRuntimeError("invalid binary address")
+    if len(raw) == 4:
+        return str(ipaddress.IPv4Address(raw))
+    if len(raw) == 16:
+        return str(ipaddress.IPv6Address(raw))
+    raise VrlRuntimeError(
+        "address must be 4 or 16 bytes"
+    )
+
+
+@_fn("ip_pton")
+def _f_ip_pton(args, kwargs):
+    s = _want_str(_arg(args, kwargs, 0, "value"))
+    try:
+        return ipaddress.ip_address(s).packed.decode("latin-1")
+    except ValueError as e:
+        raise VrlRuntimeError(f"unable to parse IP address: {e}")
+
+
+@_fn("ip_subnet")
+def _f_ip_subnet(args, kwargs):
+    s = _want_str(_arg(args, kwargs, 0, "value"))
+    sub = _want_str(_arg(args, kwargs, 1, "subnet"))
+    try:
+        ip = ipaddress.ip_address(s)
+    except ValueError as e:
+        raise VrlRuntimeError(f"unable to parse IP address: {e}")
+    if sub.startswith("/"):
+        prefix = int(sub[1:])
+        net = ipaddress.ip_network(f"{ip}/{prefix}", strict=False)
+        return str(net.network_address)
+    try:
+        mask = ipaddress.ip_address(sub)
+    except ValueError as e:
+        raise VrlRuntimeError(f"unable to parse mask: {e}")
+    masked = int(ip) & int(mask)
+    return str(type(ip)(masked))
+
+
+@_fn("ip_to_ipv6")
+def _f_ip_to_ipv6(args, kwargs):
+    s = _want_str(_arg(args, kwargs, 0, "value"))
+    try:
+        ip = ipaddress.ip_address(s)
+    except ValueError as e:
+        raise VrlRuntimeError(f"unable to parse IP address: {e}")
+    if isinstance(ip, ipaddress.IPv6Address):
+        return str(ip)
+    return f"::ffff:{ip}"
+
+
+@_fn("ipv6_to_ipv4")
+def _f_ipv6_to_ipv4(args, kwargs):
+    s = _want_str(_arg(args, kwargs, 0, "value"))
+    try:
+        ip = ipaddress.ip_address(s)
+    except ValueError as e:
+        raise VrlRuntimeError(f"unable to parse IP address: {e}")
+    if isinstance(ip, ipaddress.IPv4Address):
+        return str(ip)
+    if int(ip) >> 32 not in (0, 0xFFFF):
+        raise VrlRuntimeError(
+            f"IPV6 address {s} is not compatible with IPV4"
+        )
+    return str(ipaddress.IPv4Address(int(ip) & 0xFFFFFFFF))
+
+
+# ---- misc predicates / array ops
+
+
+@_fn("is_json")
+def _f_is_json(args, kwargs):
+    s = _arg(args, kwargs, 0, "value")
+    variant = _arg(args, kwargs, 1, "variant", None)
+    if not isinstance(s, str):
+        return False
+    try:
+        v = json.loads(s)
+    except (json.JSONDecodeError, ValueError):
+        return False
+    if variant is None:
+        return True
+    kinds = {
+        "object": dict, "array": list, "string": str,
+        "number": (int, float), "bool": bool,
+    }
+    if variant == "null":
+        return v is None
+    if variant == "bool":
+        return isinstance(v, bool)
+    if variant == "number":
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+    k = kinds.get(variant)
+    if k is None:
+        raise VrlRuntimeError(f"unknown json variant {variant!r}")
+    return isinstance(v, k)
+
+
+@_fn("match_array")
+def _f_match_array(args, kwargs):
+    arr = _want_arr(_arg(args, kwargs, 0, "value"))
+    pat = _arg(args, kwargs, 1, "pattern")
+    need_all = bool(_arg(args, kwargs, 2, "all", False))
+    rx = pat.re if isinstance(pat, VRegex) else re.compile(
+        re.escape(_want_str(pat))
+    )
+    hits = [
+        isinstance(x, str) and rx.search(x) is not None for x in arr
+    ]
+    return all(hits) if need_all else any(hits)
+
+
+@_fn("tally")
+def _f_tally(args, kwargs):
+    arr = _want_arr(_arg(args, kwargs, 0, "value"))
+    out: dict = {}
+    for x in arr:
+        if not isinstance(x, str):
+            raise VrlRuntimeError(
+                "all values must be strings"
+            )
+        out[x] = out.get(x, 0) + 1
+    return dict(sorted(out.items()))
+
+
+@_fn("tally_value")
+def _f_tally_value(args, kwargs):
+    # signature tally_value(array, value) — `value` is the needle
+    arr = _want_arr(_arg(args, kwargs, 0, "array"))
+    item = _arg(args, kwargs, 1, "value")
+    return sum(1 for x in arr if x == item)
+
+
+@_fn("tag_types_externally")
+def _f_tag_types_externally(args, kwargs):
+    def tag(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return {"boolean": v}
+        if isinstance(v, int):
+            return {"integer": v}
+        if isinstance(v, float):
+            return {"float": v}
+        if isinstance(v, str):
+            return {"string": v}
+        if isinstance(v, dt.datetime):
+            return {"timestamp": v}
+        if isinstance(v, list):
+            return [tag(x) for x in v]
+        if isinstance(v, dict):
+            return {k: tag(x) for k, x in v.items()}
+        return v
+
+    return tag(_arg(args, kwargs, 0, "value"))
+
+
+# ---- parsers
+
+
+@_fn("parse_csv")
+def _f_parse_csv(args, kwargs):
+    import csv as _csv
+    import io
+
+    s = _want_str(_arg(args, kwargs, 0, "value"))
+    delim = _arg(args, kwargs, 1, "delimiter", ",")
+    if s == "":
+        return []
+    reader = _csv.reader(
+        io.StringIO(s), delimiter=_want_str(delim), doublequote=True
+    )
+    for row in reader:
+        return row  # first record only (parse_csv.rs)
+    return []
+
+
+_DURATION_UNITS = {
+    "ns": 1e-9, "us": 1e-6, "µs": 1e-6, "μs": 1e-6,
+    "ms": 1e-3, "cs": 1e-2, "ds": 1e-1, "s": 1.0,
+    "m": 60.0, "h": 3600.0, "d": 86400.0,
+}
+_DURATION_RE = re.compile(
+    r"\s*(\d+(?:\.\d+)?)\s*(ns|us|µs|μs|ms|cs|ds|s|m|h|d)"
+)
+
+
+@_fn("parse_duration")
+def _f_parse_duration(args, kwargs):
+    s = _want_str(_arg(args, kwargs, 0, "value"))
+    unit = _want_str(_arg(args, kwargs, 1, "unit"))
+    if unit not in _DURATION_UNITS:
+        raise VrlRuntimeError(f"unknown duration unit {unit!r}")
+    pos, total = 0, 0.0
+    matched = False
+    while pos < len(s):
+        m = _DURATION_RE.match(s, pos)
+        if not m:
+            break
+        total += float(m.group(1)) * _DURATION_UNITS[m.group(2)]
+        pos = m.end()
+        matched = True
+    if not matched:
+        raise VrlRuntimeError(f"unable to parse duration: {s!r}")
+    return total / _DURATION_UNITS[unit]
+
+
+@_fn("parse_int")
+def _f_parse_int(args, kwargs):
+    s = _want_str(_arg(args, kwargs, 0, "value")).strip()
+    base = _arg(args, kwargs, 1, "base", None)
+    try:
+        if base is not None:
+            return int(s, int(base))
+        neg = s.startswith("-")
+        body = s[1:] if s[0] in "+-" else s
+        sign = -1 if neg else 1
+        if body.startswith(("0x", "0X")):
+            return sign * int(body[2:], 16)
+        if body.startswith(("0b", "0B")):
+            return sign * int(body[2:], 2)
+        if body.startswith(("0o", "0O")):
+            return sign * int(body[2:], 8)
+        if body.startswith("0") and len(body) > 1:
+            return sign * int(body[1:], 8)
+        return sign * int(body, 10)
+    except (ValueError, IndexError) as e:
+        raise VrlRuntimeError(f"could not parse integer: {e}")
+
+
+@_fn("parse_query_string")
+def _f_parse_query_string(args, kwargs):
+    import urllib.parse
+
+    s = _want_str(_arg(args, kwargs, 0, "value")).lstrip("?")
+    if not s:
+        return {}
+    out: dict = {}
+    for part in s.split("&"):
+        if not part:
+            continue
+        k, eq, v = part.partition("=")
+        k = urllib.parse.unquote_plus(k)
+        v = urllib.parse.unquote_plus(v)
+        if k in out:
+            prev = out[k]
+            out[k] = prev + [v] if isinstance(prev, list) else [prev, v]
+        else:
+            out[k] = v
+    return out
+
+
+@_fn("parse_groks")
+def _f_parse_groks(args, kwargs):
+    """parse_groks.rs: try each pattern in order, first match wins."""
+    s = _want_str(_arg(args, kwargs, 0, "value"))
+    patterns = _want_arr(_arg(args, kwargs, 1, "patterns"))
+    last = None
+    for p in patterns:
+        try:
+            return _f_parse_grok([s, p], {"_keep_empty": True})
+        except VrlRuntimeError as e:
+            last = e
+    raise last or VrlRuntimeError(
+        "unable to parse input with grok patterns"
+    )
+
+
+def _xml_node_to_obj(node, include_attr, text_key, always_use_text_key):
+    obj: dict = {}
+    if include_attr:
+        for k, v in node.attrib.items():
+            obj[f"@{k}"] = v
+    children = list(node)
+    if not children:
+        text = (node.text or "").strip()
+        if obj or always_use_text_key:
+            if text or always_use_text_key:
+                obj[text_key] = text
+            return obj
+        return text
+    for child in children:
+        val = _xml_node_to_obj(
+            child, include_attr, text_key, always_use_text_key
+        )
+        if child.tag in obj:
+            prev = obj[child.tag]
+            obj[child.tag] = (
+                prev + [val] if isinstance(prev, list) else [prev, val]
+            )
+        else:
+            obj[child.tag] = val
+    return obj
+
+
+@_fn("parse_xml")
+def _f_parse_xml(args, kwargs):
+    import xml.etree.ElementTree as ET
+
+    s = _want_str(_arg(args, kwargs, 0, "value"))
+    include_attr = _arg(args, kwargs, 1, "include_attr", True)
+    text_key = _arg(args, kwargs, 2, "text_key", "text")
+    always = _arg(args, kwargs, 3, "always_use_text_key", False)
+    try:
+        root = ET.fromstring(s)
+    except ET.ParseError as e:
+        raise VrlRuntimeError(f"unable to parse xml: {e}")
+    return {
+        root.tag: _xml_node_to_obj(root, include_attr, text_key, always)
+    }
+
+
+# ---- redact / strip / syslog maps
+
+
+# area 001-899 except 666, group 01-99, serial 0001-9999
+# (lib/vrl/stdlib/src/redact.rs US_SOCIAL_SECURITY_NUMBER)
+_SSN_RE = re.compile(
+    r"(?:00[1-9]|0[1-9][0-9]|[1-578][0-9]{2}|6[0-57-9][0-9]|66[0-57-9])-"
+    r"(?:0[1-9]|[1-9]0|[1-9][1-9])-"
+    r"(?:000[1-9]|00[1-9]0|0[1-9]00|[1-9]000|[1-9]{4})"
+)
+
+
+@_fn("redact")
+def _f_redact(args, kwargs):
+    v = _arg(args, kwargs, 0, "value")
+    filters = _want_arr(_arg(args, kwargs, 1, "filters"))
+    regexes: list = []
+    for f in filters:
+        if f == "us_social_security_number":
+            regexes.append(_SSN_RE)
+        elif isinstance(f, VRegex):
+            regexes.append(f.re)
+        elif isinstance(f, dict) and f.get("type") == "pattern":
+            for p in f.get("patterns", []):
+                regexes.append(
+                    p.re if isinstance(p, VRegex)
+                    else re.compile(re.escape(_want_str(p)))
+                )
+        else:
+            raise VrlRuntimeError(f"unknown redact filter {f!r}")
+
+    def apply(x):
+        if isinstance(x, str):
+            for rx in regexes:
+                x = rx.sub("[REDACTED]", x)
+            return x
+        if isinstance(x, list):
+            return [apply(i) for i in x]
+        if isinstance(x, dict):
+            return {k: apply(i) for k, i in x.items()}
+        return x
+
+    return apply(v)
+
+
+_ANSI_RE = re.compile(
+    r"\x1B(?:[@-Z\\-_]|\[[0-?]*[ -/]*[@-~]|\][^\x07]*(?:\x07|\x1B\\))"
+)
+
+
+@_fn("strip_ansi_escape_codes")
+def _f_strip_ansi(args, kwargs):
+    return _ANSI_RE.sub("", _want_str(_arg(args, kwargs, 0, "value")))
+
+
+_SYSLOG_FACILITIES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "security", "console",
+    "solaris-cron", "local0", "local1", "local2", "local3", "local4",
+    "local5", "local6", "local7",
+]
+_SYSLOG_LEVELS = [
+    "emerg", "alert", "crit", "err", "warning", "notice", "info",
+    "debug",
+]
+
+
+@_fn("to_syslog_facility")
+def _f_to_syslog_facility(args, kwargs):
+    v = _arg(args, kwargs, 0, "value")
+    if not isinstance(v, int) or isinstance(v, bool):
+        raise VrlRuntimeError(f"expected integer, got {type_name(v)}")
+    if not 0 <= v < len(_SYSLOG_FACILITIES):
+        raise VrlRuntimeError(f"facility code {v} not valid")
+    return _SYSLOG_FACILITIES[v]
+
+
+@_fn("to_syslog_level")
+def _f_to_syslog_level(args, kwargs):
+    v = _arg(args, kwargs, 0, "value")
+    if not isinstance(v, int) or isinstance(v, bool):
+        raise VrlRuntimeError(f"expected integer, got {type_name(v)}")
+    if not 0 <= v < len(_SYSLOG_LEVELS):
+        raise VrlRuntimeError(f"severity level {v} not valid")
+    return _SYSLOG_LEVELS[v]
+
+
+_SYSLOG_SEVERITY = {
+    "emerg": 0, "panic": 0, "alert": 1, "crit": 2, "err": 3,
+    "error": 3, "warning": 4, "warn": 4, "notice": 5, "info": 6,
+    "informational": 6, "debug": 7,
+}
+
+
+@_fn("to_syslog_severity")
+def _f_to_syslog_severity(args, kwargs):
+    s = _want_str(_arg(args, kwargs, 0, "value"))
+    try:
+        return _SYSLOG_SEVERITY[s]
+    except KeyError:
+        raise VrlRuntimeError(f"level {s} not valid")
 
 
 # ---------------------------------------------------------------------------

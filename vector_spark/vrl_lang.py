@@ -117,12 +117,17 @@ def tokenize(src: str) -> list[Tok]:
 def _unescape(body: str) -> str:
     # escaped newline swallows the newline and the next line's indent
     body = re.sub(r"\\\r?\n[ \t]*", "", body)
+    # escape set per the reference lexer (lib/vrl/parser/src/lex.rs
+    # unescape_string_literal / escape_code): \' \" \\ \n \r \t \{ \}
     return (
         body.replace(r"\\", "\x00")
         .replace(r"\n", "\n")
+        .replace(r"\r", "\r")
         .replace(r"\t", "\t")
         .replace(r"\"", '"')
         .replace(r"\'", "'")
+        .replace(r"\{", "{")
+        .replace(r"\}", "}")
         .replace("\x00", "\\")
     )
 
