@@ -31,6 +31,49 @@ def _g(line: Column, pat: str, i: int) -> Column:
     return F.nullif(F.regexp_extract(line, pat, i), F.lit(""))
 
 
+_GROUP_UDFS: dict[str, object] = {}
+
+
+def _groups(line: Column, pat: str, n: int) -> Column:
+    """ONE anchored-regex pass over the line, as an Arrow-batched
+    pandas UDF returning the full capture-group array (null on
+    non-match). The naive per-field regexp_extract re-executes the
+    full pattern once per column — a 10-30x per-row regex blowup —
+    and JVM-side single-pass tricks (regexp_replace into a joined
+    group string) are defeated by CollapseProject duplicating the
+    shared subtree per field. Spark extracts Python UDFs into a
+    single ArrowEvalPython node and dedupes identical UDF
+    expressions, so referencing this column from every field is
+    guaranteed one regex execution per row."""
+    udf = _GROUP_UDFS.get(pat)
+    if udf is None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def group_udf(s, _pat=pat):
+            import re as _re
+
+            rx = _re.compile(_pat)
+
+            def m(x):
+                if x is None:
+                    return None
+                mm = rx.match(x)
+                if mm is None:
+                    return None
+                return ["" if v is None else v for v in mm.groups()]
+
+            return s.map(m)
+
+        udf = _GROUP_UDFS[pat] = group_udf
+    return udf(line)
+
+
+def _gi(parts: Column, i: int) -> Column:
+    """1-based group accessor; unmatched optional groups are ''."""
+    return F.nullif(parts.getItem(i - 1), F.lit(""))
+
+
 # ---------------------------------------------------------------------------
 # apache error (parse_apache_log.rs format="error";
 # log_util.rs REGEX_APACHE_ERROR_LOG "simple format")
@@ -52,19 +95,18 @@ def parse_apache_error(
     The default apache error timestamp leads with a day-of-week name,
     which Spark >=3 refuses to PARSE (EEE is format-only) — it is
     redundant with the date, so it's stripped before to_timestamp."""
-    line = F.col(line_col)
-    p = APACHE_ERROR_PATTERN
-    ts_raw = F.regexp_replace(_g(line, p, 1), r"^\w{3} ", "")
+    g = _groups(F.col(line_col), APACHE_ERROR_PATTERN, 8)
+    ts_raw = F.regexp_replace(_gi(g, 1), r"^\w{3} ", "")
     return (
         df.withColumn("timestamp", F.to_timestamp(ts_raw, ts_format))
-        .withColumn("module", _g(line, p, 2))
-        .withColumn("severity", _g(line, p, 3))
-        .withColumn("pid", _g(line, p, 4).cast("int"))
-        .withColumn("thread", _g(line, p, 5))
-        .withColumn("client", _g(line, p, 6))
-        .withColumn("port", _g(line, p, 7).cast("int"))
-        .withColumn("message", _g(line, p, 8))
-        .withColumn("_parse_error", _g(line, p, 2).isNull())
+        .withColumn("module", _gi(g, 2))
+        .withColumn("severity", _gi(g, 3))
+        .withColumn("pid", _gi(g, 4).cast("int"))
+        .withColumn("thread", _gi(g, 5))
+        .withColumn("client", _gi(g, 6))
+        .withColumn("port", _gi(g, 7).cast("int"))
+        .withColumn("message", _gi(g, 8))
+        .withColumn("_parse_error", g.isNull())
     )
 
 
@@ -99,37 +141,37 @@ def parse_nginx_log(
     """
     line = F.col(line_col)
     if format == "combined":
-        p = NGINX_COMBINED_PATTERN
+        g = _groups(line, NGINX_COMBINED_PATTERN, 11)
         fmt = ts_format or "dd/MMM/yyyy:HH:mm:ss Z"
         return (
-            df.withColumn("client", _g(line, p, 1))
-            .withColumn("user", F.when(_g(line, p, 2) != "-", _g(line, p, 2)))
-            .withColumn("timestamp", F.to_timestamp(_g(line, p, 3), fmt))
-            .withColumn("method", _g(line, p, 4))
-            .withColumn("path", _g(line, p, 5))
-            .withColumn("protocol", _g(line, p, 6))
-            .withColumn("status", _g(line, p, 7).cast("int"))
-            .withColumn("size", _g(line, p, 8).cast("long"))
-            .withColumn("referer", F.when(_g(line, p, 9) != "-", _g(line, p, 9)))
-            .withColumn("agent", F.when(_g(line, p, 10) != "-", _g(line, p, 10)))
-            .withColumn("compression", F.when(_g(line, p, 11) != "-", _g(line, p, 11)))
-            .withColumn("_parse_error", _g(line, p, 1).isNull())
+            df.withColumn("client", _gi(g, 1))
+            .withColumn("user", F.when(_gi(g, 2) != "-", _gi(g, 2)))
+            .withColumn("timestamp", F.to_timestamp(_gi(g, 3), fmt))
+            .withColumn("method", _gi(g, 4))
+            .withColumn("path", _gi(g, 5))
+            .withColumn("protocol", _gi(g, 6))
+            .withColumn("status", _gi(g, 7).cast("int"))
+            .withColumn("size", _gi(g, 8).cast("long"))
+            .withColumn("referer", F.when(_gi(g, 9) != "-", _gi(g, 9)))
+            .withColumn("agent", F.when(_gi(g, 10) != "-", _gi(g, 10)))
+            .withColumn("compression", F.when(_gi(g, 11) != "-", _gi(g, 11)))
+            .withColumn("_parse_error", g.isNull())
         )
     if format == "error":
-        p = NGINX_ERROR_PATTERN
+        g = _groups(line, NGINX_ERROR_PATTERN, 10)
         fmt = ts_format or "yyyy/MM/dd HH:mm:ss"
         return (
-            df.withColumn("timestamp", F.to_timestamp(_g(line, p, 1), fmt))
-            .withColumn("severity", _g(line, p, 2))
-            .withColumn("pid", _g(line, p, 3).cast("int"))
-            .withColumn("tid", _g(line, p, 4).cast("int"))
-            .withColumn("cid", _g(line, p, 5).cast("int"))
-            .withColumn("message", _g(line, p, 6))
-            .withColumn("client", _g(line, p, 7))
-            .withColumn("server", _g(line, p, 8))
-            .withColumn("request", _g(line, p, 9))
-            .withColumn("host", _g(line, p, 10))
-            .withColumn("_parse_error", _g(line, p, 2).isNull())
+            df.withColumn("timestamp", F.to_timestamp(_gi(g, 1), fmt))
+            .withColumn("severity", _gi(g, 2))
+            .withColumn("pid", _gi(g, 3).cast("int"))
+            .withColumn("tid", _gi(g, 4).cast("int"))
+            .withColumn("cid", _gi(g, 5).cast("int"))
+            .withColumn("message", _gi(g, 6))
+            .withColumn("client", _gi(g, 7))
+            .withColumn("server", _gi(g, 8))
+            .withColumn("request", _gi(g, 9))
+            .withColumn("host", _gi(g, 10))
+            .withColumn("_parse_error", g.isNull())
         )
     raise ValueError(f"unknown nginx format {format!r}")
 
@@ -159,19 +201,18 @@ def _glog_level(c: Column) -> Column:
 def parse_glog(df: DataFrame, line_col: str = "line") -> DataFrame:
     """parse_glog.rs: L<yyyymmdd hh:mm:ss.ffffff> id file:line] msg;
     level letter maps I/W/E/F -> info/warning/error/fatal."""
-    line = F.col(line_col)
-    p = GLOG_PATTERN
+    g = _groups(F.col(line_col), GLOG_PATTERN, 6)
     return (
-        df.withColumn("level", _glog_level(_g(line, p, 1)))
+        df.withColumn("level", _glog_level(_gi(g, 1)))
         .withColumn(
             "timestamp",
-            F.to_timestamp(_g(line, p, 2), "yyyyMMdd HH:mm:ss.SSSSSS"),
+            F.to_timestamp(_gi(g, 2), "yyyyMMdd HH:mm:ss.SSSSSS"),
         )
-        .withColumn("id", _g(line, p, 3).cast("long"))
-        .withColumn("file", _g(line, p, 4))
-        .withColumn("line_no", _g(line, p, 5).cast("long"))
-        .withColumn("message", _g(line, p, 6))
-        .withColumn("_parse_error", _g(line, p, 1).isNull())
+        .withColumn("id", _gi(g, 3).cast("long"))
+        .withColumn("file", _gi(g, 4))
+        .withColumn("line_no", _gi(g, 5).cast("long"))
+        .withColumn("message", _gi(g, 6))
+        .withColumn("_parse_error", g.isNull())
     )
 
 
@@ -183,17 +224,16 @@ def parse_klog(
     reproducible in batch, so pass `year` explicitly for a resolved
     timestamp, or leave None to keep the raw `timestamp` string
     (documented divergence)."""
-    line = F.col(line_col)
-    p = KLOG_PATTERN
+    g = _groups(F.col(line_col), KLOG_PATTERN, 6)
     out = (
-        df.withColumn("level", _glog_level(_g(line, p, 1)))
-        .withColumn("id", _g(line, p, 3).cast("long"))
-        .withColumn("file", _g(line, p, 4))
-        .withColumn("line_no", _g(line, p, 5).cast("long"))
-        .withColumn("message", _g(line, p, 6))
-        .withColumn("_parse_error", _g(line, p, 1).isNull())
+        df.withColumn("level", _glog_level(_gi(g, 1)))
+        .withColumn("id", _gi(g, 3).cast("long"))
+        .withColumn("file", _gi(g, 4))
+        .withColumn("line_no", _gi(g, 5).cast("long"))
+        .withColumn("message", _gi(g, 6))
+        .withColumn("_parse_error", g.isNull())
     )
-    raw = _g(line, p, 2)
+    raw = _gi(g, 2)
     if year is None:
         return out.withColumn("timestamp", raw)
     return out.withColumn(
@@ -222,19 +262,18 @@ def parse_syslog_3164(
     RFC3164 timestamps carry no year (the reference resolves against
     the current date); pass `year` for a resolved timestamp, else the
     raw string is kept."""
-    line = F.col(line_col)
-    p = SYSLOG_3164_PATTERN
-    pri = _g(line, p, 1).cast("int")
+    g = _groups(F.col(line_col), SYSLOG_3164_PATTERN, 6)
+    pri = _gi(g, 1).cast("int")
     out = (
         df.withColumn("facility", (pri / 8).cast("int"))
         .withColumn("severity", pri % 8)
-        .withColumn("hostname", _g(line, p, 3))
-        .withColumn("appname", _g(line, p, 4))
-        .withColumn("procid", _g(line, p, 5).cast("long"))
-        .withColumn("message", _g(line, p, 6))
-        .withColumn("_parse_error", _g(line, p, 2).isNull())
+        .withColumn("hostname", _gi(g, 3))
+        .withColumn("appname", _gi(g, 4))
+        .withColumn("procid", _gi(g, 5).cast("long"))
+        .withColumn("message", _gi(g, 6))
+        .withColumn("_parse_error", g.isNull())
     )
-    raw = _g(line, p, 2)
+    raw = _gi(g, 2)
     if year is None:
         return out.withColumn("timestamp", raw)
     return out.withColumn(
@@ -325,12 +364,12 @@ def parse_aws_alb_log(df: DataFrame, line_col: str = "line") -> DataFrame:
     trailing optional group absorbs the newer target-list/
     classification columns, which ride behind `request_creation_time`
     era fields in the reference too)."""
-    line = F.col(line_col)
+    g = _groups(F.col(line_col), ALB_PATTERN, len(_ALB_FIELDS))
     out = df
     for i, (name, _, is_int) in enumerate(_ALB_FIELDS):
-        raw = F.nullif(_g(line, ALB_PATTERN, i + 1), F.lit("-"))
+        raw = F.nullif(_gi(g, i + 1), F.lit("-"))
         out = out.withColumn(name, raw.cast("long") if is_int else raw)
-    return out.withColumn("_parse_error", _g(line, ALB_PATTERN, 1).isNull())
+    return out.withColumn("_parse_error", g.isNull())
 
 
 # ---------------------------------------------------------------------------
