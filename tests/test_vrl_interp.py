@@ -24,18 +24,10 @@ FIXTURES = os.path.join(
 )
 CASES = json.load(open(FIXTURES))
 
-# name -> reason. Both are static type_def-lattice internals (the
-# reference's type checker, not event data processing): exact object
-# typedefs flowing through parse_aws_cloudwatch… + unnest + closure
-# arguments, and a per-field metadata typedef root.
-KNOWN_DIVERGENCES = {
-    "internal__closure_arg_kind": (
-        "type_def propagation through unnest/closure args not modeled"
-    ),
-    "internal__metadata_typedef": (
-        "per-field metadata type_def root not modeled"
-    ),
-}
+# name -> reason; currently empty — all 164 corpus programs pass
+# strictly, including the type_def-lattice internals (metadata
+# typedef root, unnest/closure-arg type propagation).
+KNOWN_DIVERGENCES: dict[str, str] = {}
 
 
 def strict_same(got, want) -> bool:
@@ -71,11 +63,11 @@ def test_vrl_interp_program(case):
 
 
 def test_vrl_interp_floor():
-    """The corpus must stay ≥160 strictly-passing programs; a parser
+    """The corpus must stay ≥164 strictly-passing programs; a parser
     or stdlib regression shows up here even if individual case names
     churn on re-harvest."""
     runnable = [c for c in CASES if c["name"] not in KNOWN_DIVERGENCES]
-    assert len(runnable) >= 160, f"corpus shrank to {len(runnable)}"
+    assert len(runnable) >= 164, f"corpus shrank to {len(runnable)}"
 
 
 def test_remap_interp_distributed(spark):

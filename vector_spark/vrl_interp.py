@@ -397,6 +397,31 @@ _FN_TDEF = {
     "remove": {"any": True},
     "unnest": {"array": {}},
     "get_metadata_field": {"any": True},
+    # exact output shape (parse_aws_cloudwatch_log_subscription_message
+    # .rs type_def): arrays of unknown length carry their element kind
+    # as array_unknown_exact
+    "parse_aws_cloudwatch_log_subscription_message": {
+        "object": {
+            "owner": {"bytes": True},
+            "message_type": {"bytes": True},
+            "log_group": {"bytes": True},
+            "log_stream": {"bytes": True},
+            "subscription_filters": {
+                "array": {},
+                "array_unknown_exact": {"bytes": True},
+            },
+            "log_events": {
+                "array": {},
+                "array_unknown_exact": {
+                    "object": {
+                        "id": {"bytes": True},
+                        "message": {"bytes": True},
+                        "timestamp": {"timestamp": True},
+                    }
+                },
+            },
+        }
+    },
 }
 
 
@@ -413,6 +438,7 @@ class Interp:
         # static type-flow state
         self.tvars: dict[str, dict] = {}
         self.troot: dict = td_of_value(self.event, external=True)
+        self.tmeta: dict = td_of_value(self.meta)
 
     # ---- program ----
 
@@ -599,19 +625,26 @@ class Interp:
             self.troot = td_del(self.troot, segs)
 
     def t_state(self):
-        return copy.deepcopy(self.tvars), copy.deepcopy(self.troot)
+        return (
+            copy.deepcopy(self.tvars),
+            copy.deepcopy(self.troot),
+            copy.deepcopy(self.tmeta),
+        )
 
     def t_restore(self, st):
-        self.tvars, self.troot = copy.deepcopy(st[0]), copy.deepcopy(st[1])
+        self.tvars = copy.deepcopy(st[0])
+        self.troot = copy.deepcopy(st[1])
+        self.tmeta = copy.deepcopy(st[2])
 
     def t_union_states(self, a, b):
-        avars, aroot = a
-        bvars, broot = b
+        avars, aroot, ameta = a
+        bvars, broot, bmeta = b
         names = set(avars) | set(bvars)
         self.tvars = {
             n: td_union(avars.get(n), bvars.get(n)) for n in names
         }
         self.troot = td_union(aroot, broot)
+        self.tmeta = td_union(ameta, bmeta)
 
     def t_stmt(self, node) -> dict:
         """Apply a statement's static type effects; returns its td."""
@@ -799,6 +832,70 @@ class Interp:
             return td
         if name == "type_def":
             return {"object": {}}
+        if name in (
+            "get_metadata_field",
+            "set_metadata_field",
+            "remove_metadata_field",
+        ) and node.args and isinstance(node.args[0], Path):
+            segs = node.args[0].segments
+            if name == "get_metadata_field":
+                return (
+                    copy.deepcopy(self.tmeta)
+                    if not segs
+                    else td_at(self.tmeta, segs)
+                )
+            if name == "set_metadata_field":
+                vtd = (
+                    self.t_expr(node.args[1])
+                    if len(node.args) > 1
+                    else dict(TD_NULL)
+                )
+                if segs:
+                    self.tmeta = td_set(self.tmeta, segs, vtd)
+                else:
+                    self.tmeta = vtd
+                return dict(TD_NULL)
+            # remove_metadata_field
+            if segs:
+                self.tmeta = td_del(self.tmeta, segs)
+            else:
+                self.tmeta = {"object": {}}
+            return dict(TD_NULL)
+        if name == "unnest" and node.args:
+            # type_def.rs: unnest(.x) turns the root into an array
+            # whose element is the root with .x replaced by the
+            # array's element kind
+            t = self.target_of(node.args[0])
+            if t is not None:
+                if t[0] == "event":
+                    base_td, segs = self.troot, t[1]
+                else:
+                    base_td, segs = self.tvars.get(t[1]), t[2]
+                if base_td is not None:
+                    arr_td = td_at(base_td, segs)
+                    elem = arr_td.get("array_unknown_exact")
+                    if elem is None:
+                        elem = (
+                            td_element(arr_td)
+                            if "array" in arr_td
+                            else dict(TD_ANY)
+                        )
+                    new_root = (
+                        td_set(base_td, segs, elem) if segs else elem
+                    )
+                    return {
+                        "array": {},
+                        "array_unknown_exact": new_root,
+                    }
+            return {"array": {}}
+        if node.closure is not None and node.args:
+            # stash the closure argument's element kind NOW — the
+            # enclosing assignment's t_stmt overwrites the state
+            # before exec reaches the closure body (closure_arg_kind)
+            try:
+                node._elem_td = td_element(self.t_expr(node.args[0]))
+            except Exception:
+                node._elem_td = dict(TD_ANY)
         return copy.deepcopy(_FN_TDEF.get(name, dict(TD_ANY)))
 
     # ---- dynamic execution ----
@@ -1079,9 +1176,27 @@ class Interp:
         recursive = False
         if node.kwargs.get("recursive") is not None:
             recursive = bool(self.eval(node.kwargs["recursive"]))
+        # static kind of the closure's value argument: the element
+        # kind of the collection expression (type_def.rs closure
+        # binding — vrl/tests internal/closure_arg_kind.vrl). Prefer
+        # the td stashed by t_call at the static phase — by exec time
+        # the enclosing assignment has already overwritten the state.
+        elem_td = getattr(node, "_elem_td", None)
+        if elem_td is None:
+            try:
+                elem_td = td_element(self.t_expr(node.args[0]))
+            except Exception:
+                elem_td = dict(TD_ANY)
+        key_td = (
+            {"integer": True} if isinstance(coll, list) else {"bytes": True}
+        )
 
-        def run_body(bindings: dict):
+        def run_body(bindings: dict, tbinds: dict | None = None):
             self.scopes.append(dict(bindings))
+            saved: dict = {}
+            for k, td in (tbinds or {}).items():
+                saved[k] = self.tvars.get(k)
+                self.tvars[k] = copy.deepcopy(td)
             try:
                 val = None
                 for s in body:
@@ -1089,6 +1204,11 @@ class Interp:
                 return val
             finally:
                 self.scopes.pop()
+                for k, old in saved.items():
+                    if old is None:
+                        self.tvars.pop(k, None)
+                    else:
+                        self.tvars[k] = old
 
         if name in ("map_values",):
             def map_vals(c):
@@ -1098,7 +1218,10 @@ class Interp:
                         if recursive and isinstance(v, (dict, list)):
                             v = map_vals(v)
                         out.append(
-                            run_body({params[0]: copy.deepcopy(v)})
+                            run_body(
+                                {params[0]: copy.deepcopy(v)},
+                                {params[0]: elem_td},
+                            )
                         )
                     return out
                 if isinstance(c, dict):
@@ -1108,7 +1231,8 @@ class Interp:
                         if recursive and isinstance(v, (dict, list)):
                             v = map_vals(v)
                         out[k] = run_body(
-                            {params[0]: copy.deepcopy(v)}
+                            {params[0]: copy.deepcopy(v)},
+                            {params[0]: elem_td},
                         )
                     return out
                 raise VrlRuntimeError(
@@ -1125,7 +1249,9 @@ class Interp:
             def map_keys_in(c):
                 if isinstance(c, dict):
                     return {
-                        run_body({params[0]: k}): (
+                        run_body(
+                            {params[0]: k}, {params[0]: {"bytes": True}}
+                        ): (
                             map_keys_in(v)
                             if recursive and isinstance(v, (dict, list))
                             else copy.deepcopy(v)
@@ -1149,7 +1275,8 @@ class Interp:
                         {
                             params[0]: i,
                             params[1]: copy.deepcopy(v),
-                        }
+                        },
+                        {params[0]: key_td, params[1]: elem_td},
                     )
                 return None
             if isinstance(coll, dict):
@@ -1158,7 +1285,8 @@ class Interp:
                         {
                             params[0]: k,
                             params[1]: copy.deepcopy(coll[k]),
-                        }
+                        },
+                        {params[0]: key_td, params[1]: elem_td},
                     )
                 return None
             raise VrlRuntimeError(
@@ -1170,7 +1298,8 @@ class Interp:
                     v
                     for i, v in enumerate(coll)
                     if run_body(
-                        {params[0]: i, params[1]: copy.deepcopy(v)}
+                        {params[0]: i, params[1]: copy.deepcopy(v)},
+                        {params[0]: key_td, params[1]: elem_td},
                     )
                     is True
                 ]
@@ -1179,7 +1308,8 @@ class Interp:
                     k: v
                     for k, v in coll.items()
                     if run_body(
-                        {params[0]: k, params[1]: copy.deepcopy(v)}
+                        {params[0]: k, params[1]: copy.deepcopy(v)},
+                        {params[0]: key_td, params[1]: elem_td},
                     )
                     is True
                 }
