@@ -955,6 +955,36 @@ def q_remap_vrl_interp(spark, sf_dir):
     )
 
 
+def q_datadog_filter(spark, sf_dir):
+    """Datadog Log Search condition (src/conditions/datadog_search.rs)
+    over a datadog-shaped view of the parsed transcripts: reserved
+    `message` prefix match, numeric facet comparison on
+    `custom.latency`, and tag membership in the `tags` array — one
+    Catalyst boolean, no Python in the row path."""
+    from vector_spark.datadog_search import datadog_search
+
+    base = _parsed(spark, sf_dir).filter(~F.col("_parse_error"))
+    shaped = base.select(
+        "conv_id",
+        "turn_idx",
+        F.col("msg").alias("message"),
+        F.array(
+            F.concat(F.lit("level:"), F.col("level")),
+            F.concat(
+                F.lit("tool:"), F.coalesce(F.col("tool"), F.lit("none"))
+            ),
+        ).alias("tags"),
+        F.struct(F.col("latency_ms").alias("latency")).alias("custom"),
+    )
+    cond = datadog_search(
+        "message:alpha* OR (@latency:>250 AND level:ERROR)",
+        shaped.schema,
+    )
+    return shaped.filter(F.coalesce(cond, F.lit(False))).select(
+        "conv_id", "turn_idx", "message"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse -> enrich -> route -> hourly aggregate at sf0.001."""
     routed = build_flagship(spark, SF0001)
@@ -1021,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cloudwatch_parse": q_cloudwatch_parse,
         "remap_vrl": q_remap_vrl,
         "remap_vrl_interp": q_remap_vrl_interp,
+        "datadog_filter": q_datadog_filter,
     }
 
 
@@ -1689,6 +1720,18 @@ FROM parsed WHERE NOT parse_error
 SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
        lower(level) AS sev_lc, latency_ms > 250 AS slow
 FROM parsed WHERE NOT parse_error AND level <> 'DEBUG'
+"""
+    )
+
+    # `message` is a DEFAULT field (field.rs DEFAULT_FIELDS), so
+    # `message:alpha*` is the word-boundary regex \balpha.*\b, not a
+    # whole-value prefix
+    o["datadog_filter"] = _with(
+        r"""
+SELECT conv_id, turn_idx, msg AS message FROM parsed
+WHERE NOT parse_error
+  AND (regexp_matches(msg, '\balpha.*\b')
+       OR (latency_ms > 250 AND level = 'ERROR'))
 """
     )
 

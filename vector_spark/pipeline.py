@@ -61,11 +61,14 @@ RESERVED_PORTS = {"_default", UNMATCHED, "dropped"}
 # ---------------------------------------------------------------------------
 
 
-def compile_condition(spec: Any) -> Column:
+def compile_condition(spec: Any, schema=None) -> Column:
     """Condition spec (src/conditions/mod.rs:23-51 analogue):
     str -> raw SQL boolean (the VRL-condition stand-in);
     {"type": "check_fields", **pairs} -> check_fields DSL;
-    {"type": "vrl", "source": expr} -> raw SQL boolean."""
+    {"type": "vrl", "source": expr} -> raw SQL boolean;
+    {"type": "datadog_search", "source": query} -> Datadog Log
+    Search syntax (pass `schema` so absent fields compile to false
+    instead of failing analysis)."""
     if isinstance(spec, str):
         return vrl_expr(spec)
     if isinstance(spec, dict):
@@ -75,6 +78,10 @@ def compile_condition(spec: Any) -> Column:
             return check_fields(**pairs)
         if kind == "vrl":
             return vrl_expr(spec["source"])
+        if kind == "datadog_search":
+            from vector_spark.datadog_search import datadog_search
+
+            return datadog_search(spec["source"], schema)
     raise ValueError(f"bad condition spec: {spec!r}")
 
 
@@ -84,7 +91,7 @@ def compile_condition(spec: Any) -> Column:
 
 
 def _t_filter(df, opts, ctx):
-    return filter_events(df, compile_condition(opts["condition"]))
+    return filter_events(df, compile_condition(opts["condition"], df.schema))
 
 
 def _t_remap(df, opts, ctx):
@@ -160,7 +167,7 @@ def _t_parse_grok(df, opts, ctx):
 
 
 def _t_route(df, opts, ctx):
-    conds = {n: compile_condition(c) for n, c in opts["routes"].items()}
+    conds = {n: compile_condition(c, df.schema) for n, c in opts["routes"].items()}
     tagged = route_single_pass(df, conds)
     # when the route's ports feed more than one downstream edge, each
     # per-port filter would otherwise recompute the whole upstream
@@ -196,14 +203,14 @@ def _t_throttle(df, opts, ctx):
     return throttle(df, threshold=opts["threshold"],
                     window_secs=opts.get("window_secs", 3600),
                     key=opts.get("key", []), order_by=opts.get("order_by", []),
-                    exclude=compile_condition(opts["exclude"]) if "exclude" in opts else None)
+                    exclude=compile_condition(opts["exclude"], df.schema) if "exclude" in opts else None)
 
 
 def _t_log_to_metric(df, opts, ctx):
     specs = [
         MetricSpec(
             kind=s["kind"], name=s["name"], field_=s.get("field"),
-            condition=compile_condition(s["condition"]) if "condition" in s else None,
+            condition=compile_condition(s["condition"], df.schema) if "condition" in s else None,
         )
         for s in opts["metrics"]
     ]
