@@ -955,6 +955,21 @@ def q_remap_vrl_interp(spark, sf_dir):
     )
 
 
+def q_gelf_decode(spark, sf_dir):
+    """GELF codec (lib/codecs/src/decoding/format/gelf.rs): decode
+    generated GELF JSON lines — core field mapping (short_message ->
+    message, fractional-epoch timestamp) plus `_`-prefixed additional
+    fields in a map."""
+    from vector_spark.sources import decode_gelf, demo_logs_gelf
+
+    out = decode_gelf(demo_logs_gelf(spark, sf_dir))
+    return out.select(
+        "event_id", "version", "host", "message", "timestamp", "level",
+        F.col("additional")["_app"].alias("app"),
+        F.col("additional")["_seq"].alias("seq"),
+    )
+
+
 def q_datadog_filter(spark, sf_dir):
     """Datadog Log Search condition (src/conditions/datadog_search.rs)
     over a datadog-shaped view of the parsed transcripts: reserved
@@ -1052,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remap_vrl": q_remap_vrl,
         "remap_vrl_interp": q_remap_vrl_interp,
         "datadog_filter": q_datadog_filter,
+        "gelf_decode": q_gelf_decode,
     }
 
 
@@ -1734,6 +1750,19 @@ WHERE NOT parse_error
        OR (latency_ms > 250 AND level = 'ERROR'))
 """
     )
+
+    o["gelf_decode"] = """
+SELECT event_id,
+  '1.1' AS version,
+  'host-' || (event_id % 8) AS host,
+  'event ' || event_id AS message,
+  make_timestamp(CAST((floor(epoch(ts)) + 0.25) * 1000000 AS BIGINT))
+    AS timestamp,
+  CAST(event_id % 8 AS BIGINT) AS level,
+  'app-' || (event_id % 3) AS app,
+  CAST(event_id AS VARCHAR) AS seq
+FROM events
+"""
 
     # docs_minhash_lsh / docs_simhash intentionally have no oracle:
     # LSH banding is approximate-by-construction (rows-only check);

@@ -63,3 +63,34 @@ def test_syslog_priority_decomposition(spark):
     # pri = 8 + event_id%16 in [8, 23] -> facility 1-2, severity 0-7
     assert all(r["facility"] in (1, 2) for r in rows)
     assert all(0 <= r["severity"] <= 7 for r in rows)
+
+
+def test_decode_gelf_strict(spark):
+    """gelf.rs strictness: version must be 1.1, host/short_message
+    required, _id dropped, invalid additional names flag the row."""
+    from vector_spark.sources import decode_gelf
+
+    lines = [
+        # valid, with additional fields and an _id to drop
+        '{"version":"1.1","host":"h1","short_message":"ok",'
+        '"timestamp":1600000000.5,"level":3,"_app":"web","_id":"x"}',
+        # wrong version
+        '{"version":"1.0","host":"h1","short_message":"old"}',
+        # missing host
+        '{"version":"1.1","short_message":"nohost"}',
+        # invalid additional name (space)
+        '{"version":"1.1","host":"h1","short_message":"bad",'
+        '"_bad name":"x"}',
+        # not json
+        'not json at all',
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    out = decode_gelf(df).collect()
+    assert [r["_decode_error"] for r in out] == [
+        False, True, True, True, True,
+    ]
+    ok = out[0]
+    assert ok["message"] == "ok" and ok["host"] == "h1"
+    assert ok["additional"] == {"_app": "web"}  # _id filtered
+    assert ok["level"] == 3
+    assert ok["timestamp"].microsecond == 500000

@@ -512,3 +512,89 @@ def assemble_multiline_lines(
         )
         .withColumnRenamed("_event", "event_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# GELF codec (lib/codecs/src/decoding/format/gelf.rs)
+# ---------------------------------------------------------------------------
+
+GELF_CORE_SCHEMA = T.StructType([
+    T.StructField("version", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("short_message", T.StringType()),
+    T.StructField("full_message", T.StringType()),
+    T.StructField("timestamp", T.DoubleType()),
+    T.StructField("level", T.LongType()),
+    T.StructField("facility", T.StringType()),
+    T.StructField("line", T.DoubleType()),
+    T.StructField("file", T.StringType()),
+])
+
+
+def decode_gelf(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """GELF deserializer (gelf.rs message_to_event), strict per the
+    reference: version must be "1.1", host and short_message are
+    required, `short_message` lands on `message`, `timestamp` is
+    fractional epoch seconds, additional fields must be `_`-prefixed
+    word/dash/dot names (`_id` silently dropped, gelf.rs:132-148) and
+    surface in an `additional` map<string,string>. Spec violations
+    set `_decode_error` instead of erroring the batch."""
+    col = F.col(line_col)
+    core = F.from_json(col, GELF_CORE_SCHEMA)
+    allmap = F.from_json(col, "map<string,string>")
+    extras = F.map_filter(
+        allmap,
+        lambda k, v: k.startswith("_")
+        & (k != "_id")
+        & k.rlike(r"^_[\w.\-]*$"),
+    )
+    bad_extra = F.exists(
+        F.map_keys(allmap),
+        lambda k: k.startswith("_") & ~k.rlike(r"^_[\w.\-]*$"),
+    )
+    err = (
+        allmap.isNull()
+        | core["version"].isNull()
+        | (core["version"] != "1.1")
+        | core["host"].isNull()
+        | core["short_message"].isNull()
+        | F.coalesce(bad_extra, F.lit(False))
+    )
+    return df.select(
+        *[c for c in df.columns if c != line_col],
+        core["version"].alias("version"),
+        core["host"].alias("host"),
+        core["short_message"].alias("message"),
+        core["full_message"].alias("full_message"),
+        F.to_timestamp(core["timestamp"]).alias("timestamp"),
+        core["level"].alias("level"),
+        core["facility"].alias("facility"),
+        core["line"].alias("line_number"),
+        core["file"].alias("file"),
+        extras.alias("additional"),
+        err.alias("_decode_error"),
+    )
+
+
+def demo_logs_gelf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GELF JSON lines derived from events (the
+    demo_logs generator pattern) — core fields + two `_` additional
+    fields, DuckDB-rederivable field by field."""
+    line = F.to_json(
+        F.struct(
+            F.lit("1.1").alias("version"),
+            F.concat(F.lit("host-"), (_e() % 8).cast("string")).alias(
+                "host"
+            ),
+            F.concat(F.lit("event "), _e().cast("string")).alias(
+                "short_message"
+            ),
+            (F.unix_timestamp("ts") + 0.25).alias("timestamp"),
+            (_e() % 8).alias("level"),
+            F.concat(F.lit("app-"), (_e() % 3).cast("string")).alias(
+                "_app"
+            ),
+            _e().cast("string").alias("_seq"),
+        )
+    )
+    return _events(spark, sf_dir).select("event_id", line.alias("line"))
