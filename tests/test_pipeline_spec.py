@@ -166,3 +166,65 @@ def test_sink_timestamp_format(spark, transcripts):
     }})
     with pytest.raises(PipelineError):
         run_pipeline(_ctx(spark), bad, {"transcripts": transcripts})
+
+
+def test_file_sink_codecs(spark, tmp_path):
+    """file sink (src/sinks/file) with json/logfmt/text/gelf encoding
+    codecs: newline-framed encoded events, round-trippable."""
+    import json as _json
+
+    df = spark.createDataFrame(
+        [("h1", "hello world", 3), ("h2", "bye", 5)],
+        "host string, message string, level long",
+    )
+    spec = {
+        "sources": {"logs": {"type": "parquet"}},
+        "sinks": {
+            "j": {"type": "file", "inputs": ["logs"],
+                  "path": str(tmp_path / "j"),
+                  "encoding": {"codec": "json"}},
+            "l": {"type": "file", "inputs": ["logs"],
+                  "path": str(tmp_path / "l"),
+                  "encoding": {"codec": "logfmt"}},
+            "t": {"type": "file", "inputs": ["logs"],
+                  "path": str(tmp_path / "t"),
+                  "encoding": {"codec": "text"}},
+            "g": {"type": "file", "inputs": ["logs"],
+                  "path": str(tmp_path / "g"),
+                  "encoding": {"codec": "gelf"}},
+        },
+    }
+    res = run_pipeline(PipelineContext(spark), spec, {"logs": df})
+    assert all(res[k]["rows"] == 2 for k in "jltg")
+
+    jlines = [
+        _json.loads(r["value"])
+        for r in spark.read.text(str(tmp_path / "j")).collect()
+    ]
+    assert {j["host"] for j in jlines} == {"h1", "h2"}
+
+    tlines = {r["value"] for r in spark.read.text(str(tmp_path / "t")).collect()}
+    assert tlines == {"hello world", "bye"}
+
+    llines = {r["value"] for r in spark.read.text(str(tmp_path / "l")).collect()}
+    assert 'host=h1 level=3 message="hello world"' in llines
+
+    glines = [
+        _json.loads(r["value"])
+        for r in spark.read.text(str(tmp_path / "g")).collect()
+    ]
+    by_host = {g["host"]: g for g in glines}
+    assert by_host["h1"]["version"] == "1.1"
+    assert by_host["h1"]["short_message"] == "hello world"
+    assert by_host["h1"]["level"] == 3
+    # gelf round-trip through the decoder
+    from vector_spark.sources import decode_gelf
+
+    dec = decode_gelf(
+        spark.read.text(str(tmp_path / "g")).withColumnRenamed(
+            "value", "line"
+        )
+    )
+    rows = {r["host"]: r for r in dec.collect()}
+    assert rows["h2"]["message"] == "bye"
+    assert rows["h2"]["_decode_error"] is False

@@ -527,6 +527,72 @@ def run_pipeline(
             # sanity cap so a misrouted firehose can't OOM the driver
             limit = comp.get("limit", 1000)
             results[name] = [r.asDict() for r in df.limit(limit).collect()]
+        elif kind == "file":
+            # file sink (src/sinks/file): newline framing + encoding
+            # codec (lib/codecs/src/encoding/format/): json / logfmt /
+            # text / gelf rendered as one `value` string per event,
+            # written with the distributed text writer
+            path = comp["path"]
+            enc = comp.get("encoding") or {}
+            codec = enc.get("codec", "json")
+            if codec == "json":
+                line = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+            elif codec == "logfmt":
+                from vector_spark.vrl import encode_key_value
+
+                m = F.create_map(
+                    *[
+                        x
+                        for c in df.columns
+                        for x in (F.lit(c), F.col(c).cast("string"))
+                    ]
+                )
+                line = encode_key_value(m)
+            elif codec == "text":
+                fldn = enc.get("field", "message")
+                if fldn not in df.columns:
+                    raise PipelineError(
+                        f"{name}: text codec field {fldn!r} not in input"
+                    )
+                line = F.col(fldn).cast("string")
+            elif codec == "gelf":
+                msg_field = enc.get("field", "message")
+                if msg_field not in df.columns:
+                    raise PipelineError(
+                        f"{name}: gelf codec needs a {msg_field!r} column"
+                    )
+                gelf_cols = [
+                    F.lit("1.1").alias("version"),
+                    (
+                        F.col("host")
+                        if "host" in df.columns
+                        else F.lit("vector-spark")
+                    ).alias("host"),
+                    F.col(msg_field).cast("string").alias("short_message"),
+                ]
+                if "timestamp" in df.columns:
+                    gelf_cols.append(
+                        F.col("timestamp")
+                        .cast("timestamp_ltz")
+                        .cast("double")
+                        .alias("timestamp")
+                    )
+                if "level" in df.columns:
+                    gelf_cols.append(F.col("level").cast("long").alias("level"))
+                for c in df.columns:
+                    if c not in ("host", msg_field, "timestamp", "level"):
+                        gelf_cols.append(
+                            F.col(c).cast("string").alias("_" + c)
+                        )
+                line = F.to_json(F.struct(*gelf_cols))
+            else:
+                raise PipelineError(
+                    f"{name}: unknown encoding codec {codec!r}"
+                )
+            out_df = df.select(line.alias("value"))
+            writer, obs = observe_stage(out_df, f"sink:{name}")
+            writer.write.mode(comp.get("mode", "overwrite")).text(path)
+            results[name] = {"path": path, "rows": obs.get["rows"]}
         elif kind == "parquet":
             path = comp["path"]
             # observe the writer input: routed-row count arrives as a
