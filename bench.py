@@ -55,6 +55,13 @@ HEADLINE = [
     "aggregate_mixed_kinds",
     "latency_histogram",
     "dropped_port",
+    # round 2: VRL program tiers, datadog condition, gelf codec,
+    # and the exact near-dup twin
+    "remap_vrl",
+    "remap_vrl_interp",
+    "datadog_filter",
+    "gelf_decode",
+    "docs_ngram_jaccard",
 ]
 
 

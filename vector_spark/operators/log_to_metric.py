@@ -96,11 +96,19 @@ def explode_metrics(
     for s in specs:
         cond = s.condition if s.condition is not None else F.lit(True)
         value = F.col(s.field_).cast("double") if s.field_ else F.lit(1.0)
+        if "{{" in s.name:
+            # templated metric name ({{ field }} + strftime,
+            # log_to_metric.rs render_template) — per-row rendering
+            from vector_spark.template import render_template
+
+            name_col = render_template(s.name, ts_col=ts_col)
+        else:
+            name_col = F.lit(s.name)
         rows.append(
             F.when(
                 cond,
                 F.struct(
-                    F.lit(s.name).alias("name"),
+                    name_col.alias("name"),
                     F.lit(s.kind).alias("kind"),
                     value.alias("value"),
                 ),

@@ -589,9 +589,27 @@ def run_pipeline(
                 raise PipelineError(
                     f"{name}: unknown encoding codec {codec!r}"
                 )
-            out_df = df.select(line.alias("value"))
-            writer, obs = observe_stage(out_df, f"sink:{name}")
-            writer.write.mode(comp.get("mode", "overwrite")).text(path)
+            key_tmpl = comp.get("key_template")
+            if key_tmpl:
+                # KeyPartitioner (src/sinks/util/partitioner.rs:5-30):
+                # render the path template per event and write each
+                # key's batch to its own directory
+                from vector_spark.template import render_template
+
+                out_df = df.select(
+                    render_template(
+                        key_tmpl, ts_col=comp.get("ts_col", "ts")
+                    ).alias("_key"),
+                    line.alias("value"),
+                )
+                writer, obs = observe_stage(out_df, f"sink:{name}")
+                writer.write.mode(
+                    comp.get("mode", "overwrite")
+                ).partitionBy("_key").text(path)
+            else:
+                out_df = df.select(line.alias("value"))
+                writer, obs = observe_stage(out_df, f"sink:{name}")
+                writer.write.mode(comp.get("mode", "overwrite")).text(path)
             results[name] = {"path": path, "rows": obs.get["rows"]}
         elif kind == "parquet":
             path = comp["path"]
