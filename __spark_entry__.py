@@ -1000,6 +1000,74 @@ def q_datadog_filter(spark, sf_dir):
     )
 
 
+def q_statsd_decode(spark, sf_dir):
+    """statsd source codec (src/sources/statsd/parser.rs:16-113):
+    generated dogstatsd datagrams -> metric rows. Counter sampling
+    (@0.5 doubles the value), signed/absolute gauges, ms->seconds
+    timers with sample_rate, set members, tag maps with bare->'true'.
+    Pure Catalyst — no Python in the decode path."""
+    from vector_spark.codecs import decode_statsd
+    from vector_spark.sources import demo_logs_statsd
+
+    out = decode_statsd(demo_logs_statsd(spark, sf_dir))
+    return out.select(
+        "event_id", "name", "type", "metric_kind", "value", "member",
+        "statistic", "sample_rate",
+        F.col("tags")["env"].alias("tag_env"),
+        F.col("tags")["svc"].alias("tag_svc"),
+        F.col("tags")["host"].alias("tag_host"),
+        F.col("tags")["route"].alias("tag_route"),
+    )
+
+
+def q_statsd_encode(spark, sf_dir):
+    """statsd sink codec (src/sinks/statsd.rs:153-250): metric rows ->
+    datagrams with sorted tags and Rust-style integral float
+    formatting."""
+    from vector_spark.codecs import encode_statsd
+    from vector_spark.sources import demo_metrics
+
+    return encode_statsd(demo_metrics(spark, sf_dir)).select(
+        "event_id", "statsd_line"
+    )
+
+
+def q_prometheus_encode(spark, sf_dir):
+    """prometheus text exposition (src/sinks/prometheus/
+    collector.rs:280-320): metric rows -> body lines with sorted,
+    escaped labels."""
+    from vector_spark.codecs import encode_prometheus
+    from vector_spark.sources import demo_metrics
+
+    return encode_prometheus(demo_metrics(spark, sf_dir)).select(
+        "event_id", "prom_line"
+    )
+
+
+def q_native_json(spark, sf_dir):
+    """native_json event envelope (lib/codecs/src/{encoding,decoding}/
+    format/native_json.rs): metric rows -> {"metric": {...}} frames ->
+    decoded back; verifies the full envelope roundtrip field by
+    field."""
+    from vector_spark.codecs import decode_native_json, encode_native_json_metric
+    from vector_spark.sources import demo_metrics
+
+    m = demo_metrics(spark, sf_dir)
+    enc = m.select(
+        "event_id", encode_native_json_metric(m).alias("line")
+    )
+    dec = decode_native_json(enc)
+    return dec.select(
+        "event_id",
+        F.col("event_kind").alias("event_kind"),
+        F.col("metric.name").alias("name"),
+        F.col("metric.kind").alias("metric_kind"),
+        F.coalesce(F.col("metric.counter.value"), F.col("metric.gauge.value")).alias("value"),
+        F.col("metric.tags")["env"].alias("tag_env"),
+        F.col("metric.tags")["host"].alias("tag_host"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse -> enrich -> route -> hourly aggregate at sf0.001."""
     routed = build_flagship(spark, SF0001)
@@ -1068,6 +1136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remap_vrl_interp": q_remap_vrl_interp,
         "datadog_filter": q_datadog_filter,
         "gelf_decode": q_gelf_decode,
+        "statsd_decode": q_statsd_decode,
+        "statsd_encode": q_statsd_encode,
+        "prometheus_encode": q_prometheus_encode,
+        "native_json": q_native_json,
     }
 
 
@@ -1761,6 +1833,66 @@ SELECT event_id,
   CAST(event_id % 8 AS BIGINT) AS level,
   'app-' || (event_id % 3) AS app,
   CAST(event_id AS VARCHAR) AS seq
+FROM events
+"""
+
+    # statsd decode: every decoded field re-derived arithmetically
+    # from the demo_logs_statsd generator formulas (sources.py)
+    o["statsd_decode"] = """
+SELECT event_id,
+  CASE event_id % 4 WHEN 0 THEN 'req.count' WHEN 1 THEN 'mem.used'
+       WHEN 2 THEN 'latency' ELSE 'users' END AS name,
+  CASE event_id % 4 WHEN 0 THEN 'counter' WHEN 1 THEN 'gauge'
+       WHEN 2 THEN 'distribution' ELSE 'set' END AS type,
+  CASE WHEN event_id % 4 = 1 AND event_id % 3 = 0
+       THEN 'absolute' ELSE 'incremental' END AS metric_kind,
+  CASE event_id % 4
+    WHEN 0 THEN (event_id % 10 + 1) * 2.0
+    WHEN 1 THEN (CASE WHEN event_id % 3 = 2 THEN -1 ELSE 1 END)
+                * CAST(event_id % 1000 AS DOUBLE)
+    WHEN 2 THEN CAST(event_id % 5000 AS DOUBLE) / 1000.0
+    ELSE NULL END AS value,
+  CASE WHEN event_id % 4 = 3 THEN 'u' || user_id ELSE NULL END AS member,
+  CASE WHEN event_id % 4 = 2 THEN 'histogram' ELSE NULL END AS statistic,
+  CASE WHEN event_id % 4 = 2 THEN 4 ELSE NULL END AS sample_rate,
+  CASE WHEN event_id % 4 = 0 THEN (['prod','staging'])[CAST(event_id % 2 AS INT) + 1]
+       ELSE NULL END AS tag_env,
+  CASE WHEN event_id % 4 = 0 THEN 'api' ELSE NULL END AS tag_svc,
+  CASE WHEN event_id % 4 = 1 THEN 'h' || (event_id % 5) ELSE NULL END AS tag_host,
+  CASE WHEN event_id % 4 = 2 THEN 'r' || (event_id % 3) ELSE NULL END AS tag_route
+FROM events
+"""
+
+    # statsd encode: re-render the datagram from the demo_metrics
+    # formulas (values are integral so they format as integers;
+    # tags sort env < host)
+    o["statsd_encode"] = """
+SELECT event_id,
+  CASE WHEN event_id % 2 = 0 THEN 'requests_total:' ELSE 'queue_depth:' END
+  || (event_id % 100)
+  || CASE WHEN event_id % 2 = 0 THEN '|c' ELSE '|g' END
+  || '|#env:' || (['prod','staging'])[CAST(event_id % 2 AS INT) + 1]
+  || ',host:h' || (event_id % 5) AS statsd_line
+FROM events
+"""
+
+    o["prometheus_encode"] = """
+SELECT event_id,
+  CASE WHEN event_id % 2 = 0 THEN 'requests_total' ELSE 'queue_depth' END
+  || '{env="' || (['prod','staging'])[CAST(event_id % 2 AS INT) + 1]
+  || '",host="h' || (event_id % 5) || '"} '
+  || (event_id % 100) AS prom_line
+FROM events
+"""
+
+    o["native_json"] = """
+SELECT event_id,
+  'metric' AS event_kind,
+  CASE WHEN event_id % 2 = 0 THEN 'requests_total' ELSE 'queue_depth' END AS name,
+  CASE WHEN event_id % 2 = 0 THEN 'incremental' ELSE 'absolute' END AS metric_kind,
+  CAST(event_id % 100 AS DOUBLE) AS value,
+  (['prod','staging'])[CAST(event_id % 2 AS INT) + 1] AS tag_env,
+  'h' || (event_id % 5) AS tag_host
 FROM events
 """
 

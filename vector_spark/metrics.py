@@ -64,3 +64,64 @@ class StageClock:
 
     def report(self) -> str:
         return json.dumps(self.stages, sort_keys=True)
+
+
+def internal_metrics_df(
+    spark,
+    observations: dict[str, "Observation"] | None = None,
+    clock: "StageClock | None" = None,
+):
+    """`internal_metrics` source analogue (src/sources/
+    internal_metrics.rs + src/topology/builder.rs EventsSent):
+    materialize the session's stage observations and clocks as a
+    metric-row DataFrame (name, kind, metric_kind, value, tags, ts)
+    feedable to metric_to_log / the statsd/prometheus encoders —
+    Vector's self-telemetry loop, Spark-side.
+
+    Call AFTER the observed actions ran (Observation.get blocks until
+    its action completes)."""
+    from pyspark.sql import types as T
+
+    rows = []
+    for name, obs in (observations or {}).items():
+        for metric, value in obs.get.items():
+            rows.append(
+                (
+                    f"events_{metric}_total",
+                    "counter",
+                    "incremental",
+                    float(value),
+                    {"component_id": name},
+                )
+            )
+    for name, entry in (clock.stages if clock else {}).items():
+        rows.append(
+            (
+                "stage_duration_seconds",
+                "gauge",
+                "absolute",
+                float(entry["sec"]),
+                {"component_id": name},
+            )
+        )
+        if entry.get("rows_per_sec") is not None:
+            rows.append(
+                (
+                    "stage_throughput_rows_per_second",
+                    "gauge",
+                    "absolute",
+                    float(entry["rows_per_sec"]),
+                    {"component_id": name},
+                )
+            )
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("metric_kind", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    return df.select("*", F.current_timestamp().alias("ts"))

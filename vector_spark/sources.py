@@ -598,3 +598,124 @@ def demo_logs_gelf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _events(spark, sf_dir).select("event_id", line.alias("line"))
+
+
+def demo_logs_statsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic statsd datagrams from events, cycling through the
+    four metric families the reference source accepts
+    (src/sources/statsd/parser.rs:58-113):
+
+      id%4==0  req.count:<n>|c|@0.5|#env:<e>,svc:api   (sampled counter)
+      id%4==1  mem.used:<sign><v>|g|#host:h<k>          (gauge, ±/abs)
+      id%4==2  latency:<v>|ms|@0.25|#route:r<k>         (sampled timer)
+      id%4==3  users:u<user_id>|s                       (set member)
+
+    Every field is arithmetic on (event_id, user_id) so a DuckDB
+    oracle can re-derive the decoded output exactly.
+    """
+    e = _e()
+    fam = (e % 4).cast("int")
+    counter = F.concat(
+        F.lit("req.count:"), (e % 10 + 1).cast("string"),
+        F.lit("|c|@0.5|#env:"),
+        _el(["prod", "staging"], e % 2),
+        F.lit(",svc:api"),
+    )
+    sign = _el(["", "+", "-"], e % 3)
+    gauge = F.concat(
+        F.lit("mem.used:"), sign, (e % 1000).cast("string"),
+        F.lit("|g|#host:h"), (e % 5).cast("string"),
+    )
+    timer = F.concat(
+        F.lit("latency:"), (e % 5000).cast("string"),
+        F.lit("|ms|@0.25|#route:r"), (e % 3).cast("string"),
+    )
+    setm = F.concat(F.lit("users:u"), F.col("user_id").cast("string"), F.lit("|s"))
+    line = (
+        F.when(fam == 0, counter)
+        .when(fam == 1, gauge)
+        .when(fam == 2, timer)
+        .otherwise(setm)
+    )
+    return _events(spark, sf_dir).select("event_id", line.alias("line"))
+
+
+def demo_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic metric rows (name, type, metric_kind, value,
+    member, statistic, sample_rate, tags, ts) from events — input for
+    the statsd / prometheus / native_json ENCODERS. Two series
+    (counter 'requests_total', gauge 'queue_depth') with two sorted
+    tags each."""
+    e = _e()
+    is_counter = (e % 2) == 0
+    return _events(spark, sf_dir).select(
+        "event_id",
+        F.when(is_counter, F.lit("requests_total"))
+        .otherwise(F.lit("queue_depth")).alias("name"),
+        F.when(is_counter, F.lit("counter")).otherwise(F.lit("gauge")).alias("type"),
+        F.when(is_counter, F.lit("incremental"))
+        .otherwise(F.lit("absolute")).alias("metric_kind"),
+        (e % 100).cast("double").alias("value"),
+        F.lit(None).cast("string").alias("member"),
+        F.lit(None).cast("string").alias("statistic"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.create_map(
+            F.lit("env"), _el(["prod", "staging"], e % 2),
+            F.lit("host"), F.concat(F.lit("h"), (e % 5).cast("string")),
+        ).alias("tags"),
+        F.col("ts"),
+    )
+
+
+def exec_source(
+    spark: SparkSession,
+    command: list[str],
+    include_stderr: bool = False,
+    working_directory: str | None = None,
+    num_partitions: int = 1,
+) -> DataFrame:
+    """`exec` source, scheduled mode (src/sources/exec/mod.rs:49-120,
+    518-545): run the command once, one event per stdout line, stamped
+    with the reference's metadata keys — host, pid, command, stream
+    (mod.rs STREAM_KEY/PID_KEY/COMMAND_KEY) and a timestamp.
+
+    The subprocess necessarily runs on ONE machine (that is the
+    operator's semantics — it ingests a local command's output), so
+    this is a driver-side seam by design; the returned DataFrame is
+    repartitioned so downstream transforms parallelize. Streaming mode
+    (rerun-on-exit) belongs in a foreachBatch driver loop, not here.
+    """
+    import socket
+    import subprocess
+
+    proc = subprocess.run(
+        command,
+        capture_output=True,
+        text=True,
+        cwd=working_directory,
+        timeout=600,
+    )
+    host = socket.gethostname()
+    rows = [
+        (line, "stdout", proc.pid if hasattr(proc, "pid") else None)
+        for line in proc.stdout.splitlines()
+    ]
+    if include_stderr:
+        rows += [(line, "stderr", None) for line in proc.stderr.splitlines()]
+    schema = T.StructType(
+        [
+            T.StructField("message", T.StringType()),
+            T.StructField("stream", T.StringType()),
+            T.StructField("pid", T.LongType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    if num_partitions > 1:
+        df = df.repartition(num_partitions)
+    return df.select(
+        "*",
+        F.lit(host).alias("host"),
+        F.array(*[F.lit(c) for c in command]).alias("command"),
+        F.lit("exec").alias("source_type"),
+        F.current_timestamp().alias("timestamp"),
+    )
