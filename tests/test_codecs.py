@@ -335,3 +335,52 @@ def test_internal_metrics(spark):
     # and it feeds the encoders end-to-end
     from vector_spark.codecs import encode_prometheus
     assert encode_prometheus(m).count() == len(rows)
+
+
+# -- pipeline integration -------------------------------------------------------
+
+def test_decode_frame_dispatch(spark):
+    from vector_spark.sources import decode_frame
+
+    st = decode_frame(_lines(spark, ["foo:1|c"]), "statsd").collect()[0]
+    assert st.type == "counter"
+    pr = decode_frame(_lines(spark, ["m{a=\"b\"} 2"]), "prometheus").collect()[0]
+    assert (pr.name, pr.value) == ("m", 2.0)
+    nj = decode_frame(_lines(spark, ['{"log": {"x": 1}}']), "native_json").collect()[0]
+    assert nj.event_kind == "log"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_frame(_lines(spark, ["x"]), "nope")
+
+
+def test_file_sink_metric_codecs(spark, tmp_path):
+    """file sink with statsd / prometheus / native_json encoding."""
+    from vector_spark.pipeline import PipelineContext, run_pipeline
+
+    df = _metric_df(spark, [
+        ("hits", "counter", "incremental", 3.0, None, None, None, {"env": "prod"}),
+        ("depth", "gauge", "absolute", 7.5, None, None, None, {}),
+    ])
+    spec = {
+        "sources": {"metrics": {"type": "parquet"}},
+        "sinks": {
+            "sd": {"type": "file", "inputs": ["metrics"],
+                   "path": str(tmp_path / "sd"),
+                   "encoding": {"codec": "statsd"}},
+            "pm": {"type": "file", "inputs": ["metrics"],
+                   "path": str(tmp_path / "pm"),
+                   "encoding": {"codec": "prometheus", "namespace": "ns"}},
+            "nj": {"type": "file", "inputs": ["metrics"],
+                   "path": str(tmp_path / "nj"),
+                   "encoding": {"codec": "native_json",
+                                "fields": ["name", "value"]}},
+        },
+    }
+    res = run_pipeline(PipelineContext(spark), spec, {"metrics": df})
+    assert all(res[k]["rows"] == 2 for k in ("sd", "pm", "nj"))
+    sd = {r.value for r in spark.read.text(str(tmp_path / "sd")).collect()}
+    assert sd == {"hits:3|c|#env:prod", "depth:7.5|g"}
+    pm = {r.value for r in spark.read.text(str(tmp_path / "pm")).collect()}
+    assert 'ns_hits{env="prod"} 3' in pm and "ns_depth{} 7.5" in pm or "ns_depth 7.5" in pm
+    nj = {r.value for r in spark.read.text(str(tmp_path / "nj")).collect()}
+    assert '{"log":{"name":"hits","value":3.0}}' in nj

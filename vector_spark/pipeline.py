@@ -585,6 +585,23 @@ def run_pipeline(
                             F.col(c).cast("string").alias("_" + c)
                         )
                 line = F.to_json(F.struct(*gelf_cols))
+            elif codec == "statsd":
+                # metric-row input shape (src/sinks/statsd.rs)
+                from vector_spark.codecs import encode_statsd
+
+                line = F.col("statsd_line")
+                df = encode_statsd(df, namespace=enc.get("namespace"))
+            elif codec == "prometheus":
+                from vector_spark.codecs import encode_prometheus
+
+                line = F.col("prom_line")
+                df = encode_prometheus(df, namespace=enc.get("namespace"))
+            elif codec == "native_json":
+                from vector_spark.codecs import encode_native_json_log
+
+                line = encode_native_json_log(
+                    df, enc.get("fields") or df.columns
+                )
             else:
                 raise PipelineError(
                     f"{name}: unknown encoding codec {codec!r}"

@@ -154,6 +154,46 @@ def read_logfmt(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def decode_frame(df: DataFrame, codec: str, line_col: str = "line", **kw) -> DataFrame:
+    """Unified deserializer dispatch (lib/codecs/src/decoding/mod.rs
+    DeserializerConfig): one entry point mapping codec names to the
+    Column-expression decoders, so pipeline specs / callers can say
+    `decoding: {codec: statsd}` the way reference configs do.
+
+    bytes/text pass through; json needs kw['schema']; logfmt yields a
+    `fields` map; gelf/statsd/prometheus/native_json add their typed
+    columns next to the original line.
+    """
+    if codec in ("bytes", "text"):
+        return df
+    if codec == "json":
+        return df.select(
+            F.from_json(F.col(line_col), kw["schema"]).alias("e")
+        ).select("e.*")
+    if codec == "logfmt":
+        return df.select(
+            "*",
+            F.str_to_map(F.col(line_col), F.lit(" "), F.lit("=")).alias("fields"),
+        )
+    if codec == "gelf":
+        return decode_gelf(df, line_col)
+    if codec == "statsd":
+        from vector_spark.codecs import decode_statsd
+
+        return decode_statsd(df, line_col)
+    if codec == "prometheus":
+        from vector_spark.codecs import decode_prometheus
+
+        return decode_prometheus(df, line_col)
+    if codec == "native_json":
+        from vector_spark.codecs import decode_native_json
+
+        return decode_native_json(df, line_col)
+    if codec == "syslog":
+        return parse_syslog(df, line_col)
+    raise ValueError(f"unknown decoding codec {codec!r}")
+
+
 # ---------------------------------------------------------------------------
 # canned-format parsers (VRL stdlib analogues, native regex — JVM path)
 # ---------------------------------------------------------------------------
