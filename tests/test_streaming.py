@@ -112,3 +112,73 @@ def test_streaming_dedupe_e2e(spark, tmp_path):
     q.awaitTermination()
     got = spark.read.parquet(out_path)
     assert got.count() == 3
+
+
+def test_reduce_kernel():
+    """Batch probe of the streaming reduce kernel: merge strategies +
+    ends/starts flush semantics (reduce/mod.rs:199-230)."""
+    import pandas as pd
+    from vector_spark.streaming.stateful import _reduce_kernel
+
+    pdf = pd.DataFrame({
+        "ts": [1, 2, 3, 4, 5],
+        "msg": ["a", "b", "c", "d", "e"],
+        "v": [1, 2, 3, 4, 5],
+        "end": [False, True, False, False, True],
+    })
+    strategies = {"msg": "concat", "v": "sum"}
+    emitted, acc = _reduce_kernel(pdf, None, strategies, "ts", "end", None)
+    assert [e["msg"] for e in emitted] == ["a b", "c d e"]
+    assert [e["v"] for e in emitted] == [3, 12]
+    assert acc is None
+
+    # starts_when: flush pending group BEFORE adding the marker row
+    pdf2 = pd.DataFrame({
+        "ts": [1, 2, 3, 4],
+        "msg": ["a", "b", "B", "c"],
+        "v": [1, 1, 10, 1],
+        "start": [False, False, True, False],
+    })
+    emitted, acc = _reduce_kernel(pdf2, None, strategies, "ts", None, "start")
+    assert len(emitted) == 1 and emitted[0]["msg"] == "a b"
+    assert acc["n"] == 2 and acc["f"]["v"] == 11  # carry-over group
+
+
+def test_streaming_reduce_e2e(spark, tmp_path):
+    """applyInPandasWithState reduce over a file stream: per-conv
+    merge with ends_when flush; pending group stays in state (no
+    timeout fires in availableNow mode)."""
+    from pyspark.sql import functions as F
+    from vector_spark.streaming.stateful import streaming_reduce
+
+    src_path = str(tmp_path / "in")
+    pdf = spark.createDataFrame(
+        [("c1", 1, "hello", 10), ("c1", 2, "world", 20), ("c1", 3, "bye", 5),
+         ("c2", 1, "solo", 7)],
+        "conv_id string, ts long, msg string, latency long",
+    )
+    pdf.write.parquet(src_path)
+    stream = (
+        spark.readStream.schema(pdf.schema).parquet(src_path)
+        .withColumn("is_end", F.col("msg") == "world")
+    )
+    reduced = streaming_reduce(
+        stream, key=["conv_id"],
+        strategies={"msg": "concat", "latency": "sum"},
+        ts_col="ts", ends_col="is_end",
+    )
+    out_path = str(tmp_path / "out")
+    q = (
+        reduced.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.conv_id: r for r in spark.read.parquet(out_path).collect()}
+    # only c1's ended group emits; c2 and c1's tail stay pending
+    assert list(got) == ["c1"]
+    assert got["c1"].msg == "hello world"
+    assert got["c1"].latency == 30.0
+    assert got["c1"].n == 2 and got["c1"].ts_first == 1 and got["c1"].ts_last == 2

@@ -161,3 +161,203 @@ def streaming_throttle(
     return df.groupBy(*key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# reduce: stateful group-merge with starts_when/ends_when/expire flush
+# ---------------------------------------------------------------------------
+
+_SCALAR = {"discard", "retain", "sum", "max", "min"}
+_LISTY = {"array", "concat", "concat_newline", "concat_raw", "flat_unique"}
+
+
+def _reduce_acc_add(acc: dict, row: dict, strategies: dict, ts_col: str) -> dict:
+    """Fold one event into the accumulator (reduce/mod.rs merge loop;
+    merge_strategies.rs per-strategy behavior). Rows arrive sorted by
+    event time within a batch; the accumulator carries order across
+    batches."""
+    if acc is None:
+        acc = {"n": 0, "ts_first": None, "ts_last": None, "f": {}}
+    acc["n"] += 1
+    ts = row[ts_col]
+    if acc["ts_first"] is None:
+        acc["ts_first"] = ts
+    acc["ts_last"] = ts
+    for fld, strat in strategies.items():
+        v = row.get(fld)
+        cur = acc["f"].get(fld)
+        if strat == "discard":
+            if cur is None:
+                acc["f"][fld] = v
+        elif strat == "retain":
+            if v is not None:
+                acc["f"][fld] = v
+        elif strat == "sum":
+            acc["f"][fld] = (cur or 0) + (v or 0)
+        elif strat == "max":
+            acc["f"][fld] = v if cur is None else max(cur, v)
+        elif strat == "min":
+            acc["f"][fld] = v if cur is None else min(cur, v)
+        elif strat in ("array", "concat", "concat_newline", "concat_raw"):
+            acc["f"].setdefault(fld, []).append(v)
+        elif strat == "flat_unique":
+            lst = acc["f"].setdefault(fld, [])
+            for x in v if isinstance(v, (list, tuple)) else [v]:
+                if x not in lst:
+                    lst.append(x)
+        elif strat == "shortest_array":
+            if cur is None or (v is not None and len(v) < len(cur)):
+                acc["f"][fld] = list(v) if v is not None else cur
+        elif strat == "longest_array":
+            if cur is None or (v is not None and len(v) > len(cur)):
+                acc["f"][fld] = list(v) if v is not None else cur
+        else:
+            raise ValueError(f"unknown merge strategy {strat!r}")
+    return acc
+
+
+def _reduce_acc_finish(acc: dict, strategies: dict) -> dict:
+    out = {"n": acc["n"], "ts_first": acc["ts_first"], "ts_last": acc["ts_last"]}
+    for fld, strat in strategies.items():
+        v = acc["f"].get(fld)
+        if strat == "concat":
+            v = " ".join("" if x is None else str(x) for x in (v or []))
+        elif strat == "concat_newline":
+            v = "\n".join("" if x is None else str(x) for x in (v or []))
+        elif strat == "concat_raw":
+            v = "".join("" if x is None else str(x) for x in (v or []))
+        out[fld] = v
+    return out
+
+
+def _reduce_kernel(
+    pdf: pd.DataFrame,
+    acc: dict | None,
+    strategies: dict,
+    ts_col: str,
+    ends_col: str | None,
+    starts_col: str | None,
+) -> tuple[list[dict], dict | None]:
+    """Process one sorted batch: returns (emitted groups, carry-over
+    accumulator). starts_when flushes the PENDING group and opens a
+    new one with the current event; ends_when includes the current
+    event then flushes (reduce/mod.rs:199-230)."""
+    emitted: list[dict] = []
+    for row in pdf.to_dict("records"):
+        if starts_col is not None and bool(row.get(starts_col)) and acc and acc["n"]:
+            emitted.append(_reduce_acc_finish(acc, strategies))
+            acc = None
+        acc = _reduce_acc_add(acc, row, strategies, ts_col)
+        if ends_col is not None and bool(row.get(ends_col)):
+            emitted.append(_reduce_acc_finish(acc, strategies))
+            acc = None
+    return emitted, acc
+
+
+def streaming_reduce(
+    df: DataFrame,
+    key: list[str],
+    strategies: dict[str, str],
+    ts_col: str = "ts",
+    ends_col: str | None = None,
+    starts_col: str | None = None,
+    expire_after_ms: int | None = None,
+) -> DataFrame:
+    """Streaming reduce (src/transforms/reduce/mod.rs): merge events
+    per key with the 12 strategies; flush on `ends_when` /
+    `starts_when` condition columns (precompute booleans upstream, the
+    throttle exclude_col pattern) or when the group goes stale for
+    `expire_after_ms` (mod.rs:33 + flush_into staleness sweep) via a
+    processing-time state timeout.
+
+    State = one JSON accumulator per key — bounded by the group's
+    field count, not its event count (concat/array strategies grow
+    with events; cap upstream if the corpus has mega-groups).
+    Output: key cols + merged fields + n/ts_first/ts_last.
+    """
+    import json
+
+    in_types = {f.name: f.dataType for f in df.schema.fields}
+    out_fields = [T.StructField(k, in_types[k]) for k in key]
+    for fld, strat in strategies.items():
+        if strat in ("concat", "concat_newline", "concat_raw"):
+            dt: T.DataType = T.StringType()
+        elif strat == "array":
+            dt = T.ArrayType(in_types[fld])
+        elif strat == "flat_unique":
+            base = in_types[fld]
+            dt = base if isinstance(base, T.ArrayType) else T.ArrayType(base)
+        elif strat == "sum":
+            dt = T.DoubleType()
+        else:
+            dt = in_types[fld]
+        out_fields.append(T.StructField(fld, dt))
+    out_fields += [
+        T.StructField("n", T.LongType()),
+        T.StructField("ts_first", in_types[ts_col]),
+        T.StructField("ts_last", in_types[ts_col]),
+    ]
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType([T.StructField("acc", T.StringType(), True)])
+    is_ts = in_types[ts_col].typeName().startswith("timestamp")
+    numeric_sums = {
+        f for f, s in strategies.items() if s == "sum"
+    }
+
+    def _dump(acc: dict) -> str:
+        a = dict(acc)
+        if is_ts:
+            a = {**a, "ts_first": str(a["ts_first"]), "ts_last": str(a["ts_last"])}
+        return json.dumps(a, default=str)
+
+    def _load(s: str) -> dict:
+        a = json.loads(s)
+        if is_ts:
+            a["ts_first"] = pd.Timestamp(a["ts_first"])
+            a["ts_last"] = pd.Timestamp(a["ts_last"])
+        return a
+
+    def _emit(key_, groups: list[dict]) -> pd.DataFrame:
+        rows = []
+        for g in groups:
+            row = dict(zip(key, key_ if isinstance(key_, tuple) else (key_,)))
+            for fld in strategies:
+                v = g[fld]
+                row[fld] = float(v) if fld in numeric_sums and v is not None else v
+            row["n"], row["ts_first"], row["ts_last"] = g["n"], g["ts_first"], g["ts_last"]
+            rows.append(row)
+        return pd.DataFrame(rows, columns=[f.name for f in out_fields])
+
+    def fn(
+        key_: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            # staleness flush: emit the pending group (mod.rs:33)
+            acc = _load(state.get[0]) if state.exists else None
+            state.remove()
+            if acc and acc["n"]:
+                yield _emit(key_, [_reduce_acc_finish(acc, strategies)])
+            return
+        acc = _load(state.get[0]) if state.exists and state.get[0] else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            emitted, acc = _reduce_kernel(
+                pdf, acc, strategies, ts_col, ends_col, starts_col
+            )
+            if emitted:
+                yield _emit(key_, emitted)
+        if acc and acc["n"]:
+            state.update((_dump(acc),))
+            if expire_after_ms is not None:
+                state.setTimeoutDuration(expire_after_ms)
+        elif state.exists:
+            state.remove()
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if expire_after_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(*key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )
