@@ -1068,6 +1068,18 @@ def q_native_json(spark, sf_dir):
     )
 
 
+def q_sample_counter(spark, sf_dir):
+    """Counter-mode sample (src/transforms/sample.rs:152-166): keep
+    every 7th event in event_id order. Global rank is computed with
+    range-partition + per-partition offsets (no one-task sort)."""
+    from vector_spark.operators.sample import sample_counter
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sample_counter(ev, rate=7, order_by="event_id").select(
+        "event_id", "sample_rate"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse -> enrich -> route -> hourly aggregate at sf0.001."""
     routed = build_flagship(spark, SF0001)
@@ -1140,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "statsd_encode": q_statsd_encode,
         "prometheus_encode": q_prometheus_encode,
         "native_json": q_native_json,
+        "sample_counter": q_sample_counter,
     }
 
 
@@ -1894,6 +1907,13 @@ SELECT event_id,
   (['prod','staging'])[CAST(event_id % 2 AS INT) + 1] AS tag_env,
   'h' || (event_id % 5) AS tag_host
 FROM events
+"""
+
+    o["sample_counter"] = """
+SELECT event_id, 7 AS sample_rate FROM (
+  SELECT event_id, row_number() OVER (ORDER BY event_id) - 1 AS rk
+  FROM events
+) WHERE rk % 7 = 0
 """
 
     # docs_minhash_lsh / docs_simhash intentionally have no oracle:

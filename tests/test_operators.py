@@ -187,3 +187,25 @@ def test_salted_aggregate_matches_plain(parsed):
         ).collect()
     }
     assert plain == salted
+
+
+def test_sample_counter(spark):
+    """Counter-mode 1-in-N by explicit order (sample.rs:152-166):
+    first event kept, then every rate-th; exclude bypasses without
+    consuming the counter."""
+    from pyspark.sql import functions as F
+    from vector_spark.operators.sample import sample_counter
+
+    df = spark.range(100).select(F.col("id").alias("seq"))
+    kept = sample_counter(df, rate=10, order_by="seq", partitions=4)
+    got = sorted(r.seq for r in kept.collect())
+    assert got == list(range(0, 100, 10))
+    assert kept.collect()[0].sample_rate == 10
+
+    # exclude: seq < 5 always pass and do not consume the counter,
+    # so sampling ranks the remaining 95 rows starting at seq=5
+    kept2 = sample_counter(
+        df, rate=10, order_by="seq", exclude=F.col("seq") < 5, partitions=4
+    )
+    got2 = sorted(r.seq for r in kept2.collect())
+    assert got2 == [0, 1, 2, 3, 4] + list(range(5, 100, 10))

@@ -32,3 +32,64 @@ def sample(
     return df.filter(F.pmod(h, F.lit(rate)) == 0).withColumn(
         rate_col, F.lit(rate)
     )
+
+
+def sample_counter(
+    df: DataFrame,
+    rate: int,
+    order_by: str | Column,
+    exclude: Column | None = None,
+    rate_col: str = "sample_rate",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Counter mode: keep every rate-th event in `order_by` order
+    (sample.rs:152-166 — `self.count` increments per event, keep when
+    count % rate == 0, i.e. the 1st, (rate+1)-th, ... by arrival).
+    Vector's arrival order becomes an explicit order key, the same
+    translation the reduce/gauge operators use. Events matching
+    `exclude` bypass sampling entirely WITHOUT consuming the counter
+    (sample.rs:130-141 returns before the increment).
+
+    Scale: a naive global row_number() is a one-task sort (the
+    tag_cardinality anti-pattern). Instead: range-repartition on the
+    order key, rank within each partition, and shift by broadcast
+    per-partition offsets — every stage is distributed; the offsets
+    table is one tiny row per partition.
+    """
+    from pyspark.sql import Window
+
+    order = F.col(order_by) if isinstance(order_by, str) else order_by
+    excluded = df.filter(exclude) if exclude is not None else None
+    pool = df.filter(~exclude) if exclude is not None else df
+
+    n = partitions or pool.sparkSession.sparkContext.defaultParallelism
+    ranged = pool.repartitionByRange(n, order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_offset"),
+    )
+    local_rank = F.row_number().over(
+        Window.partitionBy("_pid").orderBy(order)
+    )
+    kept = (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn("_rank", local_rank - 1 + F.col("_offset"))
+        .filter(F.pmod(F.col("_rank"), F.lit(rate)) == 0)
+        .drop("_pid", "_cnt", "_offset", "_rank")
+        .withColumn(rate_col, F.lit(rate))
+    )
+    if excluded is not None:
+        kept = kept.unionByName(
+            excluded.withColumn(rate_col, F.lit(None).cast("int"))
+        )
+    return kept
