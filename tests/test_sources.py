@@ -94,3 +94,39 @@ def test_decode_gelf_strict(spark):
     assert ok["additional"] == {"_app": "web"}  # _id filtered
     assert ok["level"] == 3
     assert ok["timestamp"].microsecond == 500000
+
+
+def test_frame_character_delimited(spark):
+    from vector_spark.sources import frame_character_delimited
+
+    df = spark.createDataFrame([("a;bb;ccc;",), ("x;y",)], "content string")
+    got = [r.frame for r in frame_character_delimited(df, ";").collect()]
+    assert got == ["a", "bb", "ccc", "x", "y"]
+    # max_length truncates (character_delimited.rs limit)
+    got2 = [r.frame for r in frame_character_delimited(df, ";", max_length=2).collect()]
+    assert got2 == ["a", "bb", "cc", "x", "y"]
+
+
+def test_frame_octet_counting(spark):
+    from vector_spark.sources import frame_octet_counting
+
+    # RFC6587: "<len> <data>" repeated; non-conforming falls back to
+    # newline; incomplete tail dropped
+    df = spark.createDataFrame(
+        [("5 hello5 world",), ("plain line\n3 foo99 short",)],
+        "content string",
+    )
+    got = [r.frame for r in frame_octet_counting(df).collect()]
+    assert got == ["hello", "world", "plain line", "foo"]
+
+
+def test_frame_length_delimited(spark):
+    import struct
+    from vector_spark.sources import frame_length_delimited
+
+    # framing/length_delimited.rs decode_frame test vector:
+    # \x00\x00\x00\x0bhello world -> "hello world"; trailing junk ignored
+    buf = struct.pack(">I", 11) + b"hello world" + struct.pack(">I", 3) + b"abc" + b"\x00\x00"
+    df = spark.createDataFrame([(bytearray(buf),)], "content binary")
+    got = [bytes(r.frame) for r in frame_length_delimited(df).collect()]
+    assert got == [b"hello world", b"abc"]

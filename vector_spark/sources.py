@@ -759,3 +759,113 @@ def exec_source(
         F.lit("exec").alias("source_type"),
         F.current_timestamp().alias("timestamp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# framing decoders (lib/codecs/src/decoding/framing/)
+# ---------------------------------------------------------------------------
+
+def frame_character_delimited(
+    df: DataFrame,
+    delimiter: str,
+    content_col: str = "content",
+    max_length: int | None = None,
+) -> DataFrame:
+    """character_delimited framing (framing/character_delimited.rs):
+    split the buffer on a delimiter char; frames over max_length are
+    truncated to it (the decoder's limit discards the tail). Pure
+    expressions — split + explode."""
+    import re as _re
+
+    frames = F.split(F.col(content_col), _re.escape(delimiter))
+    # a trailing delimiter yields one empty trailing frame; the
+    # streaming decoder never emits it (no final delimiter seen)
+    frames = F.when(
+        F.try_element_at(frames, F.lit(-1)) == "",
+        F.slice(frames, 1, F.greatest(F.size(frames) - 1, F.lit(0))),
+    ).otherwise(frames)
+    frame = F.explode(frames).alias("frame")
+    out = df.select("*", frame)
+    if max_length is not None:
+        out = out.withColumn("frame", F.substring("frame", 1, max_length))
+    return out
+
+
+def frame_octet_counting(
+    df: DataFrame, content_col: str = "content", max_length: int | None = None
+) -> DataFrame:
+    """octet_counting framing (framing/octet_counting.rs, RFC6587):
+    repeated `<len> <data>` frames — an ASCII decimal byte count, one
+    space, then exactly that many bytes. Inherently sequential per
+    buffer, so it runs as an Arrow-batched pandas UDF; parallelism
+    comes from the file/connection axis, exactly as in the reference
+    (one decoder per connection). Oversized frames are discarded
+    (max_length), matching the Discarding state machine."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def frames_udf(s):
+        import pandas as pd
+
+        def split(buf):
+            if buf is None:
+                return None
+            out = []
+            i, n = 0, len(buf)
+            while i < n:
+                sp = buf.find(" ", i)
+                if sp < 0:
+                    break
+                try:
+                    ln = int(buf[i:sp])
+                except ValueError:
+                    # non-conforming: fall back to newline framing for
+                    # this line (octet_counting.rs NotDiscarding/newline)
+                    nl = buf.find("\n", i)
+                    if nl < 0:
+                        break
+                    out.append(buf[i:nl])
+                    i = nl + 1
+                    continue
+                start, end = sp + 1, sp + 1 + ln
+                if end > n:
+                    break  # incomplete tail frame
+                if max_length is None or ln <= max_length:
+                    out.append(buf[start:end])
+                i = end
+            return out
+
+        return s.map(split)
+
+    return df.select("*", F.explode(frames_udf(F.col(content_col))).alias("frame"))
+
+
+def frame_length_delimited(
+    df: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """length_delimited framing (framing/length_delimited.rs =
+    tokio's LengthDelimitedCodec defaults): 4-byte big-endian u32
+    length header before each frame; bytes after an incomplete header
+    or short frame are ignored (decode_eof -> None)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<binary>")
+    def frames_udf(s):
+        import struct
+
+        def split(buf):
+            if buf is None:
+                return None
+            out = []
+            i, n = 0, len(buf)
+            while i + 4 <= n:
+                (ln,) = struct.unpack(">I", buf[i : i + 4])
+                if i + 4 + ln > n:
+                    break
+                out.append(bytes(buf[i + 4 : i + 4 + ln]))
+                i += 4 + ln
+            return out
+
+        return s.map(split)
+
+    return df.select("*", F.explode(frames_udf(F.col(content_col))).alias("frame"))
