@@ -130,3 +130,39 @@ def test_frame_length_delimited(spark):
     df = spark.createDataFrame([(bytearray(buf),)], "content binary")
     got = [bytes(r.frame) for r in frame_length_delimited(df).collect()]
     assert got == [b"hello world", b"abc"]
+
+
+def test_host_metrics_source(spark):
+    from vector_spark.sources import host_metrics_source
+
+    m = host_metrics_source(spark)
+    rows = m.collect()
+    names = {r.name for r in rows}
+    assert {"cpu_seconds_total", "memory_total_bytes", "load1",
+            "network_receive_bytes_total"} <= names
+    cpu = [r for r in rows if r.name == "cpu_seconds_total"]
+    assert {r.tags["mode"] for r in cpu} == {"user", "nice", "system", "idle"}
+    assert all(r.metric_kind == "incremental" for r in cpu)
+    mem = next(r for r in rows if r.name == "memory_total_bytes")
+    assert mem.value > 1e9 and mem.metric_kind == "absolute"
+    # feeds the exposition encoder end-to-end
+    from vector_spark.codecs import encode_prometheus
+    assert encode_prometheus(m).count() == len(rows)
+
+
+def test_internal_logs_source(spark):
+    import logging
+    from vector_spark.sources import internal_logs_source
+
+    handler, snapshot = internal_logs_source(spark)
+    log = logging.getLogger("vector_spark.test_internal")
+    log.setLevel(logging.INFO)
+    log.addHandler(handler)
+    try:
+        log.info("pipeline started")
+        log.warning("slow stage %s", "parse")
+    finally:
+        log.removeHandler(handler)
+    df = snapshot()
+    rows = {r.message: r for r in df.collect()}
+    assert "pipeline started" in rows and rows["slow stage parse"].level == "WARNING"

@@ -869,3 +869,123 @@ def frame_length_delimited(
         return s.map(split)
 
     return df.select("*", F.explode(frames_udf(F.col(content_col))).alias("frame"))
+
+
+def host_metrics_source(
+    spark: SparkSession, collectors: list[str] | None = None
+) -> DataFrame:
+    """`host_metrics` source (src/sources/host_metrics/: cpu.rs,
+    memory.rs, loadavg in mod.rs, network.rs) scraping /proc on the
+    host — the reference's metric names and tag conventions:
+    cpu_seconds_total{mode,cpu} counters, memory_*_bytes gauges,
+    load1/5/15 gauges, network_{receive,transmit}_bytes_total{device}
+    counters. Like `exec`, the scrape is inherently one-machine (each
+    Vector instance reads its own /proc); on a cluster every node
+    would run its own scrape and the rows union."""
+    import socket
+    import time as _time
+
+    collectors = collectors or ["cpu", "memory", "load", "network"]
+    rows: list[tuple] = []  # (name, type, metric_kind, value, tags)
+    clk = 100.0  # USER_HZ
+
+    if "cpu" in collectors:
+        modes = ["user", "nice", "system", "idle"]
+        with open("/proc/stat") as f:
+            for ln in f:
+                if ln.startswith("cpu") and ln[3:4].isdigit():
+                    parts = ln.split()
+                    cpu = parts[0][3:]
+                    for mode, v in zip(modes, parts[1:5]):
+                        rows.append((
+                            "cpu_seconds_total", "counter", "incremental",
+                            int(v) / clk, {"mode": mode, "cpu": cpu},
+                        ))
+    if "memory" in collectors:
+        wanted = {
+            "MemTotal": "memory_total_bytes",
+            "MemFree": "memory_free_bytes",
+            "MemAvailable": "memory_available_bytes",
+            "Active": "memory_active_bytes",
+            "Buffers": "memory_buffers_bytes",
+            "Cached": "memory_cached_bytes",
+        }
+        with open("/proc/meminfo") as f:
+            for ln in f:
+                k = ln.split(":")[0]
+                if k in wanted:
+                    kb = int(ln.split()[1])
+                    rows.append((wanted[k], "gauge", "absolute", kb * 1024.0, {}))
+    if "load" in collectors:
+        l1, l5, l15 = __import__("os").getloadavg()
+        rows += [
+            ("load1", "gauge", "absolute", l1, {}),
+            ("load5", "gauge", "absolute", l5, {}),
+            ("load15", "gauge", "absolute", l15, {}),
+        ]
+    if "network" in collectors:
+        with open("/proc/net/dev") as f:
+            for ln in list(f)[2:]:
+                dev, data = ln.split(":", 1)
+                vals = data.split()
+                rows.append((
+                    "network_receive_bytes_total", "counter", "incremental",
+                    float(vals[0]), {"device": dev.strip()},
+                ))
+                rows.append((
+                    "network_transmit_bytes_total", "counter", "incremental",
+                    float(vals[8]), {"device": dev.strip()},
+                ))
+
+    schema = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("metric_kind", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    return df.select(
+        "*",
+        F.lit(socket.gethostname()).alias("host"),
+        F.lit("host_metrics").alias("source_type"),
+        F.current_timestamp().alias("ts"),
+    )
+
+
+def internal_logs_source(spark: SparkSession, capacity: int = 10_000):
+    """`internal_logs` source (src/sources/internal_logs.rs): the
+    engine's own log stream as events. Returns (handler, snapshot_fn):
+    attach the handler to any `logging` logger; snapshot_fn() yields
+    the buffered records as a DataFrame (message, level, logger, ts)."""
+    import collections
+    import datetime
+    import logging
+
+    buf: "collections.deque" = collections.deque(maxlen=capacity)
+
+    class _Buffer(logging.Handler):
+        def emit(self, record: logging.LogRecord) -> None:
+            buf.append((
+                record.getMessage(),
+                record.levelname,
+                record.name,
+                datetime.datetime.fromtimestamp(
+                    record.created, datetime.timezone.utc
+                ),
+            ))
+
+    handler = _Buffer()
+
+    def snapshot() -> DataFrame:
+        schema = T.StructType([
+            T.StructField("message", T.StringType()),
+            T.StructField("level", T.StringType()),
+            T.StructField("logger", T.StringType()),
+            T.StructField("timestamp", T.TimestampType()),
+        ])
+        return spark.createDataFrame(list(buf), schema).select(
+            "*", F.lit("internal_logs").alias("source_type")
+        )
+
+    return handler, snapshot
