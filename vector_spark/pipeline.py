@@ -77,6 +77,16 @@ def compile_condition(spec: Any, schema=None) -> Column:
             pairs = {k: v for k, v in spec.items() if k != "type"}
             return check_fields(**pairs)
         if kind == "vrl":
+            # real VRL first (vrl_lang compiler, src/conditions/vrl.rs
+            # semantics); raw-SQL boolean as the documented fallback so
+            # specs may also write Catalyst expressions directly
+            if schema is not None:
+                try:
+                    from vector_spark.vrl_lang import vrl_condition
+
+                    return vrl_condition(schema, spec["source"])
+                except Exception:  # noqa: BLE001 - not VRL; try SQL
+                    pass
             return vrl_expr(spec["source"])
         if kind == "datadog_search":
             from vector_spark.datadog_search import datadog_search
@@ -191,12 +201,58 @@ def _t_dedupe(df, opts, ctx):
 
 
 def _t_reduce(df, opts, ctx):
-    strategies = {
-        out: (MergeStrategy(sname), src)
-        for out, (sname, src) in opts["strategies"].items()
-    }
-    return reduce_groups(df, group_by=opts["group_by"], strategies=strategies,
-                         order_by=opts.get("order_by", "turn_idx"))
+    group_by = list(opts["group_by"])
+    order_by = opts.get("order_by", "turn_idx")
+    if "strategies" in opts:
+        strategies = {
+            out: (MergeStrategy(sname), src)
+            for out, (sname, src) in opts["strategies"].items()
+        }
+    else:
+        # reference defaults (reduce/mod.rs:52-56): strings/bools ->
+        # first value, numbers -> sum, timestamps -> first (+ _end
+        # last, only when explicitly requested via merge_strategies)
+        strategies = {}
+        for f in df.schema.fields:
+            if f.name in group_by or f.name == order_by or f.name.startswith("_"):
+                continue
+            tn = f.dataType.typeName()
+            strat = (
+                MergeStrategy.SUM
+                if tn in ("long", "integer", "double", "float", "decimal", "short")
+                else MergeStrategy.FIRST_TS
+                if tn.startswith("timestamp")
+                else MergeStrategy.DISCARD
+            )
+            strategies[f.name] = (strat, f.name)
+        # the default timestamp strategy also emits `<f>_end` = last
+        # (reduce/mod.rs:52-56)
+        for f in df.schema.fields:
+            if f.dataType.typeName().startswith("timestamp") and f.name in strategies:
+                strategies[f.name + "_end"] = (MergeStrategy.LAST_TS, f.name)
+        for out, sname in (opts.get("merge_strategies") or {}).items():
+            strategies[out] = (MergeStrategy(sname), out)
+    ends = opts.get("ends_when")
+    starts = opts.get("starts_when")
+    if ends is not None or starts is not None:
+        # transaction semantics (reduce/mod.rs:199-204): sessionize,
+        # then reduce each (group, session)
+        from vector_spark.operators.reduce import sessionize
+
+        df = sessionize(
+            df,
+            group_by=group_by,
+            order_by=order_by,
+            ends_when=compile_condition(ends, df.schema) if ends else None,
+            starts_when=compile_condition(starts, df.schema) if starts else None,
+        )
+        out = reduce_groups(
+            df, group_by=group_by + ["_session"], strategies=strategies,
+            order_by=order_by,
+        )
+        return out.drop("_session")
+    return reduce_groups(df, group_by=group_by, strategies=strategies,
+                         order_by=order_by)
 
 
 def _t_throttle(df, opts, ctx):

@@ -1350,12 +1350,17 @@ class Compiler:
             if node.op in ("==", "!=", "<", "<=", ">", ">=", "&&"):
                 return {"boolean": True}
             return None
+        if isinstance(node, TsLit):
+            return {"timestamp": True}
         if isinstance(node, Call):
             name = _FN_ALIASES.get(node.name, node.name)
             if name == "del" and node.args and isinstance(
                 node.args[0], Path
             ):
                 return self.env.tdef.get(self._event_key(node.args[0]))
+            if name in ("now", "to_timestamp", "parse_timestamp",
+                        "from_unix_timestamp"):
+                return {"timestamp": True}
             if name in (
                 "sha1", "sha2", "sha3", "md5", "upcase", "downcase",
                 "to_string", "encode_json", "join", "truncate",
@@ -1414,6 +1419,9 @@ class Compiler:
         return ("arr", None)
 
     def assign_target(self, target, col: Column, shape=None, pynode=None):
+        sparse = getattr(self.env, "sparse_cols", None)
+        if sparse is not None and isinstance(target, Path) and target.segments:
+            sparse.discard("." + str(target.segments[0]))
         known, pv = (
             self.py_value(pynode) if pynode is not None else (False, None)
         )
@@ -1748,6 +1756,18 @@ class Compiler:
             return self._del(node)
         if name == "exists" and node.args and isinstance(node.args[0], Path):
             return self._exists(node.args[0])
+        if name == "to_string" and node.args:
+            td = self.infer_tdef(node.args[0])
+            if td == {"timestamp": True}:
+                ts = self.compile(node.args[0])
+                frac = F.regexp_replace(
+                    F.date_format(ts, "SSSSSS"), "0+$", ""
+                )
+                return F.concat(
+                    F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"),
+                    F.when(frac != "", F.concat(F.lit("."), frac)).otherwise(F.lit("")),
+                    F.lit("Z"),
+                )
         if (
             name == "parse_json"
             and node.args
@@ -1859,7 +1879,16 @@ class Compiler:
     def _exists(self, path: Path) -> Column:
         key = self._event_key(path)
         if key in self.env.bind:
-            return F.lit(key not in self.env.deleted)
+            if key in self.env.deleted:
+                return F.lit(False)
+            # sparse event batches (condition compilation over a
+            # DataFrame): a column is the union of every event's
+            # fields, so presence is per-row null-ness, not schema
+            # membership (src/conditions/vrl.rs checks the event)
+            sparse = getattr(self.env, "sparse_cols", None)
+            if sparse and key in sparse:
+                return self.env.bind[key].isNotNull()
+            return F.lit(True)
         if len(path.segments) <= 1:
             return F.lit(False)
         head = "." + str(path.segments[0])
@@ -2436,7 +2465,8 @@ def compile_vrl(df: DataFrame, source: str) -> DataFrame:
     field as a column. Used by the pipeline `remap` transform's
     `source:` key."""
     stmts = parse_program(source)
-    env = Env({"." + c: F.col(c) for c in df.columns})
+    # backticked col refs so literal dotted names like "c.c" resolve
+    env = Env({"." + c: F.col(f"`{c}`" if "." in c else c) for c in df.columns})
     env.top = set(df.columns)
     comp = Compiler(env)
     for s in stmts:
@@ -2515,3 +2545,34 @@ def _to_py(v):
     if isinstance(v, dict):
         return {k: _to_py(x) for k, x in v.items()}
     return v
+
+
+def vrl_condition(schema_or_cols, source: str) -> Column:
+    """Compile a VRL CONDITION (src/conditions/vrl.rs: a program whose
+    final expression is the boolean verdict) to one Catalyst boolean
+    Column over the given schema's columns. Intermediate assignments
+    (variables or event fields) participate; only the last
+    expression's value is returned."""
+    cols = (
+        [f.name for f in schema_or_cols.fields]
+        if hasattr(schema_or_cols, "fields")
+        else list(schema_or_cols)
+    )
+    stmts = parse_program(source)
+    env = Env({"." + c: F.col(f"`{c}`" if "." in c else c) for c in cols})
+    env.top = set(cols)
+    env.sparse_cols = {"." + c for c in cols}
+    if hasattr(schema_or_cols, "fields"):
+        for f in schema_or_cols.fields:
+            if f.dataType.typeName().startswith("timestamp"):
+                env.tdef["." + f.name] = {"timestamp": True}
+    comp = Compiler(env)
+    val = None
+    for s in stmts:
+        if isinstance(s, Path) and not s.segments:
+            continue
+        out = comp.exec_stmt(s)
+        val = out if isinstance(out, Column) else None
+    if val is None:
+        raise VrlCompileError("VRL condition has no final expression")
+    return val.cast("boolean")
