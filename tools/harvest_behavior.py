@@ -51,6 +51,10 @@ def _norm_inputs(test: dict) -> list[dict]:
     out = []
     for i in raw:
         fields = i.get("log_fields")
+        if fields is None and "metric" in i:
+            # metric events: the VRL view is the metric's field tree
+            # (name/kind/tags/<value variant>)
+            fields = i["metric"]
         if fields is None and "value" in i:
             # raw-value shorthand -> {"message": value}
             fields = {"message": i["value"]}

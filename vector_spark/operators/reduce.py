@@ -50,7 +50,9 @@ def _ordered_values(field: str, order: Column) -> Column:
     return F.transform(F.array_sort(pairs), lambda x: x["v"])
 
 
-def merge_expr(field: str, strategy: MergeStrategy, order: Column) -> Column:
+def merge_expr(
+    field: str, strategy: MergeStrategy, order: Column, is_array: bool = False
+) -> Column:
     s = MergeStrategy(strategy)
     col = F.col(field)
     if s is MergeStrategy.DISCARD or s is MergeStrategy.FIRST_TS:
@@ -66,12 +68,16 @@ def merge_expr(field: str, strategy: MergeStrategy, order: Column) -> Column:
         return F.min(col)
     if s is MergeStrategy.ARRAY:
         return _ordered_values(field, order)
-    if s is MergeStrategy.CONCAT:
-        return F.array_join(_ordered_values(field, order), " ")
-    if s is MergeStrategy.CONCAT_NEWLINE:
-        return F.array_join(_ordered_values(field, order), "\n")
-    if s is MergeStrategy.CONCAT_RAW:
-        return F.array_join(_ordered_values(field, order), "")
+    if s in (
+        MergeStrategy.CONCAT, MergeStrategy.CONCAT_NEWLINE, MergeStrategy.CONCAT_RAW
+    ):
+        sep = {"concat": " ", "concat_newline": "\n", "concat_raw": ""}[s.value]
+        vals = _ordered_values(field, order)
+        if is_array:
+            # Concat over array values flattens the elements
+            # (merge_strategy.rs ConcatMerger joins each event's items)
+            vals = F.flatten(F.filter(vals, lambda v: v.isNotNull()))
+        return F.array_join(vals, sep)
     if s is MergeStrategy.SHORTEST_ARRAY:
         return F.min_by(col, F.size(col))
     if s is MergeStrategy.LONGEST_ARRAY:
@@ -90,8 +96,11 @@ def reduce_groups(
     """strategies: {out_col: (strategy, in_col)}. order_by gives the
     'stream order' (e.g. turn_idx)."""
     order = F.col(order_by)
+    arr_cols = {
+        f.name for f in df.schema.fields if f.dataType.typeName() == "array"
+    }
     aggs = [
-        merge_expr(src, strat, order).alias(out)
+        merge_expr(src, strat, order, is_array=src in arr_cols).alias(out)
         for out, (strat, src) in strategies.items()
     ]
     return df.groupBy(*group_by).agg(*aggs)

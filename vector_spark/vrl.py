@@ -325,7 +325,7 @@ def from_unix_timestamp(col: Column) -> Column:
 # format_timestamp.rs use chrono strftime; Spark wants Java patterns).
 # Longest-first so %:z wins over %z.
 _STRFTIME_TO_JAVA = [
-    ("%+", "yyyy-MM-dd'T'HH:mm:ssXXX"),
+    ("%+", "yyyy-MM-dd'T'HH:mm:ssxxx"),
     ("%:z", "xxx"),
     ("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%e", "d"),
     ("%H", "HH"), ("%M", "mm"), ("%S", "ss"),

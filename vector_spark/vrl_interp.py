@@ -3391,12 +3391,17 @@ def remap_interp(
         (ok_rows if to_default else dropped_rows).append(
             to_jsonable(payload)
         )
-    if not ok_rows:
-        raise VrlCompileError(
-            "remap_interp: no sample row produced a default-output "
-            "event; cannot infer output schema"
-        )
     spark = df.sparkSession
+    if not ok_rows:
+        # every sampled event dropped (e.g. drop_on_error with a
+        # program that always errors): the default output is empty,
+        # so the input shape IS the output shape (remap.rs forwards
+        # originals; nothing else can reach the default port)
+        ok_rows = [to_jsonable(_row_to_event(r)) for r in sample]
+        if not ok_rows:
+            raise VrlCompileError(
+                "remap_interp: empty input; cannot infer output schema"
+            )
 
     def infer(rows):
         return spark.read.json(

@@ -1756,6 +1756,14 @@ class Compiler:
             return self._del(node)
         if name == "exists" and node.args and isinstance(node.args[0], Path):
             return self._exists(node.args[0])
+        if name == "assert_eq" and len(node.args) >= 2:
+            # assert_eq.rs: true when equal, error otherwise — in a
+            # condition both mismatch and error read as "failed"
+            return self.compile(node.args[0]).eqNullSafe(
+                self.compile(node.args[1])
+            )
+        if name == "assert" and node.args:
+            return self.compile(node.args[0]).cast("boolean")
         if name == "to_string" and node.args:
             td = self.infer_tdef(node.args[0])
             if td == {"timestamp": True}:
@@ -1851,7 +1859,13 @@ class Compiler:
             args = merged
         py_args = []
         for i, a in enumerate(args):
-            if natives.get(i, False):
+            # a kwarg merged into its positional slot keeps its
+            # by-name nativeness (e.g. contains case_sensitive:)
+            is_native = natives.get(i, False) or (
+                order is not None and i < len(order)
+                and natives.get(order[i], False)
+            )
+            if is_native:
                 py_args.append(self.native_value(a))
             elif isinstance(a, Regex):
                 py_args.append(a.pattern)
