@@ -26,7 +26,35 @@ with open(FIXTURES) as f:
     CASES = json.load(f)
 
 # reason strings double as documentation of intentional divergences
-KNOWN_UNSUPPORTED: dict[str, str] = {}
+KNOWN_UNSUPPORTED: dict[str, str] = {
+    "remap::remap_infallible_assignment": (
+        "semantics match (ok-side null, error captured) but the test "
+        "asserts the reference's byte-exact Rust error strings "
+        "('function call error for \"parse_json\" at (19:44): ...'); "
+        "we do not reproduce Rust error message text"
+    ),
+    "remap::remap_error_coalesce_operator": (
+        "`parse_json(...) ?? true` yields a value that is sometimes "
+        "object, sometimes boolean — Spark columns are monomorphic; "
+        "the Value model maps VRL's dynamic types onto typed columns "
+        "(documented divergence, SURVEY §2.4)"
+    ),
+    "remap::remap_function_tag_types_externally": (
+        "the tagged union {type: value} requires one column holding "
+        "struct<string>/struct<timestamp>/... per row — heterogeneous "
+        "per-row types, unrepresentable in monomorphic columns"
+    ),
+    "remap::remap_function_reverse_dns": (
+        "reverse_dns needs live PTR lookups; no resolver in this "
+        "build — the scale path is a broadcast (ip -> host) dim join "
+        "(vector_spark.enrich), as reverse_dns docstring documents"
+    ),
+    "dedupe::dedupe_nested_fields": (
+        "inputs give `a.b` a struct shape in some events and a string "
+        "in others — Vector's dynamic Value allows per-event shapes; "
+        "typed columns cannot (documented divergence)"
+    ),
+}
 
 
 # -- schema inference for injected events -----------------------------------
@@ -264,7 +292,10 @@ def _run_case(spark, case):
     inserts = {f"__in_{p}": df for p, df in frames.items()}
 
     extracts = [o["extract_from"] for o in case["outputs"]] + case["no_outputs_from"]
-    got = unit_test(PipelineContext(spark), spec, inserts, extracts)
+    ctx = PipelineContext(spark)
+    if case.get("enrichment_tables"):
+        ctx.enrichment_rows = case["enrichment_tables"]
+    got = unit_test(ctx, spec, inserts, extracts)
 
     errors = []
     for o in case["outputs"]:

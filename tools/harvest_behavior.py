@@ -72,6 +72,20 @@ def main() -> int:
             name: _inline_files(comp)
             for name, comp in (doc.get("transforms") or {}).items()
         }
+        enrich = {}
+        for tname, tcfg in (doc.get("enrichment_tables") or {}).items():
+            import csv
+
+            path = os.path.join(REF, tcfg["file"]["path"].lstrip("./"))
+            with open(path, newline="") as cf:
+                rows = list(csv.DictReader(cf))
+            for col, typ in (tcfg.get("schema") or {}).items():
+                for r in rows:
+                    if typ == "integer":
+                        r[col] = int(r[col])
+                    elif typ == "float":
+                        r[col] = float(r[col])
+            enrich[tname] = rows
         for test in doc.get("tests") or []:
             fixtures.append(
                 {
@@ -87,6 +101,7 @@ def main() -> int:
                         for o in (test.get("outputs") or [])
                     ],
                     "no_outputs_from": test.get("no_outputs_from") or [],
+                    "enrichment_tables": enrich,
                 }
             )
     out_path = os.path.join(

@@ -89,12 +89,24 @@ def check_fields(**specs) -> Column:
     check_fields(role__eq="assistant", tool__neq="none",
                  not__level__eq="DEBUG")
     """
+    # reference TOML spelling: "<field>.<check>" with its own
+    # predicate names (check_fields.rs:446-470)
+    _REF_PREDICATES = {
+        "equals": "eq", "not_equals": "neq", "exists": "exists",
+        "contains": "contains", "prefix": "starts_with",
+        "starts_with": "starts_with", "ends_with": "ends_with",
+        "regex": "regex", "ip_cidr_contains": "ip_cidr_contains",
+        "length_eq": "length_eq",
+    }
     conds: list[Column] = []
     for key, value in specs.items():
         negate = key.startswith("not__")
         if negate:
             key = key[len("not__"):]
         field, _, predicate = key.rpartition("__")
+        if not field and "." in key:
+            field, _, ref_pred = key.rpartition(".")
+            predicate = _REF_PREDICATES.get(ref_pred, ref_pred)
         if predicate not in _PREDICATES or not field:
             raise ValueError(f"bad check_fields spec: {key}")
         c = _one(field, predicate, value)

@@ -56,7 +56,10 @@ def merge_expr(
     s = MergeStrategy(strategy)
     col = F.col(field)
     if s is MergeStrategy.DISCARD or s is MergeStrategy.FIRST_TS:
-        return F.min_by(col, order)
+        # first event that CARRIES the field (reduce/mod.rs merges
+        # per-field; absent fields don't contribute, and absence is
+        # null in the column model)
+        return F.min_by(col, F.when(col.isNotNull(), order))
     if s is MergeStrategy.RETAIN or s is MergeStrategy.LAST_TS:
         # last non-null by order: null order keys sort first via max_by
         return F.max_by(col, F.when(col.isNotNull(), order))
@@ -74,9 +77,10 @@ def merge_expr(
         sep = {"concat": " ", "concat_newline": "\n", "concat_raw": ""}[s.value]
         vals = _ordered_values(field, order)
         if is_array:
-            # Concat over array values flattens the elements
-            # (merge_strategy.rs ConcatMerger joins each event's items)
-            vals = F.flatten(F.filter(vals, lambda v: v.isNotNull()))
+            # Concat over ARRAY values extends into one array — no
+            # string join (merge_strategy.rs ConcatMerger Value::Array
+            # arm appends items)
+            return F.flatten(F.filter(vals, lambda v: v.isNotNull()))
         return F.array_join(vals, sep)
     if s is MergeStrategy.SHORTEST_ARRAY:
         return F.min_by(col, F.size(col))

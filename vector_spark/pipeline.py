@@ -130,7 +130,10 @@ def _t_remap(df, opts, ctx):
         needs_dispatch = any(k in opts for k in dispatch_keys)
         if not needs_dispatch:
             try:
-                return compile_vrl(df, src)
+                return compile_vrl(
+                    df, src,
+                    enrichment_rows=getattr(ctx, "enrichment_rows", None),
+                )
             except VrlCompileError:
                 pass  # dynamic tail -> interpreter slow path
         return remap_interp(

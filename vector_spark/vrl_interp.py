@@ -3227,6 +3227,12 @@ def _sp_type_def(interp: Interp, node: Call):
 
 
 def _meta_path(node: Call):
+    if node.args and isinstance(node.args[0], Lit) and isinstance(
+        node.args[0].value, str
+    ):
+        # legacy string-key form: set_metadata_field("datadog_api_key", v)
+        # (vector 0.24 get/set/remove_metadata_field take a key string)
+        return [node.args[0].value]
     if not node.args or not isinstance(node.args[0], Path):
         raise VrlCompileError(
             "metadata functions take an event-style path"
@@ -3327,6 +3333,17 @@ def _row_to_event(row: dict) -> dict:
     }
 
 
+def _as_events(payload):
+    """Root-array assignment emits one event per element
+    (remap.rs multi-event emission); scalar elements wrap under
+    `message` (LogEvent::from(Value))."""
+    if isinstance(payload, list):
+        return [e if isinstance(e, dict) else {"message": e} for e in payload]
+    if not isinstance(payload, dict):
+        return [{"message": payload}]
+    return [payload]
+
+
 def _run_event(stmts, ev: dict):
     """One reference remap dispatch (src/transforms/remap.rs:465-524):
     returns (outcome, payload_event, error_message) with outcome in
@@ -3388,9 +3405,10 @@ def remap_interp(
     for row in sample:
         outcome, payload, _err = _run_event(stmts, _row_to_event(row))
         to_default, _reason = dispositions(outcome)
-        (ok_rows if to_default else dropped_rows).append(
-            to_jsonable(payload)
-        )
+        for evp in _as_events(payload):
+            (ok_rows if to_default else dropped_rows).append(
+                to_jsonable(evp)
+            )
     spark = df.sparkSession
     if not ok_rows:
         # every sampled event dropped (e.g. drop_on_error with a
@@ -3425,9 +3443,10 @@ def remap_interp(
                 outcome, payload, err = _run_event(
                     stmts, _row_to_event(row)
                 )
-                js.append(json.dumps(to_jsonable(payload)))
-                outcomes.append(outcome)
-                errs.append(err or "")
+                for evp in _as_events(payload):
+                    js.append(json.dumps(to_jsonable(evp)))
+                    outcomes.append(outcome)
+                    errs.append(err or "")
             yield pd.DataFrame(
                 {"_json": js, "_outcome": outcomes, "_error": errs}
             )

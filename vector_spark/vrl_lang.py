@@ -1059,6 +1059,16 @@ class Compiler:
         if isinstance(node, Call):
             if node.name in ("array", "object") and node.args:
                 return self.infer_shape(node.args[0])
+            if node.name in (
+                "get_enrichment_table_record", "find_enrichment_table_records"
+            ):
+                tables = getattr(self.env, "enrichment_rows", None) or {}
+                known, tname = self.py_value(node.args[0]) if node.args else (False, None)
+                rows = tables.get(tname) if known else None
+                if rows:
+                    obj = ("obj", {c: None for c in rows[0].keys()})
+                    return obj if node.name.startswith("get_") else ("arr", obj)
+                return None
             if (
                 node.name == "parse_json"
                 and node.args
@@ -1390,10 +1400,12 @@ class Compiler:
     def _set_in(self, base: Column, segs: list, val: Column) -> Column:
         seg = segs[0]
         if isinstance(seg, str):
+            # withField parses dots as nesting; backtick literal names
+            ref = f"`{seg}`" if "." in seg else seg
             if len(segs) == 1:
-                return base.withField(seg, val)
+                return base.withField(ref, val)
             return base.withField(
-                seg, self._set_in(base.getField(seg), segs[1:], val)
+                ref, self._set_in(base.getField(seg), segs[1:], val)
             )
         if len(segs) > 1:
             elem = F.element_at(base, seg + 1 if seg >= 0 else seg)
@@ -1484,6 +1496,12 @@ class Compiler:
                         self.env.bind["." + k] = col.getItem(k)
                         self.env.shape["." + k] = ksh
                         self.env.top.add(k)
+                elif pynode is not None and isinstance(pynode, Lit) and not isinstance(
+                    pynode.value, (dict, list)
+                ):
+                    # '. = scalar' wraps under the message key
+                    # (LogEvent::from(Value) — remap root-scalar)
+                    self.assign_target(Path(["message"]), col, shape, pynode=pynode)
                 else:
                     raise VrlCompileError(
                         "assigning a non-object to '.' needs a known "
@@ -1756,6 +1774,39 @@ class Compiler:
             return self._del(node)
         if name == "exists" and node.args and isinstance(node.args[0], Path):
             return self._exists(node.args[0])
+        if name in (
+            "get_enrichment_table_record", "find_enrichment_table_records"
+        ):
+            # behavior-test scale: literal VALUES dims compiled into
+            # the expression (enrichment_tables.rs semantics); the
+            # 100 TB path is the broadcast join in enrich.py
+            tables = getattr(self.env, "enrichment_rows", None) or {}
+            tname = self.native_value(node.args[0])
+            if tname not in tables:
+                raise VrlCompileError(f"unknown enrichment table {tname!r}")
+            rows = tables[tname]
+            if not rows or not isinstance(node.args[1], Obj):
+                raise VrlCompileError("enrichment lookup needs a condition object")
+            cols = list(rows[0].keys())
+            arr = F.array(*[
+                F.struct(*[F.lit(r.get(c)).alias(c) for c in cols])
+                for r in rows
+            ])
+            conds = [(k, self.compile(v)) for k, v in node.args[1].pairs]
+
+            def _match(rec):
+                out = F.lit(True)
+                for k, v in conds:
+                    out = out & rec[k].eqNullSafe(v)
+                return out
+
+            matches = F.filter(arr, _match)
+            shape_obj = ("obj", {c: None for c in cols})
+            if name == "get_enrichment_table_record":
+                self._last_shape = shape_obj
+                return F.try_element_at(matches, F.lit(1))
+            self._last_shape = ("arr", shape_obj)
+            return matches
         if name == "assert_eq" and len(node.args) >= 2:
             # assert_eq.rs: true when equal, error otherwise — in a
             # condition both mismatch and error read as "failed"
@@ -2473,7 +2524,10 @@ def _py_to_col(v) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def compile_vrl(df: DataFrame, source: str) -> DataFrame:
+def compile_vrl(
+    df: DataFrame, source: str,
+    enrichment_rows: dict[str, list[dict]] | None = None,
+) -> DataFrame:
     """Compile and apply a VRL program to a DataFrame: event paths map
     to columns; the result keeps every (possibly reassigned) event
     field as a column. Used by the pipeline `remap` transform's
@@ -2482,6 +2536,8 @@ def compile_vrl(df: DataFrame, source: str) -> DataFrame:
     # backticked col refs so literal dotted names like "c.c" resolve
     env = Env({"." + c: F.col(f"`{c}`" if "." in c else c) for c in df.columns})
     env.top = set(df.columns)
+    if enrichment_rows:
+        env.enrichment_rows = enrichment_rows
     comp = Compiler(env)
     for s in stmts:
         # a bare trailing '.' (common program terminator) is a no-op here
