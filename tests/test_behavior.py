@@ -39,11 +39,6 @@ KNOWN_UNSUPPORTED: dict[str, str] = {
         "the Value model maps VRL's dynamic types onto typed columns "
         "(documented divergence, SURVEY §2.4)"
     ),
-    "remap::remap_function_tag_types_externally": (
-        "the tagged union {type: value} requires one column holding "
-        "struct<string>/struct<timestamp>/... per row — heterogeneous "
-        "per-row types, unrepresentable in monomorphic columns"
-    ),
     "remap::remap_function_reverse_dns": (
         "reverse_dns needs live PTR lookups; no resolver in this "
         "build — the scale path is a broadcast (ip -> host) dim join "

@@ -1807,6 +1807,8 @@ class Compiler:
                 return F.try_element_at(matches, F.lit(1))
             self._last_shape = ("arr", shape_obj)
             return matches
+        if name == "tag_types_externally" and node.args:
+            return self._tag_types(node.args[0])
         if name == "assert_eq" and len(node.args) >= 2:
             # assert_eq.rs: true when equal, error otherwise — in a
             # condition both mismatch and error read as "failed"
@@ -1940,6 +1942,51 @@ class Compiler:
                 "pipeline transform form"
             )
         return out
+
+    def _tag_types(self, node) -> Column:
+        """tag_types_externally.rs: wrap scalars as {"<type>": value},
+        recursing through objects (tag each value) and arrays (tag
+        each item); objects/arrays themselves stay untagged
+        (tag_externally match arms :88-115). The VRL type is static
+        per call site, so the dispatch is compile-time."""
+        if isinstance(node, Lit):
+            v = node.value
+            if v is None:
+                return F.lit(None)
+            tag = (
+                "boolean" if isinstance(v, bool)
+                else "integer" if isinstance(v, int)
+                else "float" if isinstance(v, float)
+                else "string" if isinstance(v, str)
+                else None
+            )
+            if tag is None:
+                raise VrlCompileError("tag_types_externally: unsupported literal")
+            return F.struct(F.lit(v).alias(tag))
+        if isinstance(node, Obj):
+            return F.struct(
+                *[self._tag_types(v).alias(k) for k, v in node.pairs]
+            )
+        if isinstance(node, Arr):
+            return F.array(*[self._tag_types(i) for i in node.items])
+        if isinstance(node, Regex):
+            return F.struct(F.lit(node.pattern).alias("regex"))
+        if isinstance(node, TsLit):
+            return F.struct(self.compile(node).alias("timestamp"))
+        td = self.infer_tdef(node)
+        if td is not None and len(td) == 1:
+            kind = next(iter(td))
+            tag = {
+                "bytes": "string", "integer": "integer", "float": "float",
+                "boolean": "boolean", "timestamp": "timestamp",
+            }.get(kind)
+            if tag:
+                return F.struct(self.compile(node).alias(tag))
+            if kind == "null":
+                return F.lit(None)
+        raise VrlCompileError(
+            "tag_types_externally needs a statically-typed argument"
+        )
 
     def _exists(self, path: Path) -> Column:
         key = self._event_key(path)
