@@ -33,12 +33,6 @@ KNOWN_UNSUPPORTED: dict[str, str] = {
         "('function call error for \"parse_json\" at (19:44): ...'); "
         "we do not reproduce Rust error message text"
     ),
-    "remap::remap_error_coalesce_operator": (
-        "`parse_json(...) ?? true` yields a value that is sometimes "
-        "object, sometimes boolean — Spark columns are monomorphic; "
-        "the Value model maps VRL's dynamic types onto typed columns "
-        "(documented divergence, SURVEY §2.4)"
-    ),
     "remap::remap_function_reverse_dns": (
         "reverse_dns needs live PTR lookups; no resolver in this "
         "build — the scale path is a broadcast (ip -> host) dim join "

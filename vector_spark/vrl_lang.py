@@ -1638,6 +1638,20 @@ class Compiler:
 
     def compile_bin(self, node: Bin) -> Column:
         if node.op == "??":
+            # constant fold: a literal-argument fallible call decides
+            # the branch at compile time (parse_json("...") ?? x)
+            if (
+                isinstance(node.left, Call)
+                and node.left.name.rstrip("!") == "parse_json"
+                and node.left.args
+                and isinstance(node.left.args[0], Lit)
+                and isinstance(node.left.args[0].value, str)
+            ):
+                try:
+                    json.loads(node.left.args[0].value)
+                    return self.compile(node.left)
+                except ValueError:
+                    return self.compile(node.right)
             # VRL ?? catches errors; Spark raises type errors at
             # analysis time, so probe the left plan and fall back
             try:
