@@ -384,3 +384,19 @@ def test_file_sink_metric_codecs(spark, tmp_path):
     assert 'ns_hits{env="prod"} 3' in pm and "ns_depth{} 7.5" in pm or "ns_depth 7.5" in pm
     nj = {r.value for r in spark.read.text(str(tmp_path / "nj")).collect()}
     assert '{"log":{"name":"hits","value":3.0}}' in nj
+
+
+def test_is_event_kind_conditions(spark):
+    """is_log/is_metric conditions (src/conditions/is_log.rs): per-row
+    over an event_kind column, constant otherwise."""
+    from vector_spark.pipeline import compile_condition
+
+    mixed = decode_native_json(_lines(spark, [
+        '{"log": {"m": 1}}', '{"metric": {"name": "x"}}',
+    ]))
+    logs = mixed.filter(compile_condition({"type": "is_log"}, mixed.schema))
+    mets = mixed.filter(compile_condition({"type": "is_metric"}, mixed.schema))
+    assert logs.count() == 1 and mets.count() == 1
+    plain = _lines(spark, ["a"])
+    assert plain.filter(compile_condition({"type": "is_log"}, plain.schema)).count() == 1
+    assert plain.filter(compile_condition({"type": "is_metric"}, plain.schema)).count() == 0

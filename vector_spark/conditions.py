@@ -121,3 +121,17 @@ def vrl_expr(expr: str) -> Column:
     """Raw boolean expression condition (the VRL-condition analogue,
     src/conditions/vrl.rs). Catalyst analyzes and pushes it down."""
     return F.expr(expr)
+
+
+def is_event_kind(kind: str, schema=None) -> Column:
+    """is_log / is_metric / is_trace conditions (src/conditions/
+    is_log.rs etc.). Events normally live in kind-homogeneous
+    DataFrames (logs and metrics are separate frames — SURVEY §2.2),
+    so without an `event_kind` column the answer is a constant: logs
+    by convention. With an `event_kind` column (the native_json
+    decoder emits one), the test is per-row."""
+    if schema is not None and any(
+        f.name == "event_kind" for f in getattr(schema, "fields", [])
+    ):
+        return F.col("event_kind") == kind
+    return F.lit(kind == "log")

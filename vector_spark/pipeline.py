@@ -92,6 +92,10 @@ def compile_condition(spec: Any, schema=None) -> Column:
             from vector_spark.datadog_search import datadog_search
 
             return datadog_search(spec["source"], schema)
+        if kind in ("is_log", "is_metric", "is_trace"):
+            from vector_spark.conditions import is_event_kind
+
+            return is_event_kind(kind.removeprefix("is_"), schema)
     raise ValueError(f"bad condition spec: {spec!r}")
 
 
