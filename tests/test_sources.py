@@ -102,9 +102,11 @@ def test_frame_character_delimited(spark):
     df = spark.createDataFrame([("a;bb;ccc;",), ("x;y",)], "content string")
     got = [r.frame for r in frame_character_delimited(df, ";").collect()]
     assert got == ["a", "bb", "ccc", "x", "y"]
-    # max_length truncates (character_delimited.rs limit)
+    # max_length DISCARDS oversized frames entirely
+    # (character_delimited.rs: "Any frames longer than max_length
+    # bytes will be discarded entirely")
     got2 = [r.frame for r in frame_character_delimited(df, ";", max_length=2).collect()]
-    assert got2 == ["a", "bb", "cc", "x", "y"]
+    assert got2 == ["a", "bb", "x", "y"]
 
 
 def test_frame_octet_counting(spark):

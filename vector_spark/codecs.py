@@ -367,13 +367,6 @@ def decode_prometheus(df: DataFrame, line_col: str = "line") -> DataFrame:
     filter them or route them to a dropped port.
     """
     line = F.trim(F.col(line_col))
-    m = F.regexp_extract_all(
-        line,
-        F.lit(
-            r"^([a-zA-Z_:][a-zA-Z0-9_:]*)(\{.*\})?\s+([^\s]+)(?:\s+(-?\d+))?$"
-        ),
-        0,
-    )
     name = F.regexp_extract(line, r"^([a-zA-Z_:][a-zA-Z0-9_:]*)", 1)
     labels_raw = F.regexp_extract(line, r"^[a-zA-Z_:][a-zA-Z0-9_:]*\{(.*)\}", 1)
     rest = F.regexp_extract(
@@ -388,10 +381,14 @@ def decode_prometheus(df: DataFrame, line_col: str = "line") -> DataFrame:
         ),
         F.lit("}"),
     )
-    labels = F.coalesce(
-        F.from_json(labels_json, T.MapType(T.StringType(), T.StringType())),
-        F.expr("map()"),
+    labels_parsed = F.from_json(
+        labels_json, T.MapType(T.StringType(), T.StringType())
     )
+    labels = F.coalesce(labels_parsed, F.expr("map()"))
+    # the key= -> "key": rewrite can corrupt pathological values that
+    # embed `,word=` inside a quoted label; from_json then nulls out —
+    # surface that as a decode error instead of an empty label map
+    labels_bad = (labels_raw != "") & labels_parsed.isNull()
     value = (
         F.when(F.lower(value_str) == "nan", F.lit(float("nan")))
         .when(F.lower(value_str).isin("+inf", "inf"), F.lit(float("inf")))
@@ -405,7 +402,7 @@ def decode_prometheus(df: DataFrame, line_col: str = "line") -> DataFrame:
         F.when(is_body, labels).alias("labels"),
         F.when(is_body, value).alias("value"),
         F.when(is_body, ts_str.try_cast("long")).alias("ts_millis"),
-        (~is_body | value.isNull()).alias("_decode_error"),
+        (~is_body | value.isNull() | labels_bad).alias("_decode_error"),
     )
 
 

@@ -59,6 +59,12 @@ def sample_counter(
     from pyspark.sql import Window
 
     order = F.col(order_by) if isinstance(order_by, str) else order_by
+    # null-safe split (sample.rs check_conditions: a non-true result —
+    # including null — means "not excluded"): a bare filter(exclude) /
+    # filter(~exclude) pair would silently drop rows where the
+    # condition evaluates to NULL from BOTH branches
+    if exclude is not None:
+        exclude = F.coalesce(exclude, F.lit(False))
     excluded = df.filter(exclude) if exclude is not None else None
     pool = df.filter(~exclude) if exclude is not None else df
 

@@ -42,16 +42,43 @@ def _name_groups(pat: str) -> str | None:
     callers fall back to the Python-re path then."""
     if "(?P<" in pat:
         return None
+    # walk the pattern tracking runs of preceding backslashes: '(' is
+    # a capture-group opener only when preceded by an EVEN number of
+    # backslashes (a single-char lookbehind misclassifies r'\\(' —
+    # escaped backslash THEN a real group — leaving it unnamed and
+    # desyncing the g<n> names from the group count)
+    out = []
     idx = 0
-
-    def repl(m: "re.Match") -> str:
-        nonlocal idx
-        idx += 1
-        return f"(?P<g{idx}>"
-
+    backslashes = 0
+    i = 0
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "\\":
+            backslashes += 1
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "(" and backslashes % 2 == 0:
+            if pat[i + 1 : i + 2] == "?":
+                out.append(ch)  # non-capturing / special construct
+            else:
+                idx += 1
+                out.append(f"(?P<g{idx}>")
+        else:
+            out.append(ch)
+        backslashes = 0
+        i += 1
+    named = "".join(out)
+    # belt and braces: if our count disagrees with re's, bail to the
+    # python-re fallback rather than KeyError at executor runtime
     import re as _re
 
-    return _re.sub(r"(?<!\\)\((?!\?)", repl, pat)
+    try:
+        if _re.compile(named).groups != idx:
+            return None
+    except _re.error:
+        return None
+    return named
 
 
 def _groups(line: Column, pat: str, n: int) -> Column:

@@ -232,13 +232,23 @@ def _t_reduce(df, opts, ctx):
                 else MergeStrategy.DISCARD
             )
             strategies[f.name] = (strat, f.name)
-        # the default timestamp strategy also emits `<f>_end` = last
-        # (reduce/mod.rs:52-56)
-        for f in df.schema.fields:
-            if f.dataType.typeName().startswith("timestamp") and f.name in strategies:
-                strategies[f.name + "_end"] = (MergeStrategy.LAST_TS, f.name)
-        for out, sname in (opts.get("merge_strategies") or {}).items():
+        # explicit merge_strategies overrides REPLACE the default
+        # merger entirely (reference: a configured strategy supplants
+        # the timestamp-window pair), so apply them BEFORE adding the
+        # `<f>_end` = last default — a timestamp field with an
+        # explicit strategy must not emit a stray `<f>_end`
+        overrides = opts.get("merge_strategies") or {}
+        for out, sname in overrides.items():
             strategies[out] = (MergeStrategy(sname), out)
+        # the default timestamp strategy also emits `<f>_end` = last
+        # (reduce/mod.rs:52-56) — only for fields left on the default
+        for f in df.schema.fields:
+            if (
+                f.dataType.typeName().startswith("timestamp")
+                and f.name in strategies
+                and f.name not in overrides
+            ):
+                strategies[f.name + "_end"] = (MergeStrategy.LAST_TS, f.name)
     ends = opts.get("ends_when")
     starts = opts.get("starts_when")
     if ends is not None or starts is not None:

@@ -772,9 +772,11 @@ def frame_character_delimited(
     max_length: int | None = None,
 ) -> DataFrame:
     """character_delimited framing (framing/character_delimited.rs):
-    split the buffer on a delimiter char; frames over max_length are
-    truncated to it (the decoder's limit discards the tail). Pure
-    expressions — split + explode."""
+    split the buffer on a delimiter char; frames longer than
+    max_length are DISCARDED entirely ("Any frames longer than
+    max_length bytes will be discarded entirely",
+    character_delimited.rs decode + decode_eof). Pure expressions —
+    split + explode + length filter."""
     import re as _re
 
     frames = F.split(F.col(content_col), _re.escape(delimiter))
@@ -787,7 +789,7 @@ def frame_character_delimited(
     frame = F.explode(frames).alias("frame")
     out = df.select("*", frame)
     if max_length is not None:
-        out = out.withColumn("frame", F.substring("frame", 1, max_length))
+        out = out.filter(F.length("frame") <= max_length)
     return out
 
 
