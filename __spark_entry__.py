@@ -1086,8 +1086,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_aggregate(routed)
 
 
+# queries with deliberately NO oracle_sql entry (rows-only driver
+# check): statistical heuristics with no SQL twin. Everything else
+# MUST have an oracle — tests/test_registry.py enforces it.
+ROWS_ONLY = {"docs_lang_id"}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering note: the round-2 driver recorded correctness rows for
+    # exactly the FIRST 50 registry entries. Entries whose oracle is
+    # new or which lacked a driver row in CORRECTNESS_r02 are listed
+    # FIRST so this round's driver run covers them; the tail entries
+    # are the longest-verified ones (green in r02 AND in the in-repo
+    # full sweep, tools/check_oracles.py / CORRECTNESS_FULL_r03.json).
     return {
+        # -- no driver row in r02 (registry past the 50-entry window)
+        "tokens_parse": q_tokens_parse,
+        "regex_all_parse": q_regex_all_parse,
+        "user_agent_parse": q_user_agent_parse,
+        "ruby_hash_parse": q_ruby_hash_parse,
+        "xml_parse": q_xml_parse,
+        "cloudwatch_parse": q_cloudwatch_parse,
+        "remap_vrl": q_remap_vrl,
+        "remap_vrl_interp": q_remap_vrl_interp,
+        "datadog_filter": q_datadog_filter,
+        "gelf_decode": q_gelf_decode,
+        "statsd_decode": q_statsd_decode,
+        "statsd_encode": q_statsd_encode,
+        "prometheus_encode": q_prometheus_encode,
+        "native_json": q_native_json,
+        "sample_counter": q_sample_counter,
+        # -- oracle newly added or changed in round 3
+        "docs_minhash_lsh": q_docs_minhash_lsh,
+        "docs_simhash": q_docs_simhash,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "docs_lang_id": q_docs_lang_id,
         "parse": q_parse,
         "enrich": q_enrich,
         "route_counts": q_route_counts,
@@ -1109,8 +1142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_text_stats": q_docs_text_stats,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
-        "docs_minhash_lsh": q_docs_minhash_lsh,
-        "docs_simhash": q_docs_simhash,
         "ann_topk": q_ann_topk,
         "apache_parse": q_apache_parse,
         "grok_apache": q_grok_apache,
@@ -1120,8 +1151,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg_conv": q_salted_agg_conv,
         "enrich_between": q_enrich_between,
         "emb_near_dup": q_emb_near_dup,
-        "emb_near_dup_lsh": q_emb_near_dup_lsh,
-        "docs_lang_id": q_docs_lang_id,
         "geoip_enrich": q_geoip_enrich,
         "metric_to_log": q_metric_to_log,
         "dropped_port": q_dropped_port,
@@ -1138,21 +1167,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auth_parse": q_auth_parse,
         "vpc_flow_parse": q_vpc_flow_parse,
         "alb_parse": q_alb_parse,
-        "tokens_parse": q_tokens_parse,
-        "regex_all_parse": q_regex_all_parse,
-        "user_agent_parse": q_user_agent_parse,
-        "ruby_hash_parse": q_ruby_hash_parse,
-        "xml_parse": q_xml_parse,
-        "cloudwatch_parse": q_cloudwatch_parse,
-        "remap_vrl": q_remap_vrl,
-        "remap_vrl_interp": q_remap_vrl_interp,
-        "datadog_filter": q_datadog_filter,
-        "gelf_decode": q_gelf_decode,
-        "statsd_decode": q_statsd_decode,
-        "statsd_encode": q_statsd_encode,
-        "prometheus_encode": q_prometheus_encode,
-        "native_json": q_native_json,
-        "sample_counter": q_sample_counter,
     }
 
 
@@ -1916,8 +1930,151 @@ SELECT event_id, 7 AS sample_rate FROM (
 ) WHERE rk % 7 = 0
 """
 
-    # docs_minhash_lsh / docs_simhash intentionally have no oracle:
-    # LSH banding is approximate-by-construction (rows-only check);
-    # their exact counterparts docs_ngram_jaccard / docs_exact_dedup
-    # are fully oracle-verified above.
+    # ---- LSH promotions (round 3): banding is APPROXIMATE as a
+    # near-dup detector but fully DETERMINISTIC arithmetic — the
+    # md5-prefix token hash, universal-hash family, band md5s and
+    # splitmix hyperplanes are all computable in DuckDB, so the exact
+    # candidate set + estimates re-derive cross-engine. Only
+    # docs_lang_id (a statistical heuristic) stays rows-only.
+
+    o["docs_minhash_lsh"] = f"""
+WITH {_corpus},
+toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM corpus
+),
+grams AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(greatest(len(tk) - 3, 0) + 1),
+                  i -> array_to_string(tk[i + 1 : i + 3], ' '))) AS gs
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+    list_transform(range(64), i -> list_min(list_transform(
+      list_transform(gs, g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4294967311),
+      x -> ((2*i + 1) * x + ((1000003*i + 12345) % 4294967311)) % 4294967311
+    ))) AS sig
+  FROM grams
+),
+bands AS (
+  SELECT doc_id, b AS band,
+    md5(concat_ws('-', sig[4*b + 1], sig[4*b + 2], sig[4*b + 3], sig[4*b + 4])) AS bsig
+  FROM sig, range(16) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  round(len(list_filter(range(64), i -> sa.sig[i + 1] = sb.sig[i + 1])) / 64.0, 6) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+WHERE round(len(list_filter(range(64), i -> sa.sig[i + 1] = sb.sig[i + 1])) / 64.0, 6) >= 0.8
+"""
+
+    o["docs_simhash"] = f"""
+WITH {_corpus},
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM corpus
+),
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks
+),
+bits AS (
+  SELECT doc_id, bit,
+    SUM(CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, range(60) t(bit) GROUP BY 1, 2
+),
+sim AS (
+  SELECT doc_id,
+    SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, simhash, blk,
+    (simhash >> CAST(blk * 15 AS INT)) & 32767 AS bval
+  FROM sim, range(4) t(blk)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+    o["emb_near_dup_lsh"] = _emb_lsh_oracle()
+
     return o
+
+
+def _emb_lsh_oracle(n_bits: int = 10, n_tables: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of embedding_near_dup_lsh: the splitmix hyperplanes
+    are injected as exact-integer literals (k/1000001.0 - 1.0 computed
+    in-engine so both engines do the identical IEEE division), the
+    projection is a left-fold (list_reduce) matching F.aggregate's
+    evaluation order bit-for-bit, and the candidate join + exact
+    cosine filter mirror similarity.py."""
+    from vector_spark.dataops.similarity import _hyperplane
+
+    rows = []
+    for t in range(n_tables):
+        for h in range(n_bits):
+            # re-derive the pre-division integers so the SQL performs
+            # the same k/1000001.0 - 1.0 in double precision
+            ks = []
+            for d in range(dim):
+                z = (h * 0x9E3779B97F4A7C15 + t * 0xBF58476D1CE4E5B9 + d * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+                z = ((z >> 30) ^ z) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+                z = ((z >> 27) ^ z) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+                z = (z >> 31) ^ z
+                k = z % 2000003
+                ks.append(k)
+                assert abs((k / 1000001.0 - 1.0) - _hyperplane(dim, h, t)[d]) == 0.0
+            rows.append(
+                f"({t}, {h}, list_transform([{', '.join(map(str, ks))}], "
+                f"k -> k / 1000001.0 - 1.0))"
+            )
+    planes_values = ",\n  ".join(rows)
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(v, x -> x + 0.01) FROM base
+),
+planes(tbl, h, p) AS (VALUES
+  {planes_values}
+),
+proj AS (
+  SELECT c.vec_id, pl.tbl, pl.h,
+    list_reduce(list_transform(range({dim}), i -> c.v[i + 1] * pl.p[i + 1]),
+                (a, b) -> a + b) AS proj
+  FROM corpus c CROSS JOIN planes pl
+),
+buckets AS (
+  SELECT vec_id, tbl,
+    SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(h AS INT)) ELSE 0 END) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT id_a, id_b,
+    round(
+      list_sum(list_transform(range({dim}), i -> ca.v[i + 1] * cb.v[i + 1]))
+      / (sqrt(list_sum(list_transform(range({dim}), i -> ca.v[i + 1] * ca.v[i + 1])))
+         * sqrt(list_sum(list_transform(range({dim}), i -> cb.v[i + 1] * cb.v[i + 1])))),
+      6) AS cosine
+  FROM cand
+  JOIN corpus ca ON ca.vec_id = id_a
+  JOIN corpus cb ON cb.vec_id = id_b
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99
+"""

@@ -155,37 +155,62 @@ def _minhash_sig_udf(n: int):
 
     from pyspark.sql.functions import pandas_udf
 
+    # shingle-string -> md5-int cache, shared across Arrow batches of
+    # one worker process: md5 is the only per-string Python cost left
+    # and web corpora repeat shingles heavily (bounded below)
+    _md5_cache: dict[str, int] = {}
+    _MD5_CACHE_MAX = 1_000_000
+
     @pandas_udf("array<bigint>")
     def sig_udf(texts):
         import hashlib
         import re as _re
 
         import numpy as np
+        import pandas as pd
 
         A = (2 * np.arange(N_HASHES, dtype=np.int64) + 1)[:, None]
         B = ((1000003 * np.arange(N_HASHES, dtype=np.int64) + 12345) % P)[
             :, None
         ]
+        split = _re.compile(r"\s+").split
+        cache_get = _md5_cache.get
 
-        def sig_of(text):
-            if text is None:
-                return None
+        # one vectorized pass per Arrow batch: gather every doc's
+        # shingle-hash ints into ONE flat array, apply all 64
+        # universal hashes as a single (64, total) matrix op, and
+        # take per-doc minima with np.minimum.reduceat — the only
+        # remaining per-shingle Python is a dict lookup (md5 computed
+        # once per DISTINCT shingle per worker)
+        flat: list[int] = []
+        offsets: list[int] = []
+        doc_idx: list[int] = []
+        for pos, text in enumerate(texts):
+            if text is None or (isinstance(text, float) and text != text):
+                continue
             # mirror the Column shingler exactly: split(lower, \s+)
             # keeps a leading "" on leading whitespace (Java split)
-            toks = _re.split(r"\s+", text.lower())
+            toks = split(text.lower())
             hi = max(len(toks) - n, 0)
             grams = {" ".join(toks[i : i + n]) for i in range(hi + 1)}
-            xs = np.fromiter(
-                (
-                    int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % P
-                    for g in grams
-                ),
-                dtype=np.int64,
-                count=len(grams),
-            )
-            return (A * xs[None, :] + B).__mod__(P).min(axis=1)
+            offsets.append(len(flat))
+            doc_idx.append(pos)
+            for g in grams:
+                v = cache_get(g)
+                if v is None:
+                    v = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % P
+                    if len(_md5_cache) < _MD5_CACHE_MAX:
+                        _md5_cache[g] = v
+                flat.append(v)
 
-        return texts.map(sig_of)
+        out = pd.Series([None] * len(texts), dtype=object)
+        if flat:
+            xs = np.asarray(flat, dtype=np.int64)
+            H = (A * xs[None, :] + B) % P  # (64, total_shingles)
+            mins = np.minimum.reduceat(H, np.asarray(offsets), axis=1)
+            for j, pos in enumerate(doc_idx):
+                out.iloc[pos] = mins[:, j]
+        return out
 
     _MINHASH_UDFS[n] = sig_udf
     return sig_udf

@@ -46,32 +46,78 @@ def flagship_routes() -> dict:
     }
 
 
+#: target on-heap bytes per fan-out write task; parquet input bytes
+#: expand roughly 3x into row form + route-clone overhead
+_FANOUT_TARGET_BYTES = 64 * 1024 * 1024
+_PARQUET_EXPANSION = 3
+
+
+def _scan_bytes(df: DataFrame) -> int | None:
+    """Compressed on-disk bytes of the frame's file-source scans
+    (driver-side listing — no job). None for non-file sources."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file plans
+        return None
+    total = 0
+    for f in files:
+        path = f[5:] if f.startswith("file:") else f
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            continue
+    return total or None
+
+
 def repartition_for_fanout(
     routed: DataFrame,
-    salt_buckets: int = 32,
+    salt_buckets: int | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Explicit repartition before the partitionBy fan-out write
     (SURVEY §4 item 2 — Catalyst won't insert this).
 
     Keying the shuffle on (_route, role) alone caps write parallelism
-    at |route|x|role| (~10) tasks — a 1000-executor cluster would idle.
-    Adding a conv_id-hash salt spreads each (route, role) slice over
-    `salt_buckets` tasks while each task still writes exactly ONE
-    output directory (files per dir = salt_buckets, not total tasks).
+    at |route|x|role| (~10) tasks — a 1000-executor cluster would
+    idle. Adding a conv_id-hash salt spreads each (route, role) slice
+    over up to `salt_buckets` tasks.
 
-    Partition sizing (round-2 fix, measured on the 30M-turn scaling
-    input): hashing ~80 (route, role, salt8) combos into the default
-    32 shuffle partitions left collision-skewed stragglers that
-    capped write-stage scaling at ~0.67 efficiency; salt=32 (≈320
-    combos) with an explicit partition count ≥4x the core count
-    evened the distribution and took the 8-core write from 113 s to
-    70-75 s (2->8-core efficiency 0.87-0.97). On a real cluster the
-    same rule applies: partitions ∝ executor cores, salt fixed."""
+    Sizing (round-3 fix): BOTH knobs derive from an input-volume
+    estimate, not core count alone. Round 2's fixed salt=32 /
+    partitions=max(64, 4*cores) fixed 30M-row write scaling
+    (0.67 -> 0.87-0.97 efficiency) but taxed small inputs 3x: at
+    sf0.1 it wrote 462 files instead of 122 and the write leg took
+    12-17 s instead of ~4 s — a small-files penalty large inputs
+    amortize and small ones don't. Now:
+
+      num_partitions = clamp(row_bytes / 64 MB, 2, 4*cores)
+      salt_buckets   = num_partitions
+
+    so a 20 MB sf0.1 input writes ~2 tasks x ~15 dirs = ~30 files,
+    while a 6 GB scaling input still fans out to 4*cores tasks with
+    dirs x salt ≈ 15 x partitions combos hashing ~15-per-task (even
+    load; the biggest directory alone can span every task, capping
+    any straggler at ~one target partition). On a real cluster the
+    same rule holds: partitions ∝ bytes until the executor-core
+    ceiling, salt ∝ partitions."""
+    import math
+
     spark = routed.sparkSession
+    cores = spark.sparkContext.defaultParallelism
     if num_partitions is None:
-        cores = spark.sparkContext.defaultParallelism
-        num_partitions = max(64, 4 * cores)
+        scan = _scan_bytes(routed)
+        if scan is None:
+            num_partitions = max(64, 4 * cores)  # conservative legacy
+        else:
+            est_rows_bytes = scan * _PARQUET_EXPANSION
+            num_partitions = min(
+                max(2, math.ceil(est_rows_bytes / _FANOUT_TARGET_BYTES)),
+                4 * cores,
+            )
+    if salt_buckets is None:
+        salt_buckets = num_partitions
     salt = F.pmod(F.xxhash64("conv_id"), F.lit(salt_buckets))
     return routed.repartition(
         num_partitions, F.col("_route"), F.col("role"), salt
