@@ -1080,6 +1080,60 @@ def q_sample_counter(spark, sf_dir):
     )
 
 
+def q_sketch_merge(spark, sf_dir):
+    """Mergeable quantile sketch 2-level rollup (metric/value.rs:43-49
+    Sketch(AgentDDSketch) + MetricValue::add): level 1 builds one
+    sketch per (hour, agent) from raw latencies; level 2 MERGES the
+    already-aggregated sketches per hour — no raw-sample access — and
+    answers p50/p95/p99. The oracle aggregates raw values directly:
+    identical output proves merge losslessness."""
+    from vector_spark.operators.sketch import (
+        sketch_from_values,
+        sketch_merge,
+        sketch_quantiles,
+    )
+
+    parsed = _parsed(spark, sf_dir).filter(F.col("latency_ms").isNotNull())
+    lvl0 = parsed.select(
+        F.window("ts", "1 hour").alias("w"),
+        F.pmod(F.substring("conv_id", 6, 8).cast("bigint"), F.lit(8)).alias(
+            "agent"
+        ),
+        "latency_ms",
+    )
+    lvl1 = sketch_from_values(lvl0, "latency_ms", ["w", "agent"])
+    lvl2 = sketch_merge(lvl1.drop("agent"), ["w"])
+    out = sketch_quantiles(lvl2, ["w"], qs=[0.5, 0.95, 0.99])
+    return out.select(
+        F.col("w.start").alias("window_start"), "q", "est", "n"
+    )
+
+
+def q_merge_histograms(spark, sf_dir):
+    """AggregatedHistogram re-aggregation (MetricValue::add,
+    value.rs:168+): per-(hour, agent) bucketed latency histograms
+    merge bucket-wise into per-hour histograms — counts and sums add;
+    bounds agree by construction."""
+    from vector_spark.operators.aggregate import distribution_to_agg_histogram
+    from vector_spark.operators.sketch import merge_agg_histograms
+
+    parsed = _parsed(spark, sf_dir).filter(F.col("latency_ms").isNotNull())
+    agent = F.pmod(
+        F.substring("conv_id", 6, 8).cast("bigint"), F.lit(8)
+    ).alias("agent")
+    lvl1 = distribution_to_agg_histogram(
+        parsed.select("ts", "latency_ms", agent),
+        "latency_ms",
+        bounds=[10.0, 100.0, 1000.0],
+        keys=["agent"],
+    )
+    merged = merge_agg_histograms(lvl1.drop("agent"), ["w"])
+    return merged.select(
+        F.col("w.start").alias("window_start"), "bucket", "bucket_count",
+        F.round("bucket_sum", 2).alias("bucket_sum"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse -> enrich -> route -> hourly aggregate at sf0.001."""
     routed = build_flagship(spark, SF0001)
@@ -1116,6 +1170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prometheus_encode": q_prometheus_encode,
         "native_json": q_native_json,
         "sample_counter": q_sample_counter,
+        # -- new in round 3
+        "sketch_merge": q_sketch_merge,
+        "merge_histograms": q_merge_histograms,
         # -- oracle newly added or changed in round 3
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_simhash": q_docs_simhash,
@@ -2007,6 +2064,64 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 """
 
     o["emb_near_dup_lsh"] = _emb_lsh_oracle()
+
+    # sketch rollup: the oracle aggregates RAW values straight to the
+    # final answer; the Spark side must reach the identical result
+    # through the 2-level merge of already-aggregated sketches —
+    # proving merge losslessness. Bucket arithmetic is integer-exact
+    # (binary-string-length exponent), no libm involved.
+    o["sketch_merge"] = _with(
+        """
+, vals AS (
+  SELECT date_trunc('hour', ts) AS window_start, latency_ms AS x
+  FROM parsed WHERE latency_ms IS NOT NULL AND latency_ms >= 0
+),
+b AS (
+  SELECT window_start,
+    CASE WHEN x < 16 THEN CAST(x AS INT)
+         ELSE CAST(16 * (length(printf('%b', x)) - 1)
+                   + ((x >> (length(printf('%b', x)) - 5)) & 15) AS INT)
+    END AS bucket,
+    count(*) AS cnt
+  FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT window_start, bucket,
+    SUM(cnt) OVER (PARTITION BY window_start ORDER BY bucket) AS cum,
+    SUM(cnt) OVER (PARTITION BY window_start) AS n
+  FROM b
+),
+qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE)), (CAST(0.99 AS DOUBLE))),
+hits AS (
+  SELECT window_start, q, min(bucket) AS bucket, min(n) AS n
+  FROM cum CROSS JOIN qs
+  WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+  GROUP BY 1, 2
+)
+SELECT window_start, q,
+  CASE WHEN bucket < 16 THEN CAST(bucket AS DOUBLE)
+       ELSE CAST((CAST(bucket % 16 + 16 AS BIGINT) << CAST(bucket // 16 - 4 AS INT)) AS DOUBLE)
+            + (CAST((CAST(1 AS BIGINT) << CAST(bucket // 16 - 4 AS INT)) AS BIGINT) - 1) / 2.0
+  END AS est,
+  CAST(n AS BIGINT) AS n
+FROM hits
+"""
+    )
+
+    # histogram re-aggregation: same final histogram as aggregating
+    # raw samples directly (bucket-wise addition is lossless; sums of
+    # integer-valued doubles are order-independent)
+    o["merge_histograms"] = _with(
+        """
+SELECT date_trunc('hour', ts) AS window_start,
+       CAST(len(list_filter([10.0, 100.0, 1000.0],
+                            b -> b < CAST(latency_ms AS DOUBLE))) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS bucket_count,
+       round(SUM(CAST(latency_ms AS DOUBLE)), 2) AS bucket_sum
+FROM parsed WHERE latency_ms IS NOT NULL
+GROUP BY 1, 2
+"""
+    )
 
     return o
 
