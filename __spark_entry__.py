@@ -1134,6 +1134,40 @@ def q_merge_histograms(spark, sf_dir):
     )
 
 
+def q_enrich_ci(spark, sf_dir):
+    """Case-insensitive enrichment (lib/enrichment/src/lib.rs:32-35
+    Case::Insensitive; index build src/enrichment_tables/file.rs:
+    190-194): facts with UPPERCASED roles still hit the lowercase
+    role_dim — both sides fold at the (broadcast) join."""
+    from vector_spark.enrich import role_dim
+
+    t = load_transcripts(spark, sf_dir).withColumn("role", F.upper("role"))
+    dim = role_dim(spark)
+    dim.case_sensitive = False
+    out = dim.lookup(t)
+    return out.select("conv_id", "turn_idx", "role", "role_group", "priority")
+
+
+def q_enrich_wildcard(spark, sf_dir):
+    """Wildcard-condition enrichment: glob patterns (* / ?) on the
+    dimension side classify transcript messages; multi-match rows
+    multiply (find_table_rows semantics)."""
+    from vector_spark.enrich import EnrichmentTable
+
+    parsed = _parsed(spark, sf_dir).filter(~F.col("_parse_error"))
+    dim = spark.sql(
+        "SELECT * FROM (VALUES"
+        " ('alpha*', 'starts-alpha'),"
+        " ('*tango', 'ends-tango'),"
+        " ('?ravo*', 'bravo-ish'),"
+        " ('*kilo*lima*', 'kilo-then-lima')"
+        ") AS t(pattern, label)"
+    )
+    table = EnrichmentTable(dim, key=[], name="msg_patterns")
+    out = table.lookup_wildcard(parsed, "msg", "pattern")
+    return out.select("conv_id", "turn_idx", "pattern", "label")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse -> enrich -> route -> hourly aggregate at sf0.001."""
     routed = build_flagship(spark, SF0001)
@@ -1173,6 +1207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 3
         "sketch_merge": q_sketch_merge,
         "merge_histograms": q_merge_histograms,
+        "enrich_ci": q_enrich_ci,
+        "enrich_wildcard": q_enrich_wildcard,
         # -- oracle newly added or changed in round 3
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_simhash": q_docs_simhash,
@@ -2064,6 +2100,30 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 """
 
     o["emb_near_dup_lsh"] = _emb_lsh_oracle()
+
+    o["enrich_ci"] = _with(
+        f"""
+SELECT t.conv_id, t.turn_idx, upper(t.role) AS role,
+       r.role_group, r.priority
+FROM transcripts t
+LEFT JOIN ({ROLE_DIM_SQL}) r ON lower(upper(t.role)) = lower(r.role)
+"""
+    )
+
+    o["enrich_wildcard"] = _with(
+        """
+SELECT p.conv_id, p.turn_idx, d.pattern, d.label
+FROM parsed p
+LEFT JOIN (VALUES
+  ('alpha*', 'starts-alpha', 'alpha%'),
+  ('*tango', 'ends-tango', '%tango'),
+  ('?ravo*', 'bravo-ish', '_ravo%'),
+  ('*kilo*lima*', 'kilo-then-lima', '%kilo%lima%')
+) AS d(pattern, label, like_pat)
+  ON p.msg LIKE d.like_pat
+WHERE NOT p.parse_error
+"""
+    )
 
     # sketch rollup: the oracle aggregates RAW values straight to the
     # final answer; the Spark side must reach the identical result

@@ -24,25 +24,97 @@ from vector_spark import schema as S
 
 class EnrichmentTable:
     """A named, keyed dimension table (Vector enrichment_tables file
-    provider, src/enrichment_tables/file.rs:18-53)."""
+    provider, src/enrichment_tables/file.rs:18-53).
 
-    def __init__(self, df: DataFrame, key: list[str], name: str = ""):
+    case_sensitive=False mirrors Case::Insensitive
+    (lib/enrichment/src/lib.rs:32-35, index build at
+    file.rs:190-194): string keys compare lowercase-folded on BOTH
+    sides — implemented by folding at join time, the broadcast-join
+    equivalent of building the hash index over lowered keys. Returned
+    dimension attributes keep their stored case (row_equals matches
+    case-folded but add_columns returns the row as stored)."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        key: list[str],
+        name: str = "",
+        case_sensitive: bool = True,
+    ):
         self.df = df
         self.key = key
         self.name = name
+        self.case_sensitive = case_sensitive
+
+    def _fold(self, df: DataFrame, cols: list[str]) -> DataFrame:
+        for k in cols:
+            if dict(df.dtypes).get(k) == "string":
+                df = df.withColumn(k, F.lower(F.col(k)))
+        return df
 
     def assert_unique_key(self) -> None:
         """find_table_row errors unless exactly one row matches
-        (lib/enrichment/src/lib.rs:39-51); we enforce it once at load."""
-        dupes = self.df.groupBy(*self.key).count().filter(F.col("count") > 1)
+        (lib/enrichment/src/lib.rs:39-51); we enforce it once at load
+        — under the table's case mode, so 'A'/'a' collide when
+        insensitive."""
+        keyed = self.df if self.case_sensitive else self._fold(self.df, self.key)
+        dupes = keyed.groupBy(*self.key).count().filter(F.col("count") > 1)
         if dupes.limit(1).count() > 0:
             raise ValueError(
                 f"enrichment table {self.name!r} has duplicate keys {self.key}"
             )
 
     def lookup(self, facts: DataFrame, how: str = "left") -> DataFrame:
-        """Equality enrich: broadcast hash join on the key columns."""
-        return facts.join(F.broadcast(self.df), on=self.key, how=how)
+        """Equality enrich: broadcast hash join on the key columns
+        (lowercase-folded on both sides when case-insensitive; the
+        fact columns keep their original case in the output)."""
+        if self.case_sensitive:
+            return facts.join(F.broadcast(self.df), on=self.key, how=how)
+        str_keys = [
+            k for k in self.key if dict(facts.dtypes).get(k) == "string"
+        ]
+        fold = [f"__ci_{k}" for k in str_keys]
+        f = facts
+        dim = self._fold(self.df, str_keys)
+        for k, c in zip(str_keys, fold):
+            f = f.withColumn(c, F.lower(F.col(k)))
+            dim = dim.withColumnRenamed(k, c)
+        on = [f"__ci_{k}" if k in str_keys else k for k in self.key]
+        return f.join(F.broadcast(dim), on=on, how=how).drop(*fold)
+
+    def lookup_wildcard(
+        self,
+        facts: DataFrame,
+        field: str,
+        pattern_col: str,
+        how: str = "left",
+    ) -> DataFrame:
+        """Wildcard condition enrich: dimension rows carry glob
+        patterns (`*` = any run, `?` = any one char; later public
+        Vector releases add Condition::Wildcard to the Equals/
+        BetweenDates set). Globs translate to SQL LIKE once on the
+        (broadcast) dimension side; the fact side never moves. Matches
+        follow find_table_rows semantics: every matching dimension row
+        joins (a fact row may multiply)."""
+        esc = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col(pattern_col), r"\\", r"\\\\"),
+                "%", r"\\%",
+            ),
+            "_", r"\\_",
+        )
+        like_pat = F.translate(esc, "*?", "%_")
+        dim = self.df.withColumn("__like_pat", like_pat)
+        cond = F.like(facts[field], dim["__like_pat"], F.lit("\\"))
+        if self.case_sensitive:
+            matched = facts.join(F.broadcast(dim), cond, how)
+        else:
+            matched = facts.join(
+                F.broadcast(dim),
+                F.ilike(facts[field], dim["__like_pat"], F.lit("\\")),
+                how,
+            )
+        return matched.drop("__like_pat")
 
     def lookup_between(
         self, facts: DataFrame, ts_col: str, frm: str, to: str, how: str = "left"
