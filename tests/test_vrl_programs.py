@@ -84,4 +84,8 @@ def test_vrl_program(spark, case):
 def test_vrl_program_floor():
     """Enough whole reference programs must compile, run, and match;
     the skip escape hatch can't hollow the gate out."""
-    assert len(EXECUTED) >= 40, f"only {len(EXECUTED)} programs passed"
+    # round 3: compile-time fallible-arithmetic errors, parse_regex
+    # column form, static path coalescing, and metadata fields lifted
+    # the measured pass count to 113/164; the floor keeps headroom
+    # for environment variance without letting skips hollow the gate
+    assert len(EXECUTED) >= 105, f"only {len(EXECUTED)} programs passed"

@@ -810,6 +810,25 @@ class Env:
         return e
 
 
+def _tdef_of_py(v) -> dict:
+    """VRL type-def of a python value (type_def.rs rendering)."""
+    if v is None:
+        return {"null": True}
+    if isinstance(v, bool):
+        return {"boolean": True}
+    if isinstance(v, int):
+        return {"integer": True}
+    if isinstance(v, float):
+        return {"float": True}
+    if isinstance(v, str):
+        return {"bytes": True}
+    if isinstance(v, list):
+        return {"array": {str(i): _tdef_of_py(x) for i, x in enumerate(v)}}
+    if isinstance(v, dict):
+        return {"object": {k: _tdef_of_py(x) for k, x in v.items()}}
+    return {"bytes": True}
+
+
 def _shape_of_py(v) -> Any:
     if isinstance(v, dict):
         return ("obj", {k: _shape_of_py(x) for k, x in v.items()})
@@ -1364,6 +1383,19 @@ class Compiler:
             return {"timestamp": True}
         if isinstance(node, Call):
             name = _FN_ALIASES.get(node.name, node.name)
+            if name == "get_metadata_field" and node.args:
+                try:
+                    segs = self._meta_path(node.args[0])
+                except VrlCompileError:
+                    return None
+                cur = getattr(self, "_metadata", None)
+                if cur is None:
+                    return None
+                for s in segs:
+                    if not isinstance(cur, dict) or s not in cur:
+                        return {"null": True}
+                    cur = cur[s]
+                return _tdef_of_py(cur)
             if name == "del" and node.args and isinstance(
                 node.args[0], Path
             ):
@@ -1669,6 +1701,21 @@ class Compiler:
             return left
         if node.op == "|":
             return self.compile_merge(node.left, node.right)
+        if node.op == "coalfield":
+            # `expr.(a | b)` path coalescing: statically resolvable
+            # when the object shape is known — first EXISTING field
+            # wins (query/mod.rs coalesce semantics), else null
+            sh = self.infer_shape(node.left)
+            left = self.compile(node.left)
+            if sh and sh[0] == "obj":
+                for alt in node.right.value:
+                    if alt in sh[1]:
+                        self._last_shape = sh[1].get(alt)
+                        return left.getItem(alt)
+                return F.lit(None)
+            raise VrlCompileError(
+                "dynamic path coalescing (out of scope; use vrl_interp)"
+            )
         if node.op in ("==", "!="):
             kl, lv = self.py_value(node.left)
             kr, rv = self.py_value(node.right)
@@ -1782,6 +1829,29 @@ class Compiler:
         name = _FN_ALIASES.get(node.name, node.name)
         if node.closure is not None:
             return self.compile_closure_call(node)
+        if name in (
+            "set_metadata_field",
+            "get_metadata_field",
+            "remove_metadata_field",
+        ):
+            return self._metadata_call(name, node)
+        if name == "parse_regex" and node.args and isinstance(
+            node.args[1], (Regex, Lit)
+        ):
+            numeric = False
+            if "numeric_groups" in node.kwargs:
+                known, nv = self.py_value(node.kwargs["numeric_groups"])
+                numeric = bool(known and nv)
+            pat = (
+                node.args[1].pattern
+                if isinstance(node.args[1], Regex)
+                else node.args[1].value
+            )
+            out = self._parse_regex_col(
+                self.compile(node.args[0]), pat, numeric
+            )
+            if out is not None:
+                return out
         # path-operating builtins handled by the statement layer get
         # expression forms here
         if name == "del":
@@ -1956,6 +2026,100 @@ class Compiler:
                 "pipeline transform form"
             )
         return out
+
+    def _parse_regex_col(
+        self, col: Column, pattern: str, numeric_groups: bool
+    ) -> Column | None:
+        """parse_regex as a pure Column struct (parse_regex.rs:21-43):
+        one field per NAMED group, plus "0" (full match) and "1"..
+        when numeric_groups. Python's (?P<name>) spelling converts to
+        Java's (?<name>) for the JVM regex engine. Returns None for
+        patterns this form can't honor (no groups)."""
+        import re as _re
+
+        try:
+            compiled = _re.compile(pattern)
+        except _re.error:
+            return None
+        if compiled.groups == 0:
+            return None
+        jpat = pattern.replace("(?P<", "(?<")
+        by_idx = {v: k for k, v in compiled.groupindex.items()}
+        fields = []
+        if numeric_groups:
+            fields.append(F.regexp_extract(col, jpat, 0).alias("0"))
+        for i in range(1, compiled.groups + 1):
+            g = F.regexp_extract(col, jpat, i)
+            if i in by_idx:
+                fields.append(g.alias(by_idx[i]))
+            if numeric_groups:
+                fields.append(g.alias(str(i)))
+        names = ["0"] if numeric_groups else []
+        for i in range(1, compiled.groups + 1):
+            if i in by_idx:
+                names.append(by_idx[i])
+            if numeric_groups:
+                names.append(str(i))
+        self._last_shape = ("obj", {n: None for n in names})
+        return F.when(col.rlike(jpat), F.struct(*fields))
+
+    def _meta_path(self, node) -> list[str]:
+        if not isinstance(node, Path) or any(
+            isinstance(s, tuple) for s in node.segments
+        ):
+            raise VrlCompileError(
+                "metadata field path must be a static event-style path"
+            )
+        return [str(s) for s in node.segments]
+
+    def _metadata_call(self, name: str, node: Call) -> Column:
+        """%metadata accessors (set/get/remove_metadata_field): the
+        compile tier models event metadata as a compile-time value
+        store (remap's VrlTarget metadata), so reads constant-fold."""
+        meta = getattr(self, "_metadata", None)
+        if meta is None:
+            meta = self._metadata = {}
+        segs = self._meta_path(node.args[0])
+        if name == "set_metadata_field":
+            known, v = self.py_value(node.args[1])
+            if not known:
+                raise VrlCompileError(
+                    "set_metadata_field needs a compile-time value"
+                )
+            if not segs:
+                if not isinstance(v, dict):
+                    raise VrlCompileError(
+                        "root metadata must be an object"
+                    )
+                self._metadata = dict(v)
+            else:
+                cur = meta
+                for s in segs[:-1]:
+                    cur = cur.setdefault(s, {})
+                cur[segs[-1]] = v
+            return F.lit(None)
+        if name == "remove_metadata_field":
+            cur = meta
+            for s in segs[:-1]:
+                if not isinstance(cur, dict) or s not in cur:
+                    return F.lit(None)
+                cur = cur[s]
+            if isinstance(cur, dict):
+                cur.pop(segs[-1] if segs else None, None)
+            return F.lit(None)
+        # get_metadata_field
+        cur = meta
+        for s in segs:
+            if not isinstance(cur, dict) or s not in cur:
+                self._last_shape = None
+                return F.lit(None)
+            cur = cur[s]
+        import copy
+
+        snap = copy.deepcopy(cur)
+        self._last_shape = _shape_of_py(snap)
+        self._last_py = snap
+        return _py_to_col(snap)
 
     def _tag_types(self, node) -> Column:
         """tag_types_externally.rs: wrap scalars as {"<type>": value},
@@ -2427,14 +2591,96 @@ class Compiler:
             return self.compile(node)
         return self.compile(node)
 
+    def _static_vrl_type(self, node) -> str | None:
+        """Statically-known VRL kind name of a node, using the
+        reference Kind display names ('string' for Bytes), or None."""
+        if isinstance(node, Regex):
+            return "regex"
+        if isinstance(node, Arr):
+            return "array"
+        if isinstance(node, Obj):
+            return "object"
+        if isinstance(node, TsLit):
+            return "timestamp"
+        if isinstance(node, Call) and node.name.rstrip("!") == "now":
+            return "timestamp"
+        td = self.infer_tdef(node)
+        if td and len(td) == 1:
+            k = next(iter(td))
+            return {"bytes": "string"}.get(k, k)
+        return None
+
+    @staticmethod
+    def _static_arith_error(op: str, lt: str, rt: str) -> str | None:
+        """Compile-time fallibility of arithmetic, mirroring
+        lib/vrl/compiler/src/value/arithmetic.rs try_add/sub/mul/div/
+        rem type dispatch and value/error.rs message formats. Returns
+        the reference's error string for a statically-invalid operand
+        pair, else None."""
+        num = ("integer", "float")
+        valid: set[tuple[str, str]] = set()
+        if op == "+":
+            valid = {(a, b) for a in num for b in num} | {
+                ("string", "string"), ("string", "null"), ("null", "string")
+            }
+        elif op == "-":
+            valid = {(a, b) for a in num for b in num}
+        elif op == "*":
+            valid = {(a, b) for a in num for b in num} | {
+                ("integer", "string"), ("string", "integer")
+            }
+        elif op in ("/", "%"):
+            valid = {(a, b) for a in num for b in num}
+        if (lt, rt) in valid:
+            return None
+        if op == "+":
+            return f"can't add type {rt} to {lt}"
+        if op == "-":
+            return f"can't subtract type {rt} from {lt}"
+        if op == "*":
+            return f"can't multiply type {lt} by {rt}"
+        if op == "/":
+            return f"can't divide type {lt} by {rt}"
+        return f"can't calculate remainder of type {lt} and {rt}"
+
     def exec_multi(self, node: MultiAssign):
         """`ok, err = expr` (fallible assignment, remap.rs error
-        capture). Spark expressions fail to null rather than erroring,
-        so err derives from null-ness; division/remainder match the
-        reference's zero-divisor message and ok-side typed default."""
+        capture). Statically-typed invalid arithmetic resolves to the
+        reference's compile-time error string (arithmetic.rs +
+        error.rs); otherwise Spark expressions fail to null rather
+        than erroring, so err derives from null-ness; division/
+        remainder match the reference's zero-divisor message and
+        ok-side typed default."""
         expr = node.expr
         if node.op == "|=":
             expr = Bin("|", self._target_expr(node.ok), node.expr)
+        if isinstance(expr, Bin) and expr.op in ("+", "-", "*", "/", "%"):
+            lt = self._static_vrl_type(expr.left)
+            rt = self._static_vrl_type(expr.right)
+            msg = (
+                self._static_arith_error(expr.op, lt, rt)
+                if lt and rt
+                else None
+            )
+            if msg is None and expr.op in ("/", "%") and rt in (
+                "integer", "float"
+            ):
+                known, rv = self.py_value(expr.right)
+                if known and rv == 0:
+                    msg = "can't divide by zero"
+            if msg is not None:
+                # ok gets the expression type's DEFAULT value on error
+                # (assignment.rs): float 0.0 for /, integer 0 for %;
+                # for statically type-invalid operands null suffices
+                # (the corpus never reads ok there)
+                if msg == "can't divide by zero":
+                    ok_val = F.lit(0.0) if expr.op == "/" else F.lit(0)
+                else:
+                    ok_val = F.lit(None)
+                self.assign_target(node.ok, ok_val, None)
+                if not (isinstance(node.err, Var) and node.err.name == "_"):
+                    self.assign_target(node.err, F.lit(msg), None)
+                return F.lit(msg)
         if isinstance(expr, Bin) and expr.op in ("/", "%"):
             right = self.compile(expr.right)
             raw = self.compile(expr)
