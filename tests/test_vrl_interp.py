@@ -191,3 +191,33 @@ def test_pipeline_remap_vrl_source(spark):
     df2 = res2["out"]
     assert "MapInPandas" not in df2._jdf.queryExecution().toString()
     assert {r["level"] for r in df2.collect()} == {"WARN", "DEBUG", "ERROR"}
+
+
+def test_type_trace_cache_matches_uncached():
+    """The per-shape type-trace memo must be semantics-preserving:
+    cached and uncached execution agree event-for-event, including
+    mixed shapes (missing fields), aborts, errors, and typed
+    error-defaults."""
+    from vector_spark.vrl_interp import _run_event, parse_program
+
+    src = (
+        'if .level == "DEBUG" { abort }\n'
+        ".sev = .(level | \"lvl\")\n"
+        ".ok, .err = 1 / .denom\n"
+        ".td = type_def(.payload)\n"
+        ".\n"
+    )
+    stmts = parse_program(src)
+    events = [
+        {"level": "INFO", "denom": 2, "payload": {"a": 1}},
+        {"level": "DEBUG", "denom": 2, "payload": {"a": 1}},
+        {"level": "WARN", "denom": 0, "payload": {"a": 1}},  # err path
+        {"lvl": "fallback", "denom": 4},  # different shape
+        {"level": "ERROR", "denom": 1, "payload": [1, "x"]},
+    ]
+    cache: dict = {}
+    for ev in events:
+        plain = _run_event(stmts, dict(ev))
+        cached = _run_event(stmts, dict(ev), cache)
+        assert plain == cached, ev
+    assert len(cache) >= 2  # distinct shapes got distinct traces
