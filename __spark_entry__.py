@@ -551,21 +551,37 @@ def q_aggregate_mixed_kinds(spark, sf_dir):
 
     parsed = _parsed(spark, sf_dir)
     order = F.format_string("%s#%06d", "conv_id", "turn_idx")
-    counters = parsed.filter(F.col("level") == "ERROR").select(
-        F.lit("errors").alias("name"),
-        F.lit("incremental").alias("metric_kind"),
-        F.lit(1.0).alias("value"),
-        F.lit(None).cast("string").alias("_order"),
-        "ts",
+    # ONE scan+parse pass: both metric kinds explode from the same
+    # row (a union of two filters over the same parsed frame would
+    # run the parse UDF twice — a second full corpus scan at scale)
+    counter_row = F.when(
+        F.col("level") == "ERROR",
+        F.struct(
+            F.lit("errors").alias("name"),
+            F.lit("incremental").alias("metric_kind"),
+            F.lit(1.0).alias("value"),
+            F.lit(None).cast("string").alias("_order"),
+            F.col("ts").alias("ts"),
+        ),
     )
-    gauges = parsed.filter(F.col("latency_ms").isNotNull()).select(
-        F.lit("latency").alias("name"),
-        F.lit("absolute").alias("metric_kind"),
-        F.col("latency_ms").cast("double").alias("value"),
-        order.alias("_order"),
-        "ts",
+    gauge_row = F.when(
+        F.col("latency_ms").isNotNull(),
+        F.struct(
+            F.lit("latency").alias("name"),
+            F.lit("absolute").alias("metric_kind"),
+            F.col("latency_ms").cast("double").alias("value"),
+            order.alias("_order"),
+            F.col("ts").alias("ts"),
+        ),
     )
-    merged = merge_metric_stream(counters.unionByName(gauges), keys=["name"])
+    events = (
+        parsed.select(
+            F.explode(F.array(counter_row, gauge_row)).alias("m")
+        )
+        .filter(F.col("m").isNotNull())
+        .select("m.*")
+    )
+    merged = merge_metric_stream(events, keys=["name"])
     return merged.select(
         F.col("w.start").alias("window_start"), "name", "metric_kind",
         "value", "n",

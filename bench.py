@@ -65,6 +65,8 @@ HEADLINE = [
     # round 2: wire codecs
     "statsd_decode",
     "prometheus_encode",
+    # round 3: mergeable-sketch rollup
+    "sketch_merge",
 ]
 
 

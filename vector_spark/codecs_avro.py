@@ -1,0 +1,323 @@
+"""Avro encoding/decoding codec (lib/codecs/src/encoding/format/avro.rs).
+
+Vector's avro encoder serializes each EVENT as one Avro binary datum
+against a user-supplied record schema (no container framing — framing
+is the sink's concern, like every other codec). The pip pyspark build
+ships the avro core jars but NOT the spark-avro datasource module
+(probed: no spark-avro_2.13 jar; `.format("avro")` raises
+FAILED_TO_FIND_DATA_SOURCE), so the codec is implemented directly:
+the Avro binary encoding for the kinds Vector events use is a small,
+fully-specified format (Avro 1.11 spec "Binary encoding"):
+
+  long/int   zigzag varint
+  string     zigzag varint length + utf8 bytes
+  bytes      zigzag varint length + raw bytes
+  boolean    1 byte
+  float      4-byte LE IEEE
+  double     8-byte LE IEEE
+  null       zero bytes
+  record     fields in schema order
+  union      zigzag varint branch index + value
+  array      block-count varint + items + 0 terminator
+  map        block-count varint + (key, value)* + 0 terminator
+
+Executor-side work runs as Arrow-batched pandas UDFs (codec = the
+sanctioned Python slow path, same as the reference's per-event
+serializer); at 100 TB the encode parallelizes per partition and
+never shuffles.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# datum encode / decode (pure python, spec-exact)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_zigzag(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def encode_datum(value, schema) -> bytes:
+    """Encode one python value against an Avro schema (dict/str)."""
+    if isinstance(schema, str):
+        t = schema
+    elif isinstance(schema, list):  # union
+        for i, branch in enumerate(schema):
+            if _union_match(value, branch):
+                return _zigzag(i) + encode_datum(value, branch)
+        raise ValueError(f"value {value!r} matches no union branch {schema}")
+    else:
+        t = schema["type"]
+    if t == "null":
+        if value is not None:
+            raise ValueError(f"non-null {value!r} for null schema")
+        return b""
+    if t == "boolean":
+        return b"\x01" if value else b"\x00"
+    if t in ("int", "long"):
+        return _zigzag(int(value))
+    if t == "float":
+        return _struct.pack("<f", float(value))
+    if t == "double":
+        return _struct.pack("<d", float(value))
+    if t == "string":
+        raw = str(value).encode("utf-8")
+        return _zigzag(len(raw)) + raw
+    if t == "bytes":
+        raw = bytes(value)
+        return _zigzag(len(raw)) + raw
+    if t == "record":
+        out = bytearray()
+        for f in schema["fields"]:
+            out += encode_datum(
+                (value or {}).get(f["name"]), f["type"]
+            )
+        return bytes(out)
+    if t == "array":
+        items = list(value or [])
+        out = bytearray()
+        if items:
+            out += _zigzag(len(items))
+            for it in items:
+                out += encode_datum(it, schema["items"])
+        out += _zigzag(0)
+        return bytes(out)
+    if t == "map":
+        pairs = dict(value or {})
+        out = bytearray()
+        if pairs:
+            out += _zigzag(len(pairs))
+            for k, v in pairs.items():
+                out += encode_datum(k, "string")
+                out += encode_datum(v, schema["values"])
+        out += _zigzag(0)
+        return bytes(out)
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+def _union_match(value, branch) -> bool:
+    t = branch if isinstance(branch, str) else branch["type"]
+    if t == "null":
+        return value is None
+    if value is None:
+        return False
+    if t == "boolean":
+        return isinstance(value, bool)
+    if t in ("int", "long"):
+        return isinstance(value, int) and not isinstance(value, bool)
+    if t in ("float", "double"):
+        return isinstance(value, float)
+    if t == "string":
+        return isinstance(value, str)
+    if t == "bytes":
+        return isinstance(value, (bytes, bytearray))
+    if t == "record":
+        return isinstance(value, dict)
+    if t == "array":
+        return isinstance(value, list)
+    if t == "map":
+        return isinstance(value, dict)
+    return False
+
+
+def decode_datum(buf: bytes, schema, pos: int = 0):
+    value, pos = _decode(buf, schema, pos)
+    return value
+
+
+def _decode(buf: bytes, schema, pos: int):
+    if isinstance(schema, str):
+        t = schema
+    elif isinstance(schema, list):
+        idx, pos = _read_zigzag(buf, pos)
+        return _decode(buf, schema[idx], pos)
+    else:
+        t = schema["type"]
+    if t == "null":
+        return None, pos
+    if t == "boolean":
+        return buf[pos] == 1, pos + 1
+    if t in ("int", "long"):
+        return _read_zigzag(buf, pos)
+    if t == "float":
+        return _struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if t == "double":
+        return _struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if t == "string":
+        n, pos = _read_zigzag(buf, pos)
+        return buf[pos : pos + n].decode("utf-8"), pos + n
+    if t == "bytes":
+        n, pos = _read_zigzag(buf, pos)
+        return bytes(buf[pos : pos + n]), pos + n
+    if t == "record":
+        out = {}
+        for f in schema["fields"]:
+            out[f["name"]], pos = _decode(buf, f["type"], pos)
+        return out, pos
+    if t == "array":
+        items = []
+        while True:
+            n, pos = _read_zigzag(buf, pos)
+            if n == 0:
+                return items, pos
+            if n < 0:  # block with byte size prefix
+                _, pos = _read_zigzag(buf, pos)
+                n = -n
+            for _ in range(n):
+                v, pos = _decode(buf, schema["items"], pos)
+                items.append(v)
+    if t == "map":
+        out = {}
+        while True:
+            n, pos = _read_zigzag(buf, pos)
+            if n == 0:
+                return out, pos
+            if n < 0:
+                _, pos = _read_zigzag(buf, pos)
+                n = -n
+            for _ in range(n):
+                k, pos = _decode(buf, "string", pos)
+                out[k], pos = _decode(buf, schema["values"], pos)
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# DataFrame codec surface (like codecs.py encode_*/decode_*)
+# ---------------------------------------------------------------------------
+
+
+def schema_for(df: DataFrame, cols: list[str] | None = None) -> dict:
+    """Derive a nullable-union Avro record schema from the frame's
+    Spark schema (the codec config's `schema` option; avro.rs requires
+    one explicitly — deriving keeps the test surface honest)."""
+    avro_of = {
+        "string": "string", "long": "long", "integer": "int",
+        "double": "double", "float": "float", "boolean": "boolean",
+        "binary": "bytes",
+    }
+    fields = []
+    for f in df.schema.fields:
+        if cols is not None and f.name not in cols:
+            continue
+        base = avro_of.get(f.dataType.typeName())
+        if base is None:
+            raise ValueError(
+                f"column {f.name}: unsupported type {f.dataType.typeName()}"
+            )
+        fields.append({"name": f.name, "type": ["null", base]})
+    return {"type": "record", "name": "event", "fields": fields}
+
+
+def encode_avro(
+    df: DataFrame, schema: dict, out_col: str = "avro"
+) -> DataFrame:
+    """Event rows -> one Avro binary datum per row (encoding/format/
+    avro.rs serialize): Arrow-batched, no shuffle."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    names = [f["name"] for f in schema["fields"]]
+    schema_js = _json.dumps(schema)
+
+    @pandas_udf(T.BinaryType())
+    def enc(*cols):
+        import json as _j
+
+        import pandas as pd
+
+        sch = _j.loads(schema_js)
+        out = []
+        for vals in zip(*cols):
+            ev = {}
+            for n, v in zip(names, vals):
+                if hasattr(v, "item"):  # numpy scalar -> python
+                    v = v.item()
+                if isinstance(v, float) and v != v:  # NaN = null
+                    v = None
+                ev[n] = v
+            out.append(encode_datum(ev, sch))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, enc(*[F.col(n) for n in names]))
+
+
+def decode_avro(
+    df: DataFrame,
+    schema: dict,
+    col: str = "avro",
+    out_col: str = "event",
+) -> DataFrame:
+    """Avro datum bytes -> struct column (decoding twin)."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    spark_of = {
+        "string": T.StringType(), "long": T.LongType(),
+        "int": T.IntegerType(), "double": T.DoubleType(),
+        "float": T.FloatType(), "boolean": T.BooleanType(),
+        "bytes": T.BinaryType(),
+    }
+
+    def spark_type(ft):
+        if isinstance(ft, list):
+            non_null = [b for b in ft if b != "null"]
+            return spark_type(non_null[0])
+        if isinstance(ft, str):
+            return spark_of[ft]
+        raise ValueError(f"unsupported avro type {ft!r}")
+
+    st = T.StructType(
+        [
+            T.StructField(f["name"], spark_type(f["type"]), True)
+            for f in schema["fields"]
+        ]
+    )
+    schema_js = _json.dumps(schema)
+
+    @pandas_udf(st)
+    def dec(b):
+        import json as _j
+
+        import pandas as pd
+
+        sch = _j.loads(schema_js)
+        rows = [
+            None if buf is None else decode_datum(bytes(buf), sch)
+            for buf in b
+        ]
+        return pd.DataFrame(
+            rows, columns=[f["name"] for f in sch["fields"]]
+        )
+
+    return df.withColumn(out_col, dec(F.col(col)))

@@ -40,6 +40,83 @@ from vector_spark.operators.route import route_single_pass
 from vector_spark.transcripts import LEXICON
 
 
+#: the exact row shape spark's kafka source produces — the contract
+#: every kafka-fed pipeline codes against
+KAFKA_SOURCE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int"
+)
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka source (src/sources/kafka.rs:67-95): consumer-group
+    offsets, auto_offset_reset and commit gating map to Spark's
+    kafka source options + checkpointing (offsets commit only after
+    the sink write — the same ack-gated contract, but exactly-once).
+    No broker exists in this sandbox; `kafka_shaped_stream` below
+    produces the identical row shape from files so the downstream
+    pipeline (decode value -> transcripts) is contract-tested end to
+    end without a broker."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option(
+            "maxOffsetsPerTrigger", str(max_offsets_per_trigger)
+        )
+    return reader.load()
+
+
+def kafka_shaped_stream(
+    spark: SparkSession, path: str, topic: str = "transcripts"
+) -> DataFrame:
+    """File-backed stream with the kafka source's EXACT schema: each
+    input row becomes (key=conv_id bytes, value=json bytes, topic,
+    partition, offset, timestamp, timestampType). Swapping this for
+    kafka_stream() changes nothing downstream — that is the contract
+    the test pins."""
+    raw = spark.readStream.schema(
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    ).parquet(path)
+    return raw.select(
+        F.encode("conv_id", "utf-8").alias("key"),
+        F.encode(
+            F.to_json(
+                F.struct("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            ),
+            "utf-8",
+        ).alias("value"),
+        F.lit(topic).alias("topic"),
+        F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int").alias("partition"),
+        (F.col("turn_idx").cast("long")).alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+
+
+def decode_kafka_transcripts(kafka_df: DataFrame) -> DataFrame:
+    """value bytes -> transcripts rows (the json deserializer leg of
+    the kafka source): works identically on kafka_stream and
+    kafka_shaped_stream output."""
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    return kafka_df.select(
+        F.from_json(F.decode("value", "utf-8"), schema).alias("e")
+    ).select("e.*")
+
+
 def demo_logs_stream(
     spark: SparkSession, rows_per_second: int = 1000, n_convs: int = 97
 ) -> DataFrame:
