@@ -289,30 +289,81 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash over word tokens: sign-sum of token-hash bits.
+    """60-bit SimHash over word tokens: sign-sum of token-hash bits.
 
-    (id, simhash bigint). Tokens hashed portably; bit b contributes
-    +1 if set else -1; simhash bit = 1 iff sum > 0. Near-dup blocks =
-    equal simhash values (or Hamming distance via XOR popcount in
-    simhash_near_pairs).
+    (id, simhash bigint). Tokens hashed portably (md5-prefix ints);
+    bit b contributes +1 if set else -1 per OCCURRENCE; simhash bit =
+    1 iff sum > 0. Near-dup blocks = equal simhash values (or Hamming
+    distance via XOR popcount in simhash_near_pairs).
+
+    Zero-shuffle (round-3 rewrite, same family as the minhash
+    kernel): the previous form exploded every token row and shuffled
+    the WHOLE token stream into a 60-expression groupBy — at 100 TB
+    that moves ~|corpus tokens| rows to compute one per-doc value.
+    Now one Arrow batch pass computes all 60 bit-sums with a single
+    numpy reduceat; the only per-token Python is a dict lookup (md5
+    memoized per distinct token per worker). Bit-identical output
+    (the DuckDB oracle is unchanged and stays green).
     """
-    toks = df.select(
+    return df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        _simhash_udf()(F.col(text_col)).alias("simhash"),
     )
-    h = toks.select("id", token_int(F.col("tok")).alias("h"))
-    bit_sums = h.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(60)  # 15 hex chars = 60 bits
-        ]
-    )
-    sim = F.lit(0).cast("bigint")
-    for i in range(60):
-        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
-    return bit_sums.select("id", sim.alias("simhash"))
+
+
+_SIMHASH_UDF = []
+
+
+def _simhash_udf():
+    if _SIMHASH_UDF:
+        return _SIMHASH_UDF[0]
+
+    from pyspark.sql.functions import pandas_udf
+
+    _md5_cache: dict[str, int] = {}
+    _MAX = 1_000_000
+
+    @pandas_udf("bigint")
+    def sim_udf(texts):
+        import hashlib
+        import re as _re
+
+        import numpy as np
+        import pandas as pd
+
+        split = _re.compile(r"\s+").split
+        cache_get = _md5_cache.get
+        BITS = np.arange(60, dtype=np.int64)[:, None]
+
+        flat: list[int] = []
+        offsets: list[int] = []
+        doc_idx: list[int] = []
+        for pos, text in enumerate(texts):
+            if text is None or (isinstance(text, float) and text != text):
+                continue
+            offsets.append(len(flat))
+            doc_idx.append(pos)
+            for tok in split(text.lower()):
+                v = cache_get(tok)
+                if v is None:
+                    v = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                    if len(_md5_cache) < _MAX:
+                        _md5_cache[tok] = v
+                flat.append(v)
+
+        out = pd.Series([None] * len(texts), dtype=object)
+        if flat:
+            xs = np.asarray(flat, dtype=np.int64)
+            # (60, total): +1 where the bit is set, -1 otherwise
+            contrib = (((xs[None, :] >> BITS) & 1) << 1) - 1
+            sums = np.add.reduceat(contrib, np.asarray(offsets), axis=1)
+            sim = ((sums > 0).astype(np.int64) << BITS[:, 0:1]).sum(axis=0)
+            for j, pos in enumerate(doc_idx):
+                out.iloc[pos] = int(sim[j])
+        return out
+
+    _SIMHASH_UDF.append(sim_udf)
+    return sim_udf
 
 
 def simhash_near_pairs(
