@@ -355,6 +355,37 @@ def q_ann_topk(spark, sf_dir):
     return brute_force_topk(emb, queries_df, k=10)
 
 
+def q_ann_topk_lsh(spark, sf_dir):
+    """Approximate top-k via random-hyperplane LSH (the scale path for
+    ann_topk): bucket collisions in any of 4 tables -> exact cosine
+    re-rank of candidates only. The hyperplanes are deterministic
+    splitmix scrambles, so the DuckDB oracle recomputes the exact
+    same buckets from injected integer literals."""
+    from vector_spark.dataops.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return lsh_topk(emb, queries_df, dim=64, k=10, n_bits=10, n_tables=4)
+
+
+def q_ann_topk_ivf(spark, sf_dir):
+    """Approximate top-k via IVF coarse quantization: corpus vectors
+    assign to the argmax-dot centroid cell; queries probe their 4
+    best cells; exact cosine re-rank. Centroids are deterministic,
+    so the oracle reproduces cell assignment bit-for-bit."""
+    from vector_spark.dataops.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(emb, queries_df, dim=64, k=10, n_cells=16, n_probe=4)
+
+
 def q_apache_parse(spark, sf_dir):
     """demo_logs apache_common generator -> parse_common_log
     (src/sources/demo_logs.rs + lib/vrl/stdlib/src/parse_common_log.rs).
@@ -1252,6 +1283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "apache_parse": q_apache_parse,
         "grok_apache": q_grok_apache,
         "syslog_parse": q_syslog_parse,
@@ -2117,6 +2150,9 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 
     o["emb_near_dup_lsh"] = _emb_lsh_oracle()
 
+    o["ann_topk_lsh"] = _ann_lsh_oracle()
+    o["ann_topk_ivf"] = _ann_ivf_oracle()
+
     o["enrich_ci"] = _with(
         f"""
 SELECT t.conv_id, t.turn_idx, upper(t.role) AS role,
@@ -2200,6 +2236,139 @@ GROUP BY 1, 2
     )
 
     return o
+
+
+def _plane_row(label_a: int, label_b: int, h: int, t: int, dim: int) -> str:
+    """One VALUES row carrying a splitmix hyperplane as exact-integer
+    literals: the SQL performs the same k/1000001.0 - 1.0 in double
+    precision, so both engines hold bit-identical plane coordinates
+    (asserted against similarity._hyperplane)."""
+    from vector_spark.dataops.similarity import _hyperplane
+
+    ks = []
+    for d in range(dim):
+        z = (h * 0x9E3779B97F4A7C15 + t * 0xBF58476D1CE4E5B9 + d * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z = ((z >> 30) ^ z) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+        z = ((z >> 27) ^ z) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+        z = (z >> 31) ^ z
+        k = z % 2000003
+        ks.append(k)
+        assert abs((k / 1000001.0 - 1.0) - _hyperplane(dim, h, t)[d]) == 0.0
+    return (
+        f"({label_a}, {label_b}, list_transform([{', '.join(map(str, ks))}], "
+        f"k -> k / 1000001.0 - 1.0))"
+    )
+
+
+# cosine in DuckDB matching similarity.cosine at round-6 (same
+# expression the green ann_topk / emb_near_dup oracles use)
+_COS_SQL = (
+    "list_sum(list_transform(range({d}), i -> {a}[i + 1] * {b}[i + 1]))"
+    " / (sqrt(list_sum(list_transform(range({d}), i -> {a}[i + 1] * {a}[i + 1])))"
+    " * sqrt(list_sum(list_transform(range({d}), i -> {b}[i + 1] * {b}[i + 1]))))"
+)
+
+
+def _ann_lsh_oracle(n_bits: int = 10, n_tables: int = 4, dim: int = 64, k: int = 10) -> str:
+    """DuckDB twin of similarity.lsh_topk over the embeddings table:
+    bucket collisions in any table -> distinct candidates -> exact
+    cosine re-rank, ties broken (cosine DESC, neighbor_id ASC)."""
+    planes = ",\n  ".join(
+        _plane_row(t, h, h, t, dim)
+        for t in range(n_tables)
+        for h in range(n_bits)
+    )
+    cos = _COS_SQL.format(d=dim, a="eq.v", b="ec.v")
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes(tbl, h, p) AS (VALUES
+  {planes}
+),
+proj AS (
+  SELECT e.vec_id, pl.tbl, pl.h,
+    list_reduce(list_transform(range({dim}), i -> e.v[i + 1] * pl.p[i + 1]),
+                (a, b) -> a + b) AS proj
+  FROM emb e CROSS JOIN planes pl
+),
+buckets AS (
+  SELECT vec_id, tbl,
+    SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(h AS INT)) ELSE 0 END) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < 8 AND c.vec_id != q.vec_id
+),
+scored AS (
+  SELECT q_id, neighbor_id, {cos} AS cos
+  FROM cand
+  JOIN emb eq ON eq.vec_id = q_id
+  JOIN emb ec ON ec.vec_id = neighbor_id
+)
+SELECT q_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cosine
+FROM (
+  SELECT q_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+def _ann_ivf_oracle(n_cells: int = 16, n_probe: int = 4, dim: int = 64, k: int = 10) -> str:
+    """DuckDB twin of similarity.ivf_topk: corpus vectors assign to
+    their first-argmax centroid cell; queries probe their n_probe
+    best cells (score DESC, cell ASC — matching the Spark
+    array_sort((-s, i)) order); exact cosine re-rank."""
+    cells = ",\n  ".join(
+        _plane_row(c, c, c + 101, 7, dim) for c in range(n_cells)
+    )
+    cos = _COS_SQL.format(d=dim, a="eq.v", b="ec.v")
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cells(c, c2, p) AS (VALUES
+  {cells}
+),
+scores AS (
+  SELECT e.vec_id, c.c,
+    list_reduce(list_transform(range({dim}), i -> e.v[i + 1] * c.p[i + 1]),
+                (a, b) -> a + b) AS s
+  FROM emb e CROSS JOIN cells c
+),
+assigned AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT vec_id, c,
+      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, c AS cell FROM (
+    SELECT vec_id, c,
+      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn
+    FROM scores WHERE vec_id < 8
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.q_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a ON p.cell = a.cell
+  WHERE a.vec_id != p.q_id
+),
+scored AS (
+  SELECT q_id, neighbor_id, {cos} AS cos
+  FROM cand
+  JOIN emb eq ON eq.vec_id = q_id
+  JOIN emb ec ON ec.vec_id = neighbor_id
+)
+SELECT q_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cosine
+FROM (
+  SELECT q_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
 
 
 def _emb_lsh_oracle(n_bits: int = 10, n_tables: int = 4, dim: int = 64) -> str:
