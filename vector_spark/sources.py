@@ -189,6 +189,10 @@ def decode_frame(df: DataFrame, codec: str, line_col: str = "line", **kw) -> Dat
         from vector_spark.codecs import decode_native_json
 
         return decode_native_json(df, line_col)
+    if codec == "native":
+        from vector_spark.codecs_proto import decode_native_proto
+
+        return decode_native_proto(df, frame_col=line_col)
     if codec == "syslog":
         return parse_syslog(df, line_col)
     raise ValueError(f"unknown decoding codec {codec!r}")
