@@ -346,6 +346,62 @@ def q_docs_simhash(spark, sf_dir):
     return simhash_near_pairs(corpus, "doc_id", "text", max_hamming=3)
 
 
+def q_docs_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (dataops/pii.py): the corpus text is
+    salted with deterministic doc_id-derived PII (email always; ip /
+    ssn / phone / cc on modular schedules) so the scrub has real work;
+    both engines synthesize the identical input, then count and
+    redact with the same RE2-safe patterns in the same order."""
+    from vector_spark.dataops.pii import scrub
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), d.cast("string"), F.lit("@example.com"),
+            F.when(d % 2 == 0,
+                   F.concat(F.lit(" ip 10."), (d % 256).cast("string"), F.lit(".3.7"))
+                   ).otherwise(F.lit("")),
+            F.when(d % 3 == 0,
+                   F.concat(F.lit(" ssn 123-45-"),
+                            F.lpad((d % 10000).cast("string"), 4, "0"))
+                   ).otherwise(F.lit("")),
+            F.when(d % 5 == 0,
+                   F.concat(F.lit(" call 555-010-"),
+                            F.lpad((d % 10000).cast("string"), 4, "0"))
+                   ).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit(" card 4242 4242 4242 4242")
+                   ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub(injected, "doc_id", "text")
+
+
+def q_docs_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality filtering (dataops/quality.py): per-doc
+    repetition/shape metrics + pass flag, all zero-shuffle Column
+    arithmetic — the map-only quality stage of a pre-training
+    pipeline."""
+    from vector_spark.dataops.quality import gopher_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return gopher_quality(docs, "doc_id", "text")
+
+
+def q_docs_decontam(spark, sf_dir):
+    """Benchmark decontamination (dataops/decontam.py): docs sharing
+    any word 4-gram with the benchmark slice (doc_id % 25 == 0) are
+    flagged; benchmark shingles broadcast, corpus side map-joins."""
+    from vector_spark.dataops.decontam import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    return decontaminate(corpus, bench, n=4)
+
+
 def q_ann_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
@@ -1252,6 +1308,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "native_json": q_native_json,
         "sample_counter": q_sample_counter,
         # -- new in round 3
+        "docs_pii_scrub": q_docs_pii_scrub,
+        "docs_gopher_quality": q_docs_gopher_quality,
+        "docs_decontam": q_docs_decontam,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "sketch_merge": q_sketch_merge,
         "merge_histograms": q_merge_histograms,
         "enrich_ci": q_enrich_ci,
@@ -1283,8 +1344,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "ann_topk": q_ann_topk,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
         "apache_parse": q_apache_parse,
         "grok_apache": q_grok_apache,
         "syslog_parse": q_syslog_parse,
@@ -2153,6 +2212,57 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
     o["ann_topk_lsh"] = _ann_lsh_oracle()
     o["ann_topk_ivf"] = _ann_ivf_oracle()
 
+    o["docs_pii_scrub"] = _pii_oracle()
+
+    _BG = "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
+    o["docs_gopher_quality"] = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    round(list_sum(list_transform(toks, x -> length(x)))
+          / greatest(len(toks), 1), 6) AS mean_token_len,
+    round(1 - len(list_distinct(toks)) / greatest(len(toks), 1), 6)
+      AS dup_token_frac,
+    round(coalesce(list_max(list_transform(list_distinct({_BG}),
+            g -> len(list_filter({_BG}, x -> x = g)) * strlen(g))), 0)
+          / greatest(strlen(array_to_string(toks, ' ')), 1), 6)
+      AS top_bigram_frac,
+    round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+          / greatest(len(toks), 1), 6) AS alpha_word_frac
+  FROM t
+)
+SELECT *,
+  (n_tokens BETWEEN 50 AND 100000
+   AND mean_token_len BETWEEN 3.0 AND 10.0
+   AND dup_token_frac <= 0.55
+   AND top_bigram_frac <= 0.20
+   AND alpha_word_frac >= 0.90) AS gopher_pass
+FROM m
+"""
+
+    o["docs_decontam"] = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) >= 4
+      THEN list_transform(range(1, len(toks) - 2),
+                          i -> array_to_string(toks[i:i+3], ' '))
+      ELSE CAST([] AS VARCHAR[]) END) AS shingles
+  FROM t
+),
+bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 25 = 0),
+corpus AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 25 != 0),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hits
+  FROM corpus c JOIN bench b USING (shingle) GROUP BY 1
+)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 25 != 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
     o["enrich_ci"] = _with(
         f"""
 SELECT t.conv_id, t.turn_idx, upper(t.role) AS role,
@@ -2369,6 +2479,46 @@ FROM (
 )
 WHERE rank <= {k}
 """
+
+
+def _pii_oracle() -> str:
+    """DuckDB twin of q_docs_pii_scrub: identical injected input, then
+    the PII count+redact chain built from the SAME pattern list the
+    Spark side uses (dataops/pii.PII_PATTERNS — RE2-safe by design),
+    applied in the same masking order."""
+    from vector_spark.dataops.pii import PII_PATTERNS
+
+    ctes = ["""
+WITH injected AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@example.com'
+    || CASE WHEN doc_id % 2 = 0 THEN ' ip 10.' || (doc_id % 256) || '.3.7' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' card 4242 4242 4242 4242' ELSE '' END AS t0
+  FROM documents
+)"""]
+    prev = "injected"
+    for i, (name, pat, placeholder) in enumerate(PII_PATTERNS):
+        carry = ", ".join(f"n_{n}" for n, _p, _r in PII_PATTERNS[:i])
+        carry = (carry + ", ") if carry else ""
+        ctes.append(f"""
+m{i} AS (
+  SELECT doc_id, {carry}
+    len(regexp_extract_all(t{i}, '{pat}')) AS n_{name},
+    regexp_replace(t{i}, '{pat}', '{placeholder}', 'g') AS t{i + 1}
+  FROM {prev}
+)""")
+        prev = f"m{i}"
+    total = " + ".join(f"n_{n}" for n, _p, _r in PII_PATTERNS)
+    casts = ", ".join(
+        f"CAST(n_{n} AS BIGINT) AS n_{n}" for n, _p, _r in PII_PATTERNS
+    )
+    return (
+        ",".join(ctes)
+        + f"\nSELECT doc_id, {casts}, CAST({total} AS BIGINT) AS n_pii,"
+        + f" t{len(PII_PATTERNS)} AS redacted FROM {prev}"
+    )
 
 
 def _emb_lsh_oracle(n_bits: int = 10, n_tables: int = 4, dim: int = 64) -> str:

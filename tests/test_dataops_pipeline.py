@@ -1,0 +1,127 @@
+"""Training-data pipeline ops: PII scrub, Gopher quality rules,
+benchmark decontamination (dataops/pii.py, quality.py, decontam.py).
+
+These are unit-level semantics checks on crafted inputs; the exact
+cross-engine verification runs through the docs_pii_scrub /
+docs_gopher_quality / docs_decontam oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def test_pii_counts_and_redaction(spark):
+    from vector_spark.dataops.pii import scrub
+
+    df = _df(spark, [
+        (1, "mail a.b+c@x-corp.io and b@y.org, ip 192.168.0.1"),
+        (2, "ssn 123-45-6789 phone 555-123-4567"),
+        (3, "card 4242 4242 4242 4242 end"),
+        (4, "clean text, no pii at all"),
+    ])
+    out = {r["doc_id"]: r for r in scrub(df, "doc_id", "text").collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_ipv4"] == 1
+    assert out[1]["redacted"] == "mail [EMAIL] and [EMAIL], ip [IP]"
+    assert out[2]["n_ssn"] == 1 and out[2]["n_phone"] == 1
+    assert out[2]["redacted"] == "ssn [SSN] phone [PHONE]"
+    assert out[3]["n_cc"] == 1 and out[3]["n_phone"] == 0  # masked first
+    assert out[3]["redacted"] == "card [CC] end"
+    assert out[4]["n_pii"] == 0 and out[4]["redacted"] == out[4]["redacted"]
+
+
+def test_pii_masking_order_no_double_count(spark):
+    """The 16-digit card must not ALSO count as phone/ip fragments,
+    and an SSN must not count as a phone."""
+    from vector_spark.dataops.pii import scrub
+
+    df = _df(spark, [(1, "4242 4242 4242 4242 and 123-45-6789")])
+    r = scrub(df, "doc_id", "text").collect()[0]
+    assert (r["n_cc"], r["n_ssn"], r["n_phone"], r["n_ipv4"]) == (1, 1, 0, 0)
+    assert r["n_pii"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_metrics_known_doc(spark):
+    from vector_spark.dataops.quality import gopher_quality
+
+    # 6 tokens, "a b" twice -> dup 1/6 (b repeats), bigram "a b" x2
+    df = _df(spark, [(1, "a b c d a b")])
+    r = gopher_quality(df, "doc_id", "text").collect()[0]
+    assert r["n_tokens"] == 6
+    assert abs(r["dup_token_frac"] - round(1 - 4 / 6, 6)) < 1e-9
+    # stream "a b c d a b" = 11 chars; best bigram "a b" covers 2*3=6
+    assert abs(r["top_bigram_frac"] - round(6 / 11, 6)) < 1e-9
+    assert r["alpha_word_frac"] == 1.0
+    assert r["gopher_pass"] is False  # too short + too repetitive
+
+
+def test_gopher_degenerate_docs(spark):
+    from vector_spark.dataops.quality import gopher_quality
+
+    df = _df(spark, [(1, ""), (2, "word"), (3, "12 34 56")])
+    rows = {r["doc_id"]: r for r in
+            gopher_quality(df, "doc_id", "text").collect()}
+    assert rows[1]["n_tokens"] == 0 and rows[1]["top_bigram_frac"] == 0.0
+    assert rows[2]["n_tokens"] == 1 and rows[2]["top_bigram_frac"] == 0.0
+    assert rows[3]["alpha_word_frac"] == 0.0  # digit-only words
+    assert not any(r["gopher_pass"] for r in rows.values())
+
+
+def test_gopher_passing_doc(spark):
+    from vector_spark.dataops.quality import gopher_quality
+
+    text = " ".join(f"word{i:03d}" for i in range(60))
+    df = _df(spark, [(1, text)])
+    r = gopher_quality(df, "doc_id", "text").collect()[0]
+    assert r["gopher_pass"] is True
+    assert r["dup_token_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_decontam_hits_and_clean(spark):
+    from vector_spark.dataops.decontam import decontaminate
+
+    bench = _df(spark, [(100, "the quick brown fox jumps over")])
+    corpus = _df(spark, [
+        (1, "xx the quick brown fox yy"),       # 1 shared 4-gram
+        (2, "quick brown fox jumps over now"),  # 2 shared 4-grams
+        (3, "completely different words here"),
+        (4, "too short"),                       # < n tokens
+    ])
+    out = {r["doc_id"]: r for r in
+           decontaminate(corpus, bench, n=4).collect()}
+    assert out[1]["n_hits"] == 1 and out[1]["contaminated"]
+    assert out[2]["n_hits"] == 2 and out[2]["contaminated"]
+    assert out[3]["n_hits"] == 0 and not out[3]["contaminated"]
+    assert out[4]["n_hits"] == 0 and not out[4]["contaminated"]
+    assert len(out) == 4  # zero-hit docs kept
+
+
+def test_decontam_benchmark_broadcast(spark):
+    """The benchmark side must be broadcast (scale contract: the
+    corpus never shuffles for the probe)."""
+    from vector_spark.dataops.decontam import decontaminate
+
+    bench = _df(spark, [(100, "a b c d e")])
+    corpus = _df(spark, [(1, "a b c d e f")])
+    plan = decontaminate(corpus, bench, n=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

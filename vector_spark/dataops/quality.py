@@ -1,0 +1,104 @@
+"""Repetition / quality filter rules for pre-training corpora, after
+the published Gopher rules (Rae et al. 2021, "Scaling Language Models",
+appendix A1.1) re-expressed as deterministic, SQL-portable arithmetic:
+
+* n_tokens bounds                  (word count 50..100_000)
+* mean token length bounds         (3..10 chars)
+* duplicate-token fraction         (1 - distinct/total)
+* top-bigram coverage fraction     (chars covered by the bigram that
+                                    covers the most characters / chars
+                                    of the token stream)
+* alphabetic-word fraction         (words containing >=1 letter)
+
+Every metric is a pure Column expression over the token array —
+per-row JVM work, ZERO shuffle, which is the point at 100 TB: quality
+filtering is a map-only stage that runs at scan speed. The bigram
+coverage uses array_distinct + filter counting (O(distinct x n) per
+row, bounded by document length), not an explode/groupBy — no
+shuffle-per-document.
+
+Thresholds are tuned so the synthetic corpus splits (docs of 10..99
+tokens with dup fractions around 0.5); real deployments tune them
+per-corpus, the plumbing is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_spark.dataops.text import mean_token_len, token_count, tokens
+
+# rule thresholds (documented corpus-tunable knobs)
+MIN_TOKENS = 50
+MAX_TOKENS = 100_000
+MIN_MEAN_TOKEN_LEN = 3.0
+MAX_MEAN_TOKEN_LEN = 10.0
+MAX_DUP_TOKEN_FRAC = 0.55
+MAX_TOP_BIGRAM_FRAC = 0.20
+MIN_ALPHA_WORD_FRAC = 0.90
+
+
+def dup_token_frac(col: Column) -> Column:
+    toks = tokens(col)
+    return F.round(
+        1.0 - F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)),
+        6,
+    )
+
+
+def alpha_word_frac(col: Column) -> Column:
+    toks = tokens(col)
+    alpha = F.filter(toks, lambda t: t.rlike("[a-z]"))
+    return F.round(F.size(alpha) / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def top_bigram_frac(col: Column) -> Column:
+    """Fraction of token-stream characters covered by the bigram that
+    covers the most characters (count x length, space included) —
+    the Gopher "fraction of characters in most common 2-gram" rule
+    with a deterministic tie rule (max coverage, not max count)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    coverage = F.transform(
+        F.array_distinct(bigrams),
+        lambda g: F.size(F.filter(bigrams, lambda x: x == g)) * F.length(g),
+    )
+    best = F.coalesce(F.array_max(coverage), F.lit(0))
+    stream_chars = F.length(F.array_join(toks, " "))
+    return F.round(best / F.greatest(stream_chars, F.lit(1)), 6)
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, metrics..., gopher_pass) — flags are computed from the
+    ROUNDED metrics so both engines sit on the same side of every
+    threshold boundary."""
+    c = F.col(text_col)
+    n = token_count(c)
+    mtl = mean_token_len(c)
+    dup = dup_token_frac(c)
+    top2 = top_bigram_frac(c)
+    alpha = alpha_word_frac(c)
+    out = df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        mtl.alias("mean_token_len"),
+        dup.alias("dup_token_frac"),
+        top2.alias("top_bigram_frac"),
+        alpha.alias("alpha_word_frac"),
+    )
+    passed = (
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("n_tokens") <= MAX_TOKENS)
+        & (F.col("mean_token_len") >= MIN_MEAN_TOKEN_LEN)
+        & (F.col("mean_token_len") <= MAX_MEAN_TOKEN_LEN)
+        & (F.col("dup_token_frac") <= MAX_DUP_TOKEN_FRAC)
+        & (F.col("top_bigram_frac") <= MAX_TOP_BIGRAM_FRAC)
+        & (F.col("alpha_word_frac") >= MIN_ALPHA_WORD_FRAC)
+    )
+    return out.select("*", passed.alias("gopher_pass"))
