@@ -67,6 +67,12 @@ HEADLINE = [
     "prometheus_encode",
     # round 3: mergeable-sketch rollup
     "sketch_merge",
+    # round 3: training-data pipeline ops + approximate ANN paths
+    "docs_pii_scrub",
+    "docs_gopher_quality",
+    "docs_decontam",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
 ]
 
 

@@ -3,12 +3,19 @@
 Policy: media payloads are `binary` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas functions over `mapInPandas` so each partition
-streams batches through Python once. The decode kernels themselves
-are STUBBED (no PIL/ffmpeg in this container): `decode=fake` yields
-deterministic per-row features derived from the bytes, so the
-Spark-side plumbing — schema, batch shape, partitioning — is fully
-real and tested; `decode=real` raises NotImplementedError at the
-exact seam where a codec library would plug in.
+streams batches through Python once.
+
+Decode tiers:
+* `decode=real` — REAL kernels for the formats pure numpy/stdlib can
+  handle (dataops/media_codecs.py): PPM and 24-bit BMP images, WAV
+  PCM16 audio; actual pixel/sample decode, nearest-neighbor resize,
+  statistical/spectral feature vectors. Formats that genuinely need a
+  codec library (PNG/JPEG/MP4 — no PIL/ffmpeg in this container)
+  raise NotImplementedError at the exact seam where the library would
+  plug in.
+* `decode=fake` — deterministic per-row features derived from the
+  raw bytes; exercises the identical Spark-side plumbing (schema,
+  batch shape, partitioning) without caring about payload format.
 """
 
 from __future__ import annotations
@@ -62,6 +69,24 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     ]
 
 
+def _real_feature(payload: bytes, mime: str | None, dim: int) -> list[float]:
+    """Dispatch to the numpy kernels by mime. PNG/JPEG/MP4 fail at
+    this seam — the one place a codec library would plug in."""
+    from vector_spark.dataops import media_codecs as mc
+
+    if mime == "image/x-portable-pixmap":
+        return mc.image_features(mc.decode_ppm(bytes(payload)), dim)
+    if mime == "image/bmp":
+        return mc.image_features(mc.decode_bmp24(bytes(payload)), dim)
+    if mime == "audio/wav":
+        samples, rate = mc.decode_wav_pcm16(bytes(payload))
+        return mc.audio_features(samples, rate, dim)
+    raise NotImplementedError(
+        f"real decode for {mime!r} requires PIL/ffmpeg; plug the codec "
+        "in here — batch plumbing is already correct"
+    )
+
+
 def extract_features(
     df: DataFrame, decode: str = "fake", batch_dim: int = 8
 ) -> DataFrame:
@@ -70,12 +95,19 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg; plug the codec "
-                    "in here — batch plumbing is already correct"
-                )
             payloads = pdf["payload"]
+            if decode == "real":
+                mimes = pdf["meta"].map(
+                    lambda m: (m or {}).get("mime") if not isinstance(m, float) else None
+                )
+                feature = [
+                    _real_feature(b, m, batch_dim)
+                    for b, m in zip(payloads, mimes)
+                ]
+            else:
+                feature = payloads.map(
+                    lambda b: _fake_feature(b, batch_dim)
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -84,9 +116,7 @@ def extract_features(
                     "content_hash": payloads.map(
                         lambda b: hashlib.sha256(b).hexdigest()
                     ),
-                    "feature": payloads.map(
-                        lambda b: _fake_feature(b, batch_dim)
-                    ),
+                    "feature": feature,
                 }
             )
 
@@ -98,30 +128,52 @@ def resize_images(
 ) -> DataFrame:
     """Image resize over mapInPandas: same schema out, payload
     replaced by the resized encoding and meta.width/height updated.
-    `fake` mode truncates/pads the payload to a deterministic size
-    proportional to the target area (the real kernel would be
-    PIL Image.resize at the marked seam) — schema, batching, and
-    metadata rewriting are the real production shape."""
+    `real` mode decodes PPM/BMP pixels, nearest-neighbor-resamples
+    with one numpy gather, and re-encodes as PPM; other image mimes
+    fail at the seam. `fake` mode truncates/pads the payload to a
+    deterministic size proportional to the target area — schema,
+    batching, and metadata rewriting identical either way."""
 
     target_len_per_kb = max(1, (width * height) // 1024)
 
+    def _real_resize(payload: bytes, mime: str | None) -> tuple[bytes, str]:
+        from vector_spark.dataops import media_codecs as mc
+
+        if mime == "image/x-portable-pixmap":
+            arr = mc.decode_ppm(bytes(payload))
+        elif mime == "image/bmp":
+            arr = mc.decode_bmp24(bytes(payload))
+        else:
+            raise NotImplementedError(
+                f"real resize for {mime!r} requires PIL; plug the codec "
+                "in here — batch plumbing is already correct"
+            )
+        return mc.encode_ppm(mc.resize_nearest(arr, width, height)), \
+            "image/x-portable-pixmap"
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real resize requires PIL; plug Image.open/resize in "
-                    "here — batch plumbing is already correct"
-                )
             mask = pdf["kind"] == "image"
             out = pdf.copy()
-            out.loc[mask, "payload"] = out.loc[mask, "payload"].map(
-                lambda b: (b * (target_len_per_kb // max(len(b), 1) + 1))[
-                    :target_len_per_kb
-                ]
-            )
-            out.loc[mask, "meta"] = out.loc[mask, "meta"].map(
-                lambda m: {**(m or {}), "width": width, "height": height}
-            )
+            if decode == "real":
+                for i in out.index[mask]:
+                    meta = out.at[i, "meta"] or {}
+                    payload, mime = _real_resize(
+                        out.at[i, "payload"], meta.get("mime")
+                    )
+                    out.at[i, "payload"] = payload
+                    out.at[i, "meta"] = {
+                        **meta, "width": width, "height": height, "mime": mime,
+                    }
+            else:
+                out.loc[mask, "payload"] = out.loc[mask, "payload"].map(
+                    lambda b: (b * (target_len_per_kb // max(len(b), 1) + 1))[
+                        :target_len_per_kb
+                    ]
+                )
+                out.loc[mask, "meta"] = out.loc[mask, "meta"].map(
+                    lambda m: {**(m or {}), "width": width, "height": height}
+                )
             yield out
 
     return df.mapInPandas(run, df.schema)
@@ -144,17 +196,51 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests."""
+def synthetic_media(spark, n: int = 64, real_payloads: bool = False) -> DataFrame:
+    """Deterministic media table for tests. With real_payloads=True
+    the images are actual PPM gradients and the audio actual WAV sine
+    tones (decodable by the `decode=real` kernels); video remains an
+    opaque payload (container parsing needs ffmpeg)."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        payload = (f"media-{i}-" + "x" * (i % 17)).encode()
+        if real_payloads and kind == "image":
+            import numpy as np
+
+            from vector_spark.dataops.media_codecs import encode_ppm
+
+            w = h = 8 + (i % 3) * 4
+            yy, xx = np.mgrid[0:h, 0:w]
+            arr = np.stack(
+                [(xx * 255 // max(w - 1, 1)),
+                 (yy * 255 // max(h - 1, 1)),
+                 np.full((h, w), i % 256)], axis=2
+            ).astype(np.uint8)
+            payload = encode_ppm(arr)
+            mime, width, height = "image/x-portable-pixmap", w, h
+        elif real_payloads and kind == "audio":
+            import numpy as np
+
+            from vector_spark.dataops.media_codecs import encode_wav_pcm16
+
+            rate = 8000
+            t = np.arange(rate // 10)  # 100 ms
+            freq = 220.0 * (1 + i % 8)
+            samples = (10000 * np.sin(2 * np.pi * freq * t / rate)).astype(
+                np.int16
+            )
+            payload = encode_wav_pcm16(samples, rate)
+            mime, width, height = "audio/wav", None, None
+        else:
+            payload = (f"media-{i}-" + "x" * (i % 17)).encode()
+            mime = {"image": "image/png", "audio": "audio/wav",
+                    "video": "video/mp4"}[kind]
+            width = height = (64 + i) if kind == "image" else None
         meta = {
-            "width": 64 + i if kind == "image" else None,
-            "height": 64 + i if kind == "image" else None,
+            "width": width,
+            "height": height,
             "duration_ms": 1000 * (1 + i % 5) if kind != "image" else None,
-            "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+            "mime": mime,
         }
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

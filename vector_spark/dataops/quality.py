@@ -57,7 +57,15 @@ def top_bigram_frac(col: Column) -> Column:
     """Fraction of token-stream characters covered by the bigram that
     covers the most characters (count x length, space included) —
     the Gopher "fraction of characters in most common 2-gram" rule
-    with a deterministic tie rule (max coverage, not max count)."""
+    with a deterministic tie rule (max coverage, not max count).
+
+    Implementation note: sort the bigram array once and take the max
+    of run_length x strlen in a single aggregate() pass. The naive
+    transform(array_distinct(bg), g -> size(filter(bg, =g)))
+    formulation re-evaluates the whole bigram-array EXPRESSION per
+    distinct element (Catalyst does not CSE inside lambda bodies),
+    which measured ~12x slower at sf0.1; the run-length form
+    evaluates every array exactly once per row."""
     toks = tokens(col)
     n = F.size(toks)
     bigrams = F.zip_with(
@@ -65,11 +73,24 @@ def top_bigram_frac(col: Column) -> Column:
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    coverage = F.transform(
-        F.array_distinct(bigrams),
-        lambda g: F.size(F.filter(bigrams, lambda x: x == g)) * F.length(g),
+    best = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(1).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(1)
+                * F.length(x),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    best = F.coalesce(F.array_max(coverage), F.lit(0))
     stream_chars = F.length(F.array_join(toks, " "))
     return F.round(best / F.greatest(stream_chars, F.lit(1)), 6)
 
