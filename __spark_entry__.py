@@ -346,6 +346,53 @@ def q_docs_simhash(spark, sf_dir):
     return simhash_near_pairs(corpus, "doc_id", "text", max_hamming=3)
 
 
+def q_native_proto_roundtrip(spark, sf_dir):
+    """native (protobuf) codec end-to-end under the hard gate: parsed
+    log events -> EventArray frames (codecs_proto.py, the wire format
+    of lib/vector-core/proto/event.proto) -> decode -> fields. Since
+    encode∘decode must be the identity, the DuckDB oracle is simply
+    the plain projection of the same parsed events — any wire-format
+    asymmetry breaks the value hash."""
+    from vector_spark.codecs_proto import (
+        decode_native_proto,
+        encode_native_log_proto,
+    )
+
+    fields = ["conv_id", "turn_idx", "level", "latency_ms"]
+    events = _parsed(spark, sf_dir).select(*fields)
+    enc = encode_native_log_proto(events, fields)
+    dec = decode_native_proto(enc.select("proto"), frame_col="proto")
+    log = F.col("log")
+    return dec.select(
+        F.get_json_object(log, "$.conv_id").alias("conv_id"),
+        F.get_json_object(log, "$.turn_idx").cast("int").alias("turn_idx"),
+        F.get_json_object(log, "$.level").alias("level"),
+        # Arrow hands a nullable int column to the encode UDF as
+        # float64, so the JSON rendition is "1234.0" — cast through
+        # double (a direct string->bigint cast of "1234.0" is NULL)
+        F.get_json_object(log, "$.latency_ms").cast("double")
+        .cast("bigint").alias("latency_ms"),
+    )
+
+
+def q_avro_roundtrip(spark, sf_dir):
+    """Avro datum codec end-to-end under the hard gate (same
+    identity-oracle construction as native_proto_roundtrip):
+    events -> one Avro binary datum per row -> decode -> fields."""
+    from vector_spark.codecs_avro import decode_avro, encode_avro, schema_for
+
+    events = _parsed(spark, sf_dir).select(
+        "conv_id", "turn_idx", "level",
+        # nullable ints reach the Arrow encode UDF as float64, which
+        # a ["null","long"] union would reject — declare the column
+        # double end-to-end instead
+        F.col("latency_ms").cast("double").alias("latency_ms"),
+    )
+    schema = schema_for(events)
+    enc = encode_avro(events, schema)
+    return decode_avro(enc.select("avro"), schema).select("event.*")
+
+
 def q_docs_pii_scrub(spark, sf_dir):
     """PII detection + redaction (dataops/pii.py): the corpus text is
     salted with deterministic doc_id-derived PII (email always; ip /
@@ -1308,6 +1355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "native_json": q_native_json,
         "sample_counter": q_sample_counter,
         # -- new in round 3
+        "native_proto_roundtrip": q_native_proto_roundtrip,
+        "avro_roundtrip": q_avro_roundtrip,
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_gopher_quality": q_docs_gopher_quality,
         "docs_decontam": q_docs_decontam,
@@ -2211,6 +2260,17 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 
     o["ann_topk_lsh"] = _ann_lsh_oracle()
     o["ann_topk_ivf"] = _ann_ivf_oracle()
+
+    # codec round trips: encode∘decode must be the identity, so the
+    # oracle is the plain projection of the same parsed events
+    o["native_proto_roundtrip"] = _with(
+        "SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, level, "
+        "latency_ms FROM parsed"
+    )
+    o["avro_roundtrip"] = _with(
+        "SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, level, "
+        "CAST(latency_ms AS DOUBLE) AS latency_ms FROM parsed"
+    )
 
     o["docs_pii_scrub"] = _pii_oracle()
 

@@ -145,3 +145,31 @@ def test_lang_id(spark):
     assert got[2] == "es"
     assert got[3] == "zh"
     assert got[4] == "und"
+
+
+def test_lsh_buckets_numpy_matches_jvm(emb):
+    """The BLAS signature kernel (the 100 TB path) must produce the
+    same (table, bucket) assignments as the oracle-exact JVM
+    expression — summation-order divergence is only possible within
+    one ulp of a zero projection, which real data never sits on."""
+    from vector_spark.dataops.similarity import lsh_bucket, lsh_buckets_numpy
+
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    lsh_bucket(F.col("embedding"), 64, 10, t).alias("bucket"),
+                )
+                for t in range(4)
+            ]
+        )
+    )
+    jvm = {
+        (r["vec_id"], r["tb"]["table"]): r["tb"]["bucket"]
+        for r in emb.select("vec_id", tb.alias("tb")).collect()
+    }
+    np_rows = lsh_buckets_numpy(emb, dim=64, n_bits=10, n_tables=4).collect()
+    assert len(np_rows) == len(jvm)
+    for r in np_rows:
+        assert jvm[(r["id"], r["table"])] == r["bucket"]

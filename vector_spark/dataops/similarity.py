@@ -16,8 +16,10 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b):
@@ -87,7 +89,9 @@ def _hyperplane(dim: int, h: int, table: int) -> list[float]:
 
 
 def lsh_bucket(vec_col, dim: int, n_bits: int = 12, table: int = 0):
-    """Sign-bit bucket id for one LSH table, as a JVM expression."""
+    """Sign-bit bucket id for one LSH table, as a JVM expression.
+    Each per-bit sum runs strictly left-to-right over dims, so the
+    DuckDB oracle's list_reduce reproduces it bit-for-bit."""
     bucket = F.lit(0).cast("bigint")
     for h in range(n_bits):
         plane = _hyperplane(dim, h, table)
@@ -104,6 +108,53 @@ def lsh_bucket(vec_col, dim: int, n_bits: int = 12, table: int = 0):
     return bucket
 
 
+def lsh_buckets_numpy(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 10,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket) via ONE BLAS matmul per Arrow batch — the
+    100 TB signature kernel (~100x the interpreted-lambda JVM cost of
+    lsh_bucket). Same hyperplanes as lsh_bucket; the only divergence
+    window is float summation ORDER (BLAS pairwise vs left-to-right),
+    which can flip a sign only when a projection sits within one ulp
+    of zero — test_similarity_kernels asserts full agreement on the
+    test corpora. The oracle-gated queries keep the JVM path; this is
+    the drop-in for real-scale runs."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [
+            [_hyperplane(dim, h, t) for h in range(n_bits)]
+            for t in range(n_tables)
+        ]
+    )  # (tables, bits, dim)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        out = []
+        for t in range(n_tables):
+            proj = mat @ planes[t].T  # (n, bits)
+            out.append(((proj > 0) * weights).sum(axis=1))
+        return pd.Series(np.stack(out, axis=1).tolist())
+
+    tb = F.explode(
+        F.arrays_zip(
+            F.sequence(F.lit(0), F.lit(n_tables - 1)).alias("table"),
+            buckets(F.col(vec_col)).alias("bucket"),
+        )
+    )
+    return df.select(F.col(id_col).alias("id"), tb.alias("tb")).select(
+        "id", F.col("tb.table").cast("int").alias("table"), "tb.bucket"
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -117,20 +168,24 @@ def lsh_topk(
     """Approximate top-k: candidates = bucket collisions in any
     table; exact cosine re-rank of candidates only."""
     def bucketize(df: DataFrame, side: str) -> DataFrame:
-        rows = []
-        for t in range(n_tables):
-            rows.append(
-                df.select(
-                    F.col(id_col).alias(f"{side}_id"),
-                    F.col(vec_col).alias(f"{side}_vec"),
-                    F.lit(t).alias("table"),
-                    lsh_bucket(F.col(vec_col), dim, n_bits, t).alias("bucket"),
-                )
+        # one scan: explode an array of (table, bucket) structs rather
+        # than unioning n_tables re-reads of the source
+        tb = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        lsh_bucket(F.col(vec_col), dim, n_bits, t).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
             )
-        out = rows[0]
-        for r in rows[1:]:
-            out = out.unionByName(r)
-        return out
+        )
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(vec_col).alias(f"{side}_vec"),
+            tb.alias("tb"),
+        ).select(f"{side}_id", f"{side}_vec", "tb.table", "tb.bucket")
 
     qb = bucketize(queries, "q")
     cb = bucketize(corpus, "c")
@@ -181,19 +236,20 @@ def embedding_near_dup_lsh(
     (high-cosine pairs collide with high probability), exact cosine
     filter on candidates only. Join cost ~ sum of bucket sizes^2,
     not n^2; the bucket join shuffles on (table, bucket)."""
-    sides = []
-    for t in range(n_tables):
-        sides.append(
-            df.select(
-                F.col(id_col).alias("id"),
-                F.col(vec_col).alias("v"),
-                F.lit(t).alias("table"),
-                lsh_bucket(F.col(vec_col), dim, n_bits, t).alias("bucket"),
-            )
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    lsh_bucket(F.col(vec_col), dim, n_bits, t).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
         )
-    bucketed = sides[0]
-    for s in sides[1:]:
-        bucketed = bucketed.unionByName(s)
+    )
+    bucketed = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), tb.alias("tb")
+    ).select("id", "v", "tb.table", "tb.bucket")
     a = bucketed.select("table", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = bucketed.select("table", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
     cand = (
