@@ -286,3 +286,78 @@ def test_decode_error_on_garbage(spark):
     )
     dec = decode_native_proto(df, frame_col="frame")
     assert all(r["_decode_error"] for r in dec.collect())
+
+
+def test_sketch_travels_as_native_proto(spark):
+    """The reference's 2-tier metric flow: agent-level AgentDDSketches
+    travel to the aggregator AS native-proto frames, get decoded, and
+    merge losslessly (value.rs Sketch + proto Sketch.AgentDDSketch).
+    The quantiles after the wire hop must equal the direct
+    all-raw-values path exactly."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.codecs_proto import decode_native_proto
+    from vector_spark.operators.sketch import (
+        sketch_from_values,
+        sketch_merge,
+        sketch_quantiles,
+    )
+
+    vals = spark.createDataFrame(
+        [(f"agent-{i % 4}", (i * 37) % 997) for i in range(400)],
+        "agent string, latency long",
+    )
+
+    # agent tier: per-agent sketches -> one native-proto frame each
+    per_agent = sketch_from_values(vals, "latency", ["agent"]).collect()
+    by_agent: dict = {}
+    for r in per_agent:
+        by_agent.setdefault(r["agent"], []).append((r["bucket"], r["cnt"]))
+    frames = []
+    for agent, rows in by_agent.items():
+        rows.sort()
+        mt = encode_metric(
+            "latency_sketch",
+            kind="incremental",
+            value_type="sketch",
+            sketch={
+                "count": sum(c for _, c in rows),
+                "k": [b for b, _ in rows],
+                "n": [c for _, c in rows],
+            },
+            tags={"agent": agent},
+        )
+        frames.append((encode_event_array(metrics=[mt]),))
+
+    # aggregator tier: decode the wire frames, merge, query quantiles
+    dec = decode_native_proto(
+        spark.createDataFrame(frames, "frame binary"), frame_col="frame"
+    )
+    rows = dec.select(
+        F.col("metric.tags")["agent"].alias("agent"),
+        F.explode(
+            F.arrays_zip(
+                F.col("metric.sketch.k").alias("bucket"),
+                F.col("metric.sketch.n").alias("cnt"),
+            )
+        ).alias("kn"),
+    ).select(
+        F.lit("all").alias("scope"),
+        F.col("kn.bucket").alias("bucket"),
+        F.col("kn.cnt").alias("cnt"),
+    )
+    merged = sketch_merge(rows, ["scope"])
+    via_wire = {
+        r["q"]: (r["est"], r["n"])
+        for r in sketch_quantiles(merged, ["scope"]).collect()
+    }
+
+    direct = sketch_from_values(
+        vals.select(F.lit("all").alias("scope"), "latency"), "latency",
+        ["scope"],
+    )
+    want = {
+        r["q"]: (r["est"], r["n"])
+        for r in sketch_quantiles(direct, ["scope"]).collect()
+    }
+    assert via_wire == want and want  # lossless through the wire hop
