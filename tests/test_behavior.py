@@ -46,149 +46,17 @@ KNOWN_UNSUPPORTED: dict[str, str] = {
 }
 
 
-# -- schema inference for injected events -----------------------------------
+# schema inference, event building, and option mapping live in the
+# library now (vector_spark/config.py) — the same code a user's own
+# configs run through; this suite replays the reference's harvested
+# behavior TOMLs through it.
 
-def _merge_type(a, b):
-    if a is None:
-        return b
-    if b is None or a == b:
-        return a
-    if {a.typeName(), b.typeName()} <= {"long", "double"}:
-        return T.DoubleType()
-    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
-        names = list(dict.fromkeys([f.name for f in a.fields] + [f.name for f in b.fields]))
-        af = {f.name: f.dataType for f in a.fields}
-        bf = {f.name: f.dataType for f in b.fields}
-        return T.StructType(
-            [T.StructField(n, _merge_type(af.get(n), bf.get(n))) for n in names]
-        )
-    return T.StringType()
+from vector_spark.config import (  # noqa: E402
+    build_event_frames as _build_inputs,
+    expand_pipelines,
+    map_transform,
+)
 
-
-def _infer(v):
-    if isinstance(v, bool):
-        return T.BooleanType()
-    if isinstance(v, int):
-        return T.LongType()
-    if isinstance(v, float):
-        return T.DoubleType()
-    if isinstance(v, dict):
-        return T.StructType([T.StructField(k, _infer(x)) for k, x in v.items()])
-    if isinstance(v, list):
-        et = None
-        for x in v:
-            et = _merge_type(et, _infer(x))
-        return T.ArrayType(et or T.StringType())
-    return T.StringType()
-
-
-def _schema_of(rows: list[dict]) -> T.StructType:
-    merged: dict[str, T.DataType] = {}
-    order: list[str] = []
-    for r in rows:
-        for k, v in r.items():
-            if k not in merged:
-                order.append(k)
-            merged[k] = _merge_type(merged.get(k), _infer(v))
-    return T.StructType([T.StructField(k, merged[k]) for k in order])
-
-
-def _to_row(v, dt):
-    if v is None:
-        return None
-    if isinstance(dt, T.StructType):
-        v = v if isinstance(v, dict) else {}
-        return tuple(_to_row(v.get(f.name), f.dataType) for f in dt.fields)
-    if isinstance(dt, T.ArrayType):
-        return [_to_row(x, dt.elementType) for x in v]
-    if isinstance(dt, T.DoubleType) and isinstance(v, int):
-        return float(v)
-    if isinstance(dt, T.StringType) and not isinstance(v, str):
-        return json.dumps(v) if isinstance(v, (dict, list)) else str(v)
-    return v
-
-
-def _path_segments(key: str) -> list:
-    """Vector event-path keys: dot-separated segments, segments may be
-    double-quoted (literal, may contain dots) or carry [i] indices."""
-    import re
-
-    segs: list = []
-    i, n = 0, len(key)
-    while i < n:
-        if key[i] == '"':
-            j = key.index('"', i + 1)
-            segs.append(key[i + 1 : j])
-            i = j + 1
-        elif key[i] == ".":
-            i += 1
-        elif key[i] == "[":
-            j = key.index("]", i)
-            segs.append(int(key[i + 1 : j]))
-            i = j + 1
-        else:
-            m = re.match(r'[^."\[]+', key[i:])
-            segs.append(m.group(0))
-            i += len(m.group(0))
-    return segs
-
-
-def _set_path(out, segs: list, value):
-    head = segs[0]
-    if len(segs) == 1:
-        if isinstance(head, int):
-            while len(out) <= head:
-                out.append(None)
-            out[head] = value
-        else:
-            out[head] = value
-        return
-    child_default: list | dict = [] if isinstance(segs[1], int) else {}
-    if isinstance(head, int):
-        while len(out) <= head:
-            out.append(None)
-        if out[head] is None:
-            out[head] = child_default
-        _set_path(out[head], segs[1:], value)
-    else:
-        _set_path(out.setdefault(head, child_default), segs[1:], value)
-
-
-def _fold_paths(fields: dict) -> dict:
-    """log_fields keys are Vector event paths (`a."b.c"`, `arr[0]`)
-    -> fold into nested dicts/lists."""
-    out: dict = {}
-    for k, v in fields.items():
-        _set_path(out, _path_segments(k), v)
-    return out
-
-
-def _build_inputs(spark, inputs: list[dict]):
-    """One DataFrame per insert point, rows in arrival order (_seq)."""
-    by_point: dict[str, list[dict]] = {}
-    for i in inputs:
-        by_point.setdefault(i["insert_at"], []).append(_fold_paths(i["log_fields"]))
-    frames = {}
-    for point, rows in by_point.items():
-        schema = _schema_of(rows)
-        schema = T.StructType(list(schema.fields) + [T.StructField("_seq", T.LongType())])
-        data = [
-            tuple(_to_row(r.get(f.name), f.dataType) for f in schema.fields[:-1]) + (i,)
-            for i, r in enumerate(rows)
-        ]
-        df = spark.createDataFrame(data, schema)
-        if "timestamp" not in df.columns:
-            # every Vector log event carries an ingest timestamp
-            # (unit-test source stamps Utc::now); _seq keeps order
-            df = df.withColumn(
-                "timestamp",
-                F.timestamp_seconds(F.lit(1700000000) + F.col("_seq")),
-            )
-        frames[point] = df
-    return frames
-
-
-# -- toml -> pipeline-spec option mapping ------------------------------------
 
 def _map_condition(c):
     if isinstance(c, dict) and c.get("type") == "is_log":
@@ -198,67 +66,12 @@ def _map_condition(c):
     return c
 
 
-def _map_transform(name: str, comp: dict) -> dict:
-    t = comp.get("type")
-    out = {"type": t, "inputs": list(comp.get("inputs") or [])}
-    if t == "remap":
-        out["source"] = comp["source"]
-        for k in ("drop_on_error", "drop_on_abort", "reroute_dropped"):
-            if k in comp:
-                out[k] = comp[k]
-    elif t == "filter":
-        out["condition"] = _map_condition(comp["condition"])
-    elif t == "route":
-        out["routes"] = {
-            n: _map_condition(c) for n, c in (comp.get("route") or {}).items()
-        }
-    elif t == "dedupe":
-        fields = comp.get("fields") or {}
-        out["match"] = fields.get("match")
-        out["ignore"] = fields.get("ignore")
-        out["order_by"] = ["_seq"]
-    elif t == "reduce":
-        out["group_by"] = comp.get("group_by") or []
-        out["order_by"] = "_seq"
-        if "ends_when" in comp:
-            out["ends_when"] = _map_condition(comp["ends_when"])
-        if "starts_when" in comp:
-            out["starts_when"] = _map_condition(comp["starts_when"])
-        if "merge_strategies" in comp:
-            out["merge_strategies"] = comp["merge_strategies"]
-    else:
-        out.update({k: v for k, v in comp.items() if k not in ("type", "inputs")})
-    return out
+def _expand_pipelines(name, comp):
+    return expand_pipelines(name, comp, _map_condition)
 
 
-def _expand_pipelines(name: str, comp: dict) -> dict[str, dict]:
-    """Vector 0.24 `pipelines` (src/transforms/pipelines/mod.rs): each
-    sub-pipeline is a filter GATE — matching events run its transform
-    chain, non-matching events BYPASS it, and both rejoin before the
-    next sub-pipeline. Expand to route + chain + implicit-union."""
-    out: dict[str, dict] = {}
-    cur = list(comp.get("inputs") or [])
-    for sub in comp.get("logs") or []:
-        sname = f"{name}__{sub['name']}"
-        prev = cur
-        if "filter" in sub:
-            rname = f"{sname}_gate"
-            out[rname] = {
-                "type": "route",
-                "inputs": cur,
-                "routes": {"hit": _map_condition(sub["filter"])},
-            }
-            prev = [f"{rname}.hit"]
-            bypass = [f"{rname}._unmatched"]
-        else:
-            bypass = []
-        for j, t in enumerate(sub.get("transforms") or []):
-            tname = f"{sname}_t{j}"
-            out[tname] = {**_map_transform(tname, t), "inputs": prev}
-            prev = [tname]
-        cur = prev + bypass
-    out[name] = {"type": "remap", "source": "", "inputs": cur}
-    return out
+def _map_transform(name, comp):
+    return map_transform(name, comp, _map_condition)
 
 
 def _run_case(spark, case):

@@ -1,0 +1,117 @@
+"""Config front door (vector_spark/config.py): load reference-style
+TOML configs, run them end-to-end, and execute their `[[tests]]`
+blocks with the `vector test` pass semantics — including an actual
+config file from the reference tree, unmodified.
+"""
+
+from __future__ import annotations
+
+import textwrap
+
+from vector_spark.config import (
+    load_config,
+    normalize_test_inputs,
+    run_config,
+    run_config_tests,
+    spec_from_config,
+)
+
+SF = "/root/testdata/sf0.001"
+
+DEMO_TOML = textwrap.dedent("""
+    [sources.in]
+      type = "demo_logs"
+      format = "apache_common"
+
+    [transforms.parsed]
+      type = "remap"
+      inputs = ["in"]
+      source = '''
+        . |= parse_common_log!(.line)
+        del(.line)
+      '''
+
+    [transforms.split]
+      type = "route"
+      inputs = ["parsed"]
+      [transforms.split.route.errors]
+        type = "vrl"
+        source = ".status >= 500"
+      [transforms.split.route.ok]
+        type = "vrl"
+        source = ".status < 500"
+
+    [sinks.errors_out]
+      type = "blackhole"
+      inputs = ["split.errors"]
+
+    [sinks.ok_out]
+      type = "blackhole"
+      inputs = ["split.ok"]
+
+    [[tests]]
+      name = "routes server errors"
+      no_outputs_from = []
+      [[tests.inputs]]
+        insert_at = "split"
+        [tests.inputs.log_fields]
+        status = 503
+        method = "GET"
+      [[tests.outputs]]
+        extract_from = "split.errors"
+        [[tests.outputs.conditions]]
+          type = "vrl"
+          source = ".status == 503"
+""")
+
+
+def test_load_config_toml_and_json():
+    cfg = load_config(DEMO_TOML)
+    assert set(cfg["sources"]) == {"in"}
+    assert cfg["transforms"]["split"]["route"]["errors"]["type"] == "vrl"
+    assert load_config('{"sources": {"x": {"type": "file"}}}')["sources"]
+
+
+def test_spec_from_config_option_mapping():
+    spec = spec_from_config(load_config(DEMO_TOML))
+    assert spec["transforms"]["split"]["routes"]["ok"]["source"] == ".status < 500"
+    assert spec["transforms"]["parsed"]["type"] == "remap"
+    assert spec["sinks"]["ok_out"]["inputs"] == ["split.ok"]
+
+
+def test_run_config_end_to_end(spark):
+    out = run_config(spark, DEMO_TOML, sf_dir=SF)
+    assert set(out) == {"errors_out", "ok_out"}
+    # demo apache_common has both <500 and >=500 statuses; counts
+    # must partition the parsed stream
+    assert out["errors_out"] > 0 and out["ok_out"] > 0
+    total = out["errors_out"] + out["ok_out"]
+    from vector_spark.sources import demo_logs_batch
+
+    assert total == demo_logs_batch(spark, SF, "apache_common").count()
+
+
+def test_run_config_tests_inline(spark):
+    results = run_config_tests(spark, DEMO_TOML)
+    assert results == {"routes server errors": []}
+
+
+def test_reference_filter_toml_verbatim(spark):
+    """An unmodified config file from the reference repo runs through
+    the `vector test` harness and every test passes."""
+    results = run_config_tests(
+        spark, "/root/reference/tests/behavior/transforms/filter.toml"
+    )
+    assert len(results) == 7
+    failures = {k: v for k, v in results.items() if v}
+    assert not failures, failures
+
+
+def test_normalize_raw_value_inputs():
+    cfg = load_config(
+        "/root/reference/tests/behavior/transforms/filter.toml"
+    )
+    ins = normalize_test_inputs(cfg["tests"][0])
+    assert ins == [
+        {"insert_at": "filter_a", "log_fields": {"message": "test filter 1"}}
+    ]
