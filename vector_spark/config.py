@@ -248,7 +248,10 @@ def _ident(c):
 
 
 def map_transform(
-    name: str, comp: dict, map_condition: Callable = _ident
+    name: str,
+    comp: dict,
+    map_condition: Callable = _ident,
+    base_dir: str | None = None,
 ) -> dict:
     """One reference transform table -> our spec component. Option
     spellings that differ are translated; everything else passes
@@ -256,7 +259,13 @@ def map_transform(
     t = comp.get("type")
     out = {"type": t, "inputs": list(comp.get("inputs") or [])}
     if t == "remap":
-        out["source"] = comp["source"]
+        if "source" in comp:
+            out["source"] = comp["source"]
+        else:  # remap `file = ...`: program text lives next to the config
+            path = comp["file"]
+            if base_dir and not os.path.isabs(path):
+                path = os.path.join(base_dir, path)
+            out["source"] = open(path).read()
         for k in ("drop_on_error", "drop_on_abort", "reroute_dropped"):
             if k in comp:
                 out[k] = comp[k]
@@ -290,7 +299,10 @@ def map_transform(
 
 
 def expand_pipelines(
-    name: str, comp: dict, map_condition: Callable = _ident
+    name: str,
+    comp: dict,
+    map_condition: Callable = _ident,
+    base_dir: str | None = None,
 ) -> dict[str, dict]:
     """Vector 0.24 `pipelines` (src/transforms/pipelines/mod.rs): each
     sub-pipeline is a filter GATE — matching events run its transform
@@ -315,7 +327,8 @@ def expand_pipelines(
         for j, t in enumerate(sub.get("transforms") or []):
             tname = f"{sname}_t{j}"
             out[tname] = {
-                **map_transform(tname, t, map_condition), "inputs": prev,
+                **map_transform(tname, t, map_condition, base_dir),
+                "inputs": prev,
             }
             prev = [tname]
         cur = prev + bypass
@@ -323,15 +336,23 @@ def expand_pipelines(
     return out
 
 
-def spec_from_config(cfg: dict, map_condition: Callable = _ident) -> dict:
+def spec_from_config(
+    cfg: dict,
+    map_condition: Callable = _ident,
+    base_dir: str | None = None,
+) -> dict:
     """Whole reference config -> pipeline spec (sources and sinks pass
     through; transforms option-mapped; `pipelines` expanded)."""
     transforms: dict[str, dict] = {}
     for name, comp in (cfg.get("transforms") or {}).items():
         if comp.get("type") == "pipelines":
-            transforms.update(expand_pipelines(name, comp, map_condition))
+            transforms.update(
+                expand_pipelines(name, comp, map_condition, base_dir)
+            )
         else:
-            transforms[name] = map_transform(name, comp, map_condition)
+            transforms[name] = map_transform(
+                name, comp, map_condition, base_dir
+            )
     return {
         "sources": {
             n: dict(c) for n, c in (cfg.get("sources") or {}).items()
@@ -339,6 +360,34 @@ def spec_from_config(cfg: dict, map_condition: Callable = _ident) -> dict:
         "transforms": transforms,
         "sinks": {n: dict(c) for n, c in (cfg.get("sinks") or {}).items()},
     }
+
+
+def load_enrichment_tables(
+    cfg: dict, base_dir: str | None = None
+) -> dict[str, list[dict]]:
+    """`[enrichment_tables.*]` -> row lists. File-backed CSV tables
+    (src/enrichment_tables/file.rs) are read and schema-cast; a table
+    already given as a row list passes through (test convenience)."""
+    import csv
+
+    out: dict[str, list[dict]] = {}
+    for tname, tcfg in (cfg.get("enrichment_tables") or {}).items():
+        if isinstance(tcfg, list):
+            out[tname] = tcfg
+            continue
+        path = tcfg["file"]["path"]
+        if base_dir and not os.path.isabs(path):
+            path = os.path.join(base_dir, path.lstrip("./"))
+        with open(path, newline="") as cf:
+            rows = list(csv.DictReader(cf))
+        for col, typ in (tcfg.get("schema") or {}).items():
+            for r in rows:
+                if typ == "integer":
+                    r[col] = int(r[col])
+                elif typ == "float":
+                    r[col] = float(r[col])
+        out[tname] = rows
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -394,12 +443,18 @@ def run_config(
     per-sink results exactly like run_pipeline."""
     from vector_spark.pipeline import PipelineContext, run_pipeline
 
-    cfg = load_config(config) if isinstance(config, str) else config
-    spec = spec_from_config(cfg)
+    base_dir = None
+    if isinstance(config, str):
+        if "\n" not in config and os.path.exists(config):
+            base_dir = os.path.dirname(os.path.abspath(config))
+        cfg = load_config(config)
+    else:
+        cfg = config
+    spec = spec_from_config(cfg, base_dir=base_dir)
     frames = build_source_frames(spark, cfg, sf_dir, source_frames)
     ctx = PipelineContext(spark)
     if cfg.get("enrichment_tables"):
-        ctx.enrichment_rows = cfg["enrichment_tables"]
+        ctx.enrichment_rows = load_enrichment_tables(cfg, base_dir)
     return run_pipeline(ctx, spec, frames)
 
 
@@ -407,61 +462,86 @@ def run_config_tests(
     spark: SparkSession,
     config: str | dict,
     map_condition: Callable = _ident,
+    base_dir: str | None = None,
 ) -> dict[str, list[str]]:
     """`vector test` (src/config/unit_test/mod.rs:135-290): run every
     `[[tests]]` block; returns {test_name: [error strings]} — empty
     list = pass. Pass semantics per unit_test_components.rs:150-180:
     each output condition must hold for >=1 extracted event;
-    `no_outputs_from` components must emit nothing."""
+    `no_outputs_from` components must emit nothing. A test that
+    errors (e.g. a documented typed-column divergence) records the
+    exception instead of aborting the remaining tests."""
     from vector_spark.pipeline import (
         PipelineContext,
         compile_condition,
         unit_test,
     )
 
-    cfg = load_config(config) if isinstance(config, str) else config
+    if isinstance(config, str):
+        if base_dir is None and "\n" not in config and os.path.exists(config):
+            base_dir = os.path.dirname(os.path.abspath(config))
+        cfg = load_config(config)
+    else:
+        cfg = config
     results: dict[str, list[str]] = {}
     for test in cfg.get("tests") or []:
-        inputs = normalize_test_inputs(test)
-        frames = build_event_frames(spark, inputs)
-        transforms: dict[str, dict] = {}
-        for name, comp in (cfg.get("transforms") or {}).items():
-            if comp.get("type") == "pipelines":
-                transforms.update(
-                    expand_pipelines(name, comp, map_condition)
-                )
-                continue
-            mapped = map_transform(name, comp, map_condition)
-            if name in frames:
-                # the reference feeds the inserted component itself;
-                # our unit_test injects sources — rewire
-                mapped["inputs"] = [f"__in_{name}"]
-            transforms[name] = mapped
-        spec = {"sources": {}, "transforms": transforms, "sinks": {}}
-        inserts = {f"__in_{p}": df for p, df in frames.items()}
-        outputs_spec = test.get("outputs") or []
-        no_outputs = test.get("no_outputs_from") or []
-        extracts = [o["extract_from"] for o in outputs_spec] + list(no_outputs)
-
-        ctx = PipelineContext(spark)
-        if cfg.get("enrichment_tables"):
-            ctx.enrichment_rows = cfg["enrichment_tables"]
-        got = unit_test(ctx, spec, inserts, extracts)
-
-        errors: list[str] = []
-        for o in outputs_spec:
-            df = got[o["extract_from"]].cache()
-            if df.count() == 0:
-                errors.append(f"{o['extract_from']}: no events received")
-                continue
-            for cond in o.get("conditions") or []:
-                c = compile_condition(map_condition(cond), df.schema)
-                if df.filter(F.coalesce(c, F.lit(False))).count() == 0:
-                    errors.append(
-                        f"{o['extract_from']}: condition failed {cond}"
-                    )
-        for comp in no_outputs:
-            if got[comp].count() != 0:
-                errors.append(f"{comp}: expected no outputs")
-        results[test["name"]] = errors
+        try:
+            results[test["name"]] = _run_one_test(
+                spark, cfg, test, map_condition, base_dir
+            )
+        except Exception as e:
+            results[test["name"]] = [f"{type(e).__name__}: {str(e)[:300]}"]
     return results
+
+
+def _run_one_test(
+    spark: SparkSession,
+    cfg: dict,
+    test: dict,
+    map_condition: Callable,
+    base_dir: str | None,
+) -> list[str]:
+    from vector_spark.pipeline import (
+        PipelineContext,
+        compile_condition,
+        unit_test,
+    )
+
+    inputs = normalize_test_inputs(test)
+    frames = build_event_frames(spark, inputs)
+    transforms: dict[str, dict] = {}
+    for name, comp in (cfg.get("transforms") or {}).items():
+        if comp.get("type") == "pipelines":
+            transforms.update(expand_pipelines(name, comp, map_condition))
+            continue
+        mapped = map_transform(name, comp, map_condition, base_dir)
+        if name in frames:
+            # the reference feeds the inserted component itself;
+            # our unit_test injects sources — rewire
+            mapped["inputs"] = [f"__in_{name}"]
+        transforms[name] = mapped
+    spec = {"sources": {}, "transforms": transforms, "sinks": {}}
+    inserts = {f"__in_{p}": df for p, df in frames.items()}
+    outputs_spec = test.get("outputs") or []
+    no_outputs = test.get("no_outputs_from") or []
+    extracts = [o["extract_from"] for o in outputs_spec] + list(no_outputs)
+
+    ctx = PipelineContext(spark)
+    if cfg.get("enrichment_tables"):
+        ctx.enrichment_rows = load_enrichment_tables(cfg, base_dir)
+    got = unit_test(ctx, spec, inserts, extracts)
+
+    errors: list[str] = []
+    for o in outputs_spec:
+        df = got[o["extract_from"]].cache()
+        if df.count() == 0:
+            errors.append(f"{o['extract_from']}: no events received")
+            continue
+        for cond in o.get("conditions") or []:
+            c = compile_condition(map_condition(cond), df.schema)
+            if df.filter(F.coalesce(c, F.lit(False))).count() == 0:
+                errors.append(f"{o['extract_from']}: condition failed {cond}")
+    for comp in no_outputs:
+        if got[comp].count() != 0:
+            errors.append(f"{comp}: expected no outputs")
+    return errors
