@@ -545,3 +545,61 @@ def _run_one_test(
         if got[comp].count() != 0:
             errors.append(f"{comp}: expected no outputs")
     return errors
+
+
+def run_config_streaming(
+    spark: SparkSession,
+    config: str | dict,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    source_streams: dict[str, DataFrame] | None = None,
+    trigger_once: bool = True,
+) -> dict[str, Any]:
+    """Streaming twin of run_config: `[sources.file]` entries become
+    readStream file sources (schema inferred from the existing data);
+    other source types must be supplied as streams (adapter pattern).
+    Sinks run under streaming/spec_runner.py's per-sink queries with
+    epoch-idempotent writes."""
+    from vector_spark.pipeline import PipelineContext
+    from vector_spark.streaming.spec_runner import run_pipeline_streaming
+
+    base_dir = None
+    if isinstance(config, str):
+        if "\n" not in config and os.path.exists(config):
+            base_dir = os.path.dirname(os.path.abspath(config))
+        cfg = load_config(config)
+    else:
+        cfg = config
+    spec = spec_from_config(cfg, base_dir=base_dir)
+    streams = dict(source_streams or {})
+    for name, comp in (cfg.get("sources") or {}).items():
+        if name in streams:
+            continue
+        if comp.get("type") != "file":
+            raise ValueError(
+                f"source {name}: type {comp.get('type')!r} has no "
+                "streaming reader here — pass it via source_streams"
+            )
+        include = comp.get("include")
+        if not include:
+            raise ValueError(f"source {name}: file needs `include`")
+        if str(include).endswith((".parquet", "/")) or os.path.isdir(
+            str(include)
+        ):
+            schema = spark.read.parquet(include).schema
+            streams[name] = (
+                spark.readStream.schema(schema).parquet(include)
+            )
+        else:
+            streams[name] = (
+                spark.readStream.format("text")
+                .load(include)
+                .withColumnRenamed("value", "line")
+            )
+    ctx = PipelineContext(spark)
+    if cfg.get("enrichment_tables"):
+        ctx.enrichment_rows = load_enrichment_tables(cfg, base_dir)
+    return run_pipeline_streaming(
+        ctx, spec, streams, out_dir,
+        checkpoint_dir=checkpoint_dir, trigger_once=trigger_once,
+    )

@@ -1,0 +1,324 @@
+"""Generic Structured-Streaming executor for pipeline specs — the
+streaming twin of pipeline.run_pipeline, so a reference-style config
+topology runs as a long-lived stream, not just a batch job.
+
+Stateless transforms (filter / remap / parse_* / route / sample /
+enrich) reuse the EXACT batch executors — a filter or a compiled VRL
+select is the same Catalyst plan over a streaming DataFrame. Stateful
+transforms swap in the applyInPandasWithState kernels
+(streaming/stateful.py): dedupe -> per-key LRU, throttle -> GCRA,
+reduce -> merge-strategy accumulator with expire timeout. Transforms
+whose batch form needs a global sort or unwatermarked aggregation
+(tag_cardinality_limit, counter-mode sample, log_to_metric) are
+rejected with a clear error instead of failing deep inside Spark.
+
+Sinks each get their own streaming query + checkpoint subdirectory:
+blackhole counts per epoch (idempotent against same-process retries),
+parquet/file sinks write epoch-partitioned with dynamic overwrite so
+a replayed micro-batch rewrites itself (exactly-once output, same
+contract as the flagship streaming runner).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark.pipeline import (
+    TRANSFORMS,
+    PipelineContext,
+    PipelineError,
+    _resolve_inputs,
+    compile_condition,
+    expand_macros,
+    validate_spec,
+)
+
+#: batch-only transform types (global sort / unwatermarked agg)
+BATCH_ONLY = {"tag_cardinality_limit", "log_to_metric"}
+
+
+def _st_dedupe(df: DataFrame, opts: dict, ctx) -> DataFrame:
+    from vector_spark.streaming.stateful import streaming_dedupe
+
+    match = opts.get("match")
+    if not match:
+        raise PipelineError(
+            "streaming dedupe needs explicit `match` fields (the "
+            "ignore-form needs the full column set, compute it in the "
+            "spec)"
+        )
+    return streaming_dedupe(
+        df,
+        match=list(match),
+        key=list(opts.get("key") or match),
+        capacity=opts.get("cache_size", 5000),
+    )
+
+
+def _st_throttle(df: DataFrame, opts: dict, ctx) -> DataFrame:
+    from vector_spark.streaming.stateful import streaming_throttle
+
+    key = list(opts.get("key") or [])
+    helper_cols = []
+    if not key:  # GCRA state is per group; no key -> one global group
+        df = df.withColumn("_throttle_key", F.lit(0))
+        key, helper_cols = ["_throttle_key"], ["_throttle_key"]
+    exclude_col = None
+    if "exclude" in opts:
+        df = df.withColumn(
+            "_throttle_exclude",
+            F.coalesce(
+                compile_condition(opts["exclude"], df.schema), F.lit(False)
+            ),
+        )
+        exclude_col = "_throttle_exclude"
+        helper_cols.append("_throttle_exclude")
+    out = streaming_throttle(
+        df,
+        threshold=opts["threshold"],
+        window_secs=opts.get("window_secs", 3600),
+        key=key,
+        ts_col=opts.get("ts_col", "ts"),
+        exclude_col=exclude_col,
+    )
+    return out.drop(*helper_cols)
+
+
+def _st_reduce(df: DataFrame, opts: dict, ctx) -> DataFrame:
+    from vector_spark.streaming.stateful import streaming_reduce
+
+    group_by = list(opts["group_by"])
+    ts_col = opts.get("ts_col", "ts")
+    strategies = dict(opts.get("merge_strategies") or {})
+    if not strategies:
+        # reference defaults (reduce/mod.rs:52-56): numbers sum,
+        # everything else keeps the first value
+        for f in df.schema.fields:
+            if f.name in group_by or f.name == ts_col or f.name.startswith("_"):
+                continue
+            tn = f.dataType.typeName()
+            strategies[f.name] = (
+                "sum"
+                if tn in ("long", "integer", "double", "float", "short")
+                else "discard"
+            )
+    helper_cols = []
+    ends_col = starts_col = None
+    if "ends_when" in opts:
+        df = df.withColumn(
+            "_ends",
+            F.coalesce(
+                compile_condition(opts["ends_when"], df.schema), F.lit(False)
+            ),
+        )
+        ends_col, helper_cols = "_ends", helper_cols + ["_ends"]
+    if "starts_when" in opts:
+        df = df.withColumn(
+            "_starts",
+            F.coalesce(
+                compile_condition(opts["starts_when"], df.schema),
+                F.lit(False),
+            ),
+        )
+        starts_col = "_starts"
+        helper_cols.append("_starts")
+    return streaming_reduce(
+        df,
+        key=group_by,
+        strategies=strategies,
+        ts_col=ts_col,
+        ends_col=ends_col,
+        starts_col=starts_col,
+        expire_after_ms=opts.get("expire_after_ms"),
+    )
+
+
+def _st_remap(df: DataFrame, opts: dict, ctx) -> DataFrame:
+    """remap on a stream: compile tier only. The interpreter fallback
+    infers its output schema by SAMPLING the input (driver collect),
+    which a streaming frame cannot do — surface that as a clear
+    config error instead of Spark's 'must be executed with
+    writeStream' deep failure."""
+    src = opts.get("source")
+    if src and not any(
+        k in opts for k in ("reroute_dropped", "drop_on_abort", "drop_on_error")
+    ):
+        from vector_spark.vrl_lang import VrlCompileError, compile_vrl
+
+        try:
+            return compile_vrl(
+                df, src,
+                enrichment_rows=getattr(ctx, "enrichment_rows", None),
+            )
+        except VrlCompileError as e:
+            raise PipelineError(
+                f"streaming remap: program needs the interpreter tier "
+                f"({e}) — dynamic VRL is batch-only (the interpreter "
+                "infers schemas by sampling)"
+            ) from e
+    if src:
+        raise PipelineError(
+            "streaming remap: drop_on_*/reroute_dropped dispatch runs "
+            "on the interpreter tier, which is batch-only"
+        )
+    return TRANSFORMS["remap"](df, opts, ctx)  # assignments/drop form
+
+
+STREAMING_TRANSFORMS = {
+    "remap": _st_remap,
+    "dedupe": _st_dedupe,
+    "throttle": _st_throttle,
+    "reduce": _st_reduce,
+}
+
+
+def compile_pipeline_streaming(
+    ctx: PipelineContext,
+    spec: dict,
+    source_streams: dict[str, DataFrame],
+) -> dict[str, DataFrame | dict[str, DataFrame]]:
+    """compile_pipeline for streaming inputs: stateless executors
+    shared with batch, stateful ones swapped, fan-out caching off
+    (a streaming DataFrame cannot be .cache()d)."""
+    validate_spec(spec)
+    spec = expand_macros(spec)
+    sources = spec.get("sources") or {}
+    transforms = spec.get("transforms") or {}
+    missing = set(sources) - set(source_streams)
+    if missing:
+        raise PipelineError(f"no stream provided for sources: {sorted(missing)}")
+
+    outputs: dict[str, DataFrame | dict[str, DataFrame]] = dict(source_streams)
+    remaining = dict(transforms)
+    while remaining:
+        progressed = False
+        for name in list(remaining):
+            comp = remaining[name]
+            deps = {i.split(".", 1)[0] for i in comp.get("inputs", [])}
+            if not deps.issubset(outputs):
+                continue
+            t = comp["type"]
+            if t in BATCH_ONLY:
+                raise PipelineError(
+                    f"{name}: transform type {t!r} needs a global "
+                    "sort/aggregate — batch-only (run it downstream on "
+                    "the sink output)"
+                )
+            df = _resolve_inputs(comp["inputs"], outputs)
+            fn = STREAMING_TRANSFORMS.get(t) or TRANSFORMS[t]
+            opts = comp
+            if comp.get("reroute_dropped"):
+                opts = {**comp, "_component_name": name}
+            outputs[name] = fn(df, opts, ctx)
+            del remaining[name]
+            progressed = True
+        if not progressed:  # pragma: no cover — validate_spec catches cycles
+            raise PipelineError(f"unresolvable components: {sorted(remaining)}")
+    return outputs
+
+
+def run_pipeline_streaming(
+    ctx: PipelineContext,
+    spec: dict,
+    source_streams: dict[str, DataFrame],
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = True,
+) -> dict[str, Any]:
+    """Execute every sink as its own streaming query. Returns
+    {sink: result}: blackhole -> row count, parquet/file -> {'path',
+    'rows'}, memory -> collected rows (capped). With trigger_once
+    (availableNow) the call drains the sources and blocks."""
+    spec = expand_macros(spec)
+    outputs = compile_pipeline_streaming(ctx, spec, source_streams)
+    queries = []
+    results: dict[str, Any] = {}
+    counters: dict[str, dict] = {}
+
+    for name, comp in (spec.get("sinks") or {}).items():
+        df = _resolve_inputs(comp["inputs"], outputs)
+        only = comp.get("only_fields")
+        if only:
+            df = df.select(*only)
+        for drop_f in comp.get("except_fields") or []:
+            df = df.drop(drop_f)
+        kind = comp.get("type", "memory")
+        state: dict = {"rows": 0, "collected": [], "epochs": set()}
+        counters[name] = state
+
+        if kind == "blackhole":
+            def make_bh(st):
+                def fb(batch_df: DataFrame, epoch_id: int) -> None:
+                    if epoch_id in st["epochs"]:
+                        return
+                    st["epochs"].add(epoch_id)
+                    st["rows"] += batch_df.count()
+                return fb
+            writer = df.writeStream.foreachBatch(make_bh(state))
+        elif kind in ("parquet", "file"):
+            path = comp.get("path") or os.path.join(out_dir, name)
+            state["path"] = path
+
+            def make_pq(st, path=None):
+                path = path or st["path"]
+
+                def fb(batch_df: DataFrame, epoch_id: int) -> None:
+                    if epoch_id in st["epochs"]:
+                        return
+                    st["epochs"].add(epoch_id)
+                    st["rows"] += batch_df.count()
+                    (
+                        batch_df.withColumn("_epoch", F.lit(epoch_id))
+                        .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("_epoch")
+                        .parquet(path)
+                    )
+                return fb
+            writer = df.writeStream.foreachBatch(make_pq(state))
+        elif kind == "memory":
+            limit = comp.get("limit", 1000)
+
+            def make_mem(st, limit=limit):
+                def fb(batch_df: DataFrame, epoch_id: int) -> None:
+                    if epoch_id in st["epochs"]:
+                        return
+                    st["epochs"].add(epoch_id)
+                    room = limit - len(st["collected"])
+                    if room > 0:
+                        st["collected"].extend(
+                            r.asDict() for r in batch_df.limit(room).collect()
+                        )
+                    st["rows"] += batch_df.count()
+                return fb
+            writer = df.writeStream.foreachBatch(make_mem(state))
+        else:
+            raise PipelineError(f"sink {name}: unsupported streaming type {kind!r}")
+
+        writer = writer.outputMode("append")
+        if checkpoint_dir:
+            writer = writer.option(
+                "checkpointLocation", os.path.join(checkpoint_dir, name)
+            )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        queries.append((name, comp, writer.start()))
+
+    for name, comp, q in queries:
+        if trigger_once:
+            q.awaitTermination()
+        kind = comp.get("type", "memory")
+        st = counters[name]
+        if kind == "blackhole":
+            results[name] = st["rows"]
+        elif kind in ("parquet", "file"):
+            results[name] = {"path": st["path"], "rows": st["rows"]}
+        else:
+            results[name] = st["collected"]
+    if not trigger_once:
+        results["_queries"] = [q for _n, _c, q in queries]
+    return results
