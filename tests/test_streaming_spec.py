@@ -219,3 +219,66 @@ def test_run_config_streaming_end_to_end(spark, stream_dir, tmp_path):
     )
     assert streamed["users"] == batch["users"] > 0
     assert streamed["rest"] == batch["rest"] > 0
+
+
+def test_streaming_counter_sample(spark, tmp_path):
+    """Counter-mode sample as a stream: every rate-th non-excluded
+    event kept in arrival order; excluded events bypass without
+    consuming the counter and carry NULL sample_rate."""
+    src_path = str(tmp_path / "in")
+    rows = [(i, "keepall" if i % 10 == 3 else "normal") for i in range(40)]
+    spark.createDataFrame(rows, "seq long, klass string") \
+        .coalesce(1).write.parquet(src_path)
+    spec = {
+        "sources": {"in": {"type": "file"}},
+        "transforms": {
+            "sampled": {
+                "type": "sample",
+                "inputs": ["in"],
+                "rate": 5,
+                "order_by": "seq",
+                "exclude": {"type": "vrl", "source": '.klass == "keepall"'},
+            },
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["sampled"], "limit": 100}},
+    }
+    stream = (
+        spark.readStream.schema("seq long, klass string")
+        .parquet(src_path)
+    )
+    got = run_pipeline_streaming(
+        PipelineContext(spark), spec, {"in": stream},
+        out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ck"),
+    )
+    out = sorted(got["out"], key=lambda r: r["seq"])
+    excluded = [r for r in out if r["klass"] == "keepall"]
+    sampled = [r for r in out if r["klass"] == "normal"]
+    assert len(excluded) == 4  # every excluded row passes through
+    assert all(r["sample_rate"] is None for r in excluded)
+    # 36 normal rows at rate 5 -> ranks 0,5,...,35 kept = 8 rows
+    assert len(sampled) == 8
+    assert all(r["sample_rate"] == 5 for r in sampled)
+
+
+def test_streaming_log_to_metric_per_event(spark, stream_dir, tmp_path):
+    """log_to_metric on a stream emits the literal reference shape:
+    one incremental metric row per matching log event."""
+    spec = {
+        "sources": {"in": {"type": "file"}},
+        "transforms": {
+            "metrics": {
+                "type": "log_to_metric",
+                "inputs": ["in"],
+                "metrics": [
+                    {"kind": "counter", "name": "turns_total"},
+                ],
+                "tags": ["role"],
+            },
+        },
+        "sinks": {"out": {"type": "blackhole", "inputs": ["metrics"]}},
+    }
+    got = run_pipeline_streaming(
+        PipelineContext(spark), spec, {"in": _stream(spark, stream_dir)},
+        out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ck"),
+    )
+    assert got["out"] == spark.read.parquet(stream_dir).count()

@@ -38,7 +38,7 @@ from vector_spark.pipeline import (
 )
 
 #: batch-only transform types (global sort / unwatermarked agg)
-BATCH_ONLY = {"tag_cardinality_limit", "log_to_metric"}
+BATCH_ONLY = {"tag_cardinality_limit"}
 
 
 def _st_dedupe(df: DataFrame, opts: dict, ctx) -> DataFrame:
@@ -168,11 +168,62 @@ def _st_remap(df: DataFrame, opts: dict, ctx) -> DataFrame:
     return TRANSFORMS["remap"](df, opts, ctx)  # assignments/drop form
 
 
+def _st_sample(df: DataFrame, opts: dict, ctx) -> DataFrame:
+    """keyed-hash sample is stateless (the batch executor works on a
+    stream); counter mode (the reference default, no key) runs the
+    per-group counter state kernel."""
+    if opts.get("key") or "hash_expr" in opts:
+        return TRANSFORMS["sample"](df, opts, ctx)
+    from vector_spark.streaming.stateful import streaming_sample
+
+    helper = []
+    df = df.withColumn("_sample_key", F.lit(0))
+    helper.append("_sample_key")
+    exclude_col = None
+    if "exclude" in opts:
+        df = df.withColumn(
+            "_sample_exclude",
+            F.coalesce(
+                compile_condition(opts["exclude"], df.schema), F.lit(False)
+            ),
+        )
+        exclude_col = "_sample_exclude"
+        helper.append("_sample_exclude")
+    out = streaming_sample(
+        df, rate=opts["rate"], key=["_sample_key"], exclude_col=exclude_col,
+        order_by=opts.get("order_by"),
+    )
+    return out.drop(*helper)
+
+
+def _st_log_to_metric(df: DataFrame, opts: dict, ctx) -> DataFrame:
+    """Per-event metric rows (the literal reference shape —
+    log_to_metric.rs emits one incremental metric per log event;
+    aggregation is a downstream transform). The batch executor's
+    single-shuffle windowed groupBy is a batch-only optimization."""
+    from vector_spark.operators.log_to_metric import MetricSpec, explode_metrics
+
+    specs = [
+        MetricSpec(
+            kind=s["kind"], name=s["name"], field_=s.get("field"),
+            condition=compile_condition(s["condition"], df.schema)
+            if "condition" in s else None,
+        )
+        for s in opts["metrics"]
+    ]
+    return explode_metrics(
+        df, specs=specs, tags=opts.get("tags", []),
+        ts_col=opts.get("ts_col", "ts"),
+    )
+
+
 STREAMING_TRANSFORMS = {
     "remap": _st_remap,
     "dedupe": _st_dedupe,
     "throttle": _st_throttle,
     "reduce": _st_reduce,
+    "sample": _st_sample,
+    "log_to_metric": _st_log_to_metric,
 }
 
 

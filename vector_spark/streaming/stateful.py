@@ -361,3 +361,62 @@ def streaming_reduce(
     return df.groupBy(*key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout
     )
+
+
+# ---------------------------------------------------------------------------
+# sample: counter mode per key
+# ---------------------------------------------------------------------------
+
+
+def streaming_sample(
+    df: DataFrame,
+    rate: int,
+    key: list[str],
+    exclude_col: str | None = None,
+    order_by: str | None = None,
+    rate_col: str = "sample_rate",
+) -> DataFrame:
+    """Streaming counter-mode sample (sample.rs:130-166): keep every
+    rate-th event per key group by arrival order (the 1st,
+    (rate+1)-th, ...). Rows where `exclude_col` is true bypass the
+    sampler WITHOUT consuming the counter (sample.rs returns before
+    the increment) and carry a NULL sample_rate — the same contract
+    as the batch sample_counter. State = one counter per key."""
+    import pandas as _pd
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(rate_col, T.IntegerType())]
+    )
+    state_schema = T.StructType([T.StructField("count", T.LongType(), True)])
+
+    def fn(key_, pdfs, state: GroupState):
+        count = int(state.get[0]) if state.exists else 0
+        for pdf in pdfs:
+            if order_by:
+                pdf = pdf.sort_values(order_by)
+            if exclude_col is not None:
+                excl = pdf[exclude_col].fillna(False).astype(bool)
+            else:
+                excl = _pd.Series(False, index=pdf.index)
+            keep = []
+            rates = []
+            for is_ex in excl:
+                if is_ex:
+                    keep.append(True)
+                    rates.append(None)
+                else:
+                    keep.append(count % rate == 0)
+                    rates.append(rate)
+                    count += 1
+            out = pdf[_pd.Series(keep, index=pdf.index)].copy()
+            out[rate_col] = [
+                r for k, r in zip(keep, rates) if k
+            ]
+            out[rate_col] = out[rate_col].astype("Int32")
+            if len(out):
+                yield out
+        state.update((count,))
+
+    return df.groupBy(*key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
