@@ -156,23 +156,37 @@ def test_streaming_reduce_ends_when(spark, tmp_path):
     assert rows["c1"]["latency"] == 30.0 and rows["c1"]["n"] == 2
 
 
-def test_streaming_rejects_batch_only(spark, stream_dir, tmp_path):
+def test_streaming_tag_cardinality(spark, tmp_path):
+    """tag_cardinality_limit as a stream — the reference's literal
+    first-N-distinct HashSet semantics, stateful across micro-batches:
+    the first 2 distinct roles pass, later values lose the tag."""
+    src_path = str(tmp_path / "in")
+    rows = [(i, ["alpha", "beta", "gamma", "delta"][min(i // 3, 3)])
+            for i in range(12)]
+    spark.createDataFrame(rows, "seq long, role string") \
+        .coalesce(1).write.parquet(src_path)
     spec = {
         "sources": {"in": {"type": "file"}},
         "transforms": {
-            "topk": {
+            "capped": {
                 "type": "tag_cardinality_limit",
                 "inputs": ["in"],
                 "tag": "role",
                 "value_limit": 2,
+                "order_by": "seq",
             },
         },
-        "sinks": {"out": {"type": "blackhole", "inputs": ["topk"]}},
+        "sinks": {"out": {"type": "memory", "inputs": ["capped"], "limit": 100}},
     }
-    with pytest.raises(PipelineError, match="batch-only"):
-        compile_pipeline_streaming(
-            PipelineContext(spark), spec, {"in": _stream(spark, stream_dir)}
-        )
+    stream = spark.readStream.schema("seq long, role string").parquet(src_path)
+    got = run_pipeline_streaming(
+        PipelineContext(spark), spec, {"in": stream},
+        out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ck"),
+    )
+    out = sorted(got["out"], key=lambda r: r["seq"])
+    assert len(out) == 12  # drop_tag keeps every event
+    assert [r["role"] for r in out[:6]] == ["alpha"] * 3 + ["beta"] * 3
+    assert all(r["role"] is None for r in out[6:])  # over the limit
 
 
 def test_run_config_streaming_end_to_end(spark, stream_dir, tmp_path):

@@ -37,8 +37,9 @@ from vector_spark.pipeline import (
     validate_spec,
 )
 
-#: batch-only transform types (global sort / unwatermarked agg)
-BATCH_ONLY = {"tag_cardinality_limit"}
+#: batch-only transform types (none left — every implemented
+#: transform has a streaming form; kept for future additions)
+BATCH_ONLY: set[str] = set()
 
 
 def _st_dedupe(df: DataFrame, opts: dict, ctx) -> DataFrame:
@@ -217,6 +218,18 @@ def _st_log_to_metric(df: DataFrame, opts: dict, ctx) -> DataFrame:
     )
 
 
+def _st_tag_cardinality(df: DataFrame, opts: dict, ctx) -> DataFrame:
+    from vector_spark.streaming.stateful import streaming_tag_cardinality
+
+    return streaming_tag_cardinality(
+        df,
+        tag_col=opts["tag"],
+        value_limit=opts["value_limit"],
+        mode=opts.get("mode", "drop_tag"),
+        order_by=opts.get("order_by"),
+    )
+
+
 STREAMING_TRANSFORMS = {
     "remap": _st_remap,
     "dedupe": _st_dedupe,
@@ -224,6 +237,7 @@ STREAMING_TRANSFORMS = {
     "reduce": _st_reduce,
     "sample": _st_sample,
     "log_to_metric": _st_log_to_metric,
+    "tag_cardinality_limit": _st_tag_cardinality,
 }
 
 

@@ -29,6 +29,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -420,3 +421,75 @@ def streaming_sample(
     return df.groupBy(*key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# tag_cardinality_limit: first-N distinct values per tag, stateful
+# ---------------------------------------------------------------------------
+
+
+def streaming_tag_cardinality(
+    df: DataFrame,
+    tag_col: str,
+    value_limit: int,
+    mode: str = "drop_tag",
+    order_by: str | None = None,
+) -> DataFrame:
+    """Streaming tag_cardinality_limit — the reference's literal
+    semantics (tag_cardinality_limit.rs:163-230): a per-tag HashSet of
+    accepted values; the first `value_limit` distinct values ever seen
+    pass, later values drop the tag or the event. State = the accepted
+    set (bounded by value_limit, by construction). Events with a NULL
+    tag pass untouched (absent tags don't count against the limit)."""
+    import pandas as _pd
+
+    if mode not in ("drop_tag", "drop_event"):
+        raise ValueError(f"unknown mode {mode}")
+    df = df.withColumn("_tcl_key", F.lit(0))
+    out_schema = df.schema
+    state_schema = T.StructType(
+        [T.StructField("accepted", T.ArrayType(T.StringType()), True)]
+    )
+
+    def fn(key_, pdfs, state: GroupState):
+        accepted = list(state.get[0]) if state.exists else []
+        seen = set(accepted)
+        for pdf in pdfs:
+            if order_by:
+                pdf = pdf.sort_values(order_by)
+            keep = []
+            new_vals = []
+            for v in pdf[tag_col]:
+                if v is None or (isinstance(v, float) and v != v):
+                    keep.append("pass")
+                    new_vals.append(v)
+                    continue
+                v = str(v)
+                if v in seen:
+                    keep.append("pass")
+                    new_vals.append(v)
+                elif len(seen) < value_limit:
+                    seen.add(v)
+                    accepted.append(v)
+                    keep.append("pass")
+                    new_vals.append(v)
+                else:
+                    keep.append("over")
+                    new_vals.append(None)
+            pdf = pdf.copy()
+            if mode == "drop_tag":
+                pdf[tag_col] = new_vals
+                out = pdf
+            else:
+                mask = _pd.Series(
+                    [k == "pass" for k in keep], index=pdf.index
+                )
+                out = pdf[mask]
+            if len(out):
+                yield out
+        state.update((accepted,))
+
+    out = df.groupBy("_tcl_key").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return out.drop("_tcl_key")
