@@ -296,3 +296,59 @@ def test_streaming_log_to_metric_per_event(spark, stream_dir, tmp_path):
         out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ck"),
     )
     assert got["out"] == spark.read.parquet(stream_dir).count()
+
+
+def test_streaming_aggregate_watermark(spark, tmp_path):
+    """aggregate as a spec type, batch and stream: Incremental sums,
+    Absolute last-wins; the stream finalizes windows via watermark (a
+    straggler event advances the watermark past the asserted
+    window)."""
+    src_path = str(tmp_path / "in")
+    base = 1_700_000_000
+    rows = [
+        # one incremental series and one absolute series in window 0
+        ("hits", "incremental", 1.0, base + 10, 1),
+        ("hits", "incremental", 2.0, base + 20, 2),
+        ("temp", "absolute", 20.0, base + 30, 3),
+        ("temp", "absolute", 21.5, base + 40, 4),
+        # straggler an hour later: pushes the watermark past window 0
+        ("hits", "incremental", 1.0, base + 7200, 5),
+    ]
+    spark.createDataFrame(
+        rows, "name string, metric_kind string, value double, epoch long, _order long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("epoch"))).drop("epoch") \
+        .coalesce(1).write.parquet(src_path)
+    spec = {
+        "sources": {"in": {"type": "file"}},
+        "transforms": {
+            "agg": {
+                "type": "aggregate",
+                "inputs": ["in"],
+                "group_by": ["name"],
+                "interval": "1 hour",
+                "watermark": "1 minute",
+            },
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["agg"], "limit": 100}},
+    }
+    schema = spark.read.parquet(src_path).schema
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    got = run_pipeline_streaming(
+        PipelineContext(spark), spec, {"in": stream},
+        out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ck"),
+    )
+    emitted = {r["name"]: r for r in got["out"]}
+    assert emitted["hits"]["value"] == 3.0  # incremental adds
+    assert emitted["temp"]["value"] == 21.5  # absolute last-wins
+    # batch twin over the same spec agrees on the finalized window
+    batch = run_pipeline(
+        PipelineContext(spark),
+        {**spec, "sinks": {"out": {"type": "memory", "inputs": ["agg"]}}},
+        {"in": spark.read.parquet(src_path)},
+    )
+    w0 = {
+        r["name"]: r
+        for r in batch["out"].collect()
+        if r["w"]["start"].timestamp() <= base + 10 < r["w"]["end"].timestamp()
+    }
+    assert w0["hits"]["value"] == 3.0 and w0["temp"]["value"] == 21.5

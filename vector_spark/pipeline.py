@@ -298,6 +298,29 @@ def _t_tag_cardinality(df, opts, ctx):
                                  mode=opts.get("mode", "drop_tag"))
 
 
+def _t_aggregate(df, opts, ctx):
+    """aggregate (src/transforms/aggregate.rs): merge a metric stream
+    over flush intervals — Incremental values add, Absolute values
+    last-write-wins (lib/vector-core metric/data.rs:81-131). The
+    reference flushes on a processing-time tick (`interval_ms`); the
+    rebuild's flush boundary is the event-time window."""
+    from vector_spark.operators.aggregate import merge_metric_stream
+
+    if "interval_ms" in opts:
+        interval = f"{int(opts['interval_ms'])} milliseconds"
+    else:
+        interval = opts.get("interval", "1 hour")
+    return merge_metric_stream(
+        df,
+        keys=list(opts.get("group_by") or []),
+        interval=interval,
+        ts_col=opts.get("ts_col", "ts"),
+        metric_kind_col=opts.get("metric_kind_col", "metric_kind"),
+        value_col=opts.get("value_col", "value"),
+        order_col=opts.get("order_col", "_order"),
+    )
+
+
 def _t_enrich(df, opts, ctx):
     table = ctx.enrichment_tables[opts["table"]]
     return table.lookup(df, how=opts.get("how", "left"))
@@ -316,6 +339,7 @@ TRANSFORMS: dict[str, Callable] = {
     "log_to_metric": _t_log_to_metric,
     "tag_cardinality_limit": _t_tag_cardinality,
     "enrich": _t_enrich,
+    "aggregate": _t_aggregate,
 }
 
 

@@ -218,6 +218,19 @@ def _st_log_to_metric(df: DataFrame, opts: dict, ctx) -> DataFrame:
     )
 
 
+def _st_aggregate(df: DataFrame, opts: dict, ctx) -> DataFrame:
+    """aggregate on a stream: the batch executor's windowed merge plus
+    an event-time watermark so Spark can finalize windows in append
+    mode — the event-time upgrade of aggregate.rs's processing-time
+    flush ticks (late rows beyond the watermark drop
+    deterministically)."""
+    ts_col = opts.get("ts_col", "ts")
+    watermark = opts.get("watermark", "10 minutes")
+    return TRANSFORMS["aggregate"](
+        df.withWatermark(ts_col, watermark), opts, ctx
+    )
+
+
 def _st_tag_cardinality(df: DataFrame, opts: dict, ctx) -> DataFrame:
     from vector_spark.streaming.stateful import streaming_tag_cardinality
 
@@ -238,6 +251,7 @@ STREAMING_TRANSFORMS = {
     "sample": _st_sample,
     "log_to_metric": _st_log_to_metric,
     "tag_cardinality_limit": _st_tag_cardinality,
+    "aggregate": _st_aggregate,
 }
 
 
