@@ -228,3 +228,55 @@ def test_file_sink_codecs(spark, tmp_path):
     rows = {r["host"]: r for r in dec.collect()}
     assert rows["h2"]["message"] == "bye"
     assert rows["h2"]["_decode_error"] is False
+
+
+def test_spec_metric_to_log_and_script(spark):
+    """spec types metric_to_log (reference variant-nested message) and
+    script (the Python lua escape hatch, callable injected by library
+    callers)."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.pipeline import PipelineContext, run_pipeline
+
+    metrics = spark.createDataFrame(
+        [("hits", "counter", 2.0, {"h": "w1"})],
+        "name string, kind string, value double, tags map<string,string>",
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1700000000)))
+
+    def double_value(batch):
+        batch = batch.copy()
+        batch["value"] = batch["value"] * 2
+        return batch
+
+    spec = {
+        "sources": {"in": {"type": "memory"}},
+        "transforms": {
+            "boosted": {"type": "script", "inputs": ["in"],
+                        "process": double_value},
+            "logs": {"type": "metric_to_log", "inputs": ["boosted"]},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["logs"]}},
+    }
+    out = run_pipeline(PipelineContext(spark), spec, {"in": metrics})
+    rows = out["out"].collect()
+    assert len(rows) == 1
+    import json
+
+    msg = json.loads(rows[0]["message"])
+    assert msg["name"] == "hits"
+    assert msg["counter"]["value"] == 4.0  # script ran before the log
+
+
+def test_spec_script_requires_callable(spark):
+    import pytest
+
+    from vector_spark.pipeline import PipelineContext, PipelineError, run_pipeline
+
+    df = spark.createDataFrame([(1,)], "x long")
+    spec = {
+        "sources": {"in": {"type": "memory"}},
+        "transforms": {"s": {"type": "script", "inputs": ["in"]}},
+        "sinks": {"out": {"type": "memory", "inputs": ["s"]}},
+    }
+    with pytest.raises(PipelineError, match="callable"):
+        run_pipeline(PipelineContext(spark), spec, {"in": df})

@@ -321,6 +321,41 @@ def _t_aggregate(df, opts, ctx):
     )
 
 
+def _t_metric_to_log(df, opts, ctx):
+    """metric_to_log (src/transforms/metric_to_log.rs): metric rows ->
+    log rows with the reference's variant-nested JSON message.
+    Stateless — works identically batch and streaming."""
+    from vector_spark.operators.metric_to_log import metric_to_log
+
+    return metric_to_log(
+        df,
+        name_col=opts.get("name_col", "name"),
+        kind_col=opts.get("kind_col", "kind"),
+        value_col=opts.get("value_col", "value"),
+        tags_col=opts.get("tags_col", "tags"),
+        ts_col=opts.get("ts_col", "ts"),
+        host_tag=opts.get("host_tag"),
+    )
+
+
+def _t_script(df, opts, ctx):
+    """lua escape hatch (src/transforms/lua/): the rebuild's script
+    language is Python — `process` is a callable injected via the
+    spec (configs can't carry code; library callers pass it)."""
+    from vector_spark.operators.script import scripted_transform
+
+    fn = opts.get("process")
+    if not callable(fn):
+        raise PipelineError(
+            "script transform needs a callable `process` in the spec "
+            "(the Python escape hatch replaces lua; TOML configs "
+            "cannot carry code)"
+        )
+    return scripted_transform(
+        df, fn, schema=opts.get("schema"), init=opts.get("init")
+    )
+
+
 def _t_enrich(df, opts, ctx):
     table = ctx.enrichment_tables[opts["table"]]
     return table.lookup(df, how=opts.get("how", "left"))
@@ -340,6 +375,8 @@ TRANSFORMS: dict[str, Callable] = {
     "tag_cardinality_limit": _t_tag_cardinality,
     "enrich": _t_enrich,
     "aggregate": _t_aggregate,
+    "metric_to_log": _t_metric_to_log,
+    "script": _t_script,
 }
 
 
