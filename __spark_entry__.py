@@ -449,6 +449,34 @@ def q_docs_decontam(spark, sf_dir):
     return decontaminate(corpus, bench, n=4)
 
 
+def q_docs_stratified_split(spark, sf_dir):
+    """Corpus mixing (dataops/mixing.py): stratified per-language
+    sampling (en 50%, zh 30%, rest 100%) + deterministic train/val/
+    test assignment, all md5-bucket arithmetic — both engines decide
+    membership identically, zero shuffle."""
+    from vector_spark.dataops.mixing import assign_split, stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    kept = stratified_sample(docs, "lang", {"en": 50, "zh": 30})
+    return assign_split(kept).select("doc_id", "lang", "split")
+
+
+def q_docs_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality score (the CCNet perplexity-filter shape,
+    dataops/mixing.py): mean ln p(token) under the corpus unigram
+    model. The vocabulary rides a broadcast literal map and the
+    per-doc sum runs left-to-right in one aggregate() — deterministic
+    float order, so the oracle matches bit-for-bit."""
+    from vector_spark.dataops.mixing import unigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return unigram_logprob(docs)
+
+
 def q_ann_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
@@ -1360,6 +1388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_gopher_quality": q_docs_gopher_quality,
         "docs_decontam": q_docs_decontam,
+        "docs_stratified_split": q_docs_stratified_split,
+        "docs_unigram_logprob": q_docs_unigram_logprob,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "sketch_merge": q_sketch_merge,
@@ -2271,6 +2301,39 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
         "SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, level, "
         "CAST(latency_ms AS DOUBLE) AS latency_ms FROM parsed"
     )
+
+    _SAMPLE_PCT = "(('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 100)"
+    _SPLIT_PCT = "(('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100)"
+    o["docs_stratified_split"] = f"""
+SELECT doc_id, lang,
+  CASE WHEN {_SPLIT_PCT} < 5 THEN 'val'
+       WHEN {_SPLIT_PCT} < 10 THEN 'test'
+       ELSE 'train' END AS split
+FROM documents
+WHERE {_SAMPLE_PCT} <
+  CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 30 ELSE 100 END
+"""
+
+    o["docs_unigram_logprob"] = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+vocab AS (
+  SELECT token, CAST(count(*) AS DOUBLE) AS cnt
+  FROM (SELECT unnest(toks) AS token FROM t) GROUP BY 1
+),
+tot AS (SELECT sum(cnt) AS total FROM vocab),
+vm AS (
+  SELECT map(list(token ORDER BY token), list(cnt ORDER BY token)) AS m
+  FROM vocab
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+  round(
+    list_reduce(
+      list_prepend(0.0, list_transform(toks,
+        tk -> ln(coalesce(map_extract(m, tk)[1], 1.0) / total))),
+      (a, b) -> a + b
+    ) / greatest(len(toks), 1), 6) AS avg_logprob
+FROM t CROSS JOIN vm CROSS JOIN tot
+"""
 
     o["docs_pii_scrub"] = _pii_oracle()
 

@@ -125,3 +125,68 @@ def test_decontam_benchmark_broadcast(spark):
     plan = decontaminate(corpus, bench, n=4)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# corpus mixing (dataops/mixing.py)
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_rates_and_stability(spark):
+    from vector_spark.dataops.mixing import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    kept = stratified_sample(docs, "lang", {"en": 30})
+    by_lang = {r["lang"]: r["n"] for r in
+               kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["fr"] == 1000          # default rate keeps all
+    assert 230 <= by_lang["en"] <= 370    # ~30% of 1000, hash-binomial
+    # deterministic: the same call keeps the same documents
+    ids1 = {r["doc_id"] for r in kept.collect()}
+    ids2 = {r["doc_id"] for r in
+            stratified_sample(docs, "lang", {"en": 30}).collect()}
+    assert ids1 == ids2
+
+
+def test_assign_split_stable_under_growth(spark):
+    from vector_spark.dataops.mixing import assign_split
+
+    small = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long")
+    big = spark.createDataFrame(
+        [(i,) for i in range(1000)], "doc_id long")
+    s_small = {r["doc_id"]: r["split"] for r in assign_split(small).collect()}
+    s_big = {r["doc_id"]: r["split"] for r in assign_split(big).collect()}
+    # membership depends only on the id: growing the corpus never
+    # migrates an existing document between splits
+    assert all(s_big[i] == s_small[i] for i in s_small)
+    frac_val = sum(1 for v in s_big.values() if v == "val") / 1000
+    assert 0.02 <= frac_val <= 0.09
+
+
+def test_unigram_logprob_map_vs_join(spark):
+    """The literal-map (oracle-exact) and broadcast-join (100 TB)
+    forms agree at the rounded precision, and rare tokens score
+    lower."""
+    from vector_spark.dataops.mixing import (
+        build_vocab,
+        unigram_logprob,
+        unigram_logprob_join,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "common common common common"),
+         (2, "common common rare common"),
+         (3, "rare unique common words here")],
+        "doc_id long, text string",
+    )
+    lit = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    join = {r["doc_id"]: r for r in
+            unigram_logprob_join(docs, build_vocab(docs)).collect()}
+    for i in (1, 2, 3):
+        assert abs(lit[i]["avg_logprob"] - join[i]["avg_logprob"]) < 1e-5
+        assert lit[i]["n_tokens"] == join[i]["n_tokens"]
+    assert lit[1]["avg_logprob"] > lit[2]["avg_logprob"] > lit[3]["avg_logprob"]
