@@ -71,8 +71,13 @@ HEADLINE = [
     "docs_pii_scrub",
     "docs_gopher_quality",
     "docs_decontam",
+    "docs_stratified_split",
+    "docs_unigram_logprob",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    # round 3: codec round trips under the gate
+    "native_proto_roundtrip",
+    "avro_roundtrip",
 ]
 
 
