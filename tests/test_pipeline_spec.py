@@ -280,3 +280,65 @@ def test_spec_script_requires_callable(spark):
     }
     with pytest.raises(PipelineError, match="callable"):
         run_pipeline(PipelineContext(spark), spec, {"in": df})
+
+
+def test_spec_geoip_and_metadata(spark):
+    """spec types geoip (IP-prefix broadcast enrich off a registered
+    enrichment table) and aws_ec2_metadata (literal-stamped facts)."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.pipeline import PipelineContext, run_pipeline
+
+    events = spark.createDataFrame(
+        [(1, "10.1.9.9"), (2, "10.2.3.4"), (3, "192.168.0.1")],
+        "event_id long, host string",
+    )
+    dim = spark.createDataFrame(
+        [(10 * 2**24 + 1 * 2**16, "us-east"),
+         (10 * 2**24 + 2 * 2**16, "eu-west")],
+        "prefix_int long, region string",
+    )
+
+    class _T:  # enrichment-table shim exposing .df
+        def __init__(self, df):
+            self.df = df
+
+    ctx = PipelineContext(spark)
+    ctx.enrichment_tables["geo"] = _T(dim)
+    spec = {
+        "sources": {"in": {"type": "memory"}},
+        "transforms": {
+            "located": {"type": "geoip", "inputs": ["in"],
+                        "database": "geo", "source": "host"},
+            "stamped": {"type": "aws_ec2_metadata", "inputs": ["located"],
+                        "metadata": {"az": "use1-a", "instance_id": "i-1"},
+                        "fields": ["az"]},
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["stamped"]}},
+    }
+    out = {r["event_id"]: r for r in
+           run_pipeline(ctx, spec, {"in": events})["out"].collect()}
+    # geoip dim columns join on the /16 prefix
+    assert out[1]["region"] == "us-east"
+    assert out[2]["region"] == "eu-west"
+    assert out[3]["region"] is None  # no matching prefix
+    # metadata stamps every row
+    assert all(r["az"] == "use1-a" for r in out.values())
+
+
+def test_sample_keyed_exclude_bypass(spark):
+    from pyspark.sql import functions as F
+
+    from vector_spark.operators.sample import sample
+
+    df = spark.createDataFrame(
+        [(i, "vip" if i % 10 == 0 else "norm") for i in range(100)],
+        "k long, klass string",
+    )
+    out = sample(df, rate=4, key="k",
+                 exclude=F.col("klass") == "vip").collect()
+    vips = [r for r in out if r["klass"] == "vip"]
+    norm = [r for r in out if r["klass"] == "norm"]
+    assert len(vips) == 10  # every excluded row forwarded
+    assert all(r["sample_rate"] is None for r in vips)
+    assert 0 < len(norm) < 90 and all(r["sample_rate"] == 4 for r in norm)

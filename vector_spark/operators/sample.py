@@ -26,11 +26,26 @@ def sample(
     key: str | Column,
     hash_expr: Column | None = None,
     rate_col: str = "sample_rate",
+    exclude: Column | None = None,
 ) -> DataFrame:
+    """Keyed deterministic sampling. `exclude` events bypass the
+    sampler entirely and forward with a NULL rate (sample.rs:130-141 —
+    the check runs before sampling in every mode; null-safe: a non-
+    true condition result means 'not excluded')."""
     key_col = F.col(key) if isinstance(key, str) else key
     h = hash_expr if hash_expr is not None else F.xxhash64(key_col)
-    return df.filter(F.pmod(h, F.lit(rate)) == 0).withColumn(
+    if exclude is not None:
+        exclude = F.coalesce(exclude, F.lit(False))
+        pool = df.filter(~exclude)
+    else:
+        pool = df
+    kept = pool.filter(F.pmod(h, F.lit(rate)) == 0).withColumn(
         rate_col, F.lit(rate)
+    )
+    if exclude is None:
+        return kept
+    return kept.unionByName(
+        df.filter(exclude).withColumn(rate_col, F.lit(None).cast("int"))
     )
 
 

@@ -199,7 +199,12 @@ def _t_route(df, opts, ctx):
 
 def _t_sample(df, opts, ctx):
     hash_expr = F.expr(opts["hash_expr"]) if "hash_expr" in opts else None
-    return sample(df, rate=opts["rate"], key=opts.get("key"), hash_expr=hash_expr)
+    exclude = (
+        compile_condition(opts["exclude"], df.schema)
+        if "exclude" in opts else None
+    )
+    return sample(df, rate=opts["rate"], key=opts.get("key"),
+                  hash_expr=hash_expr, exclude=exclude)
 
 
 def _t_dedupe(df, opts, ctx):
@@ -356,6 +361,33 @@ def _t_script(df, opts, ctx):
     )
 
 
+def _t_aws_ec2_metadata(df, opts, ctx):
+    """aws_ec2_metadata (src/transforms/aws_ec2_metadata.rs): stamp
+    driver-fetched instance facts as literal columns. No metadata
+    endpoint exists here, so the spec carries the dict (`metadata`);
+    `fields` selects which keys to stamp."""
+    from vector_spark.enrich import stamp_metadata
+
+    return stamp_metadata(
+        df, opts.get("metadata") or {}, fields=opts.get("fields")
+    )
+
+
+def _t_geoip(df, opts, ctx):
+    """geoip (src/transforms/geoip.rs): IP-prefix broadcast enrich.
+    The prefix dimension comes from a registered enrichment table
+    (`database` names it) — the mmdb file becomes a prefix dim."""
+    from vector_spark.enrich import ip_prefix_enrich
+
+    table = ctx.enrichment_tables[opts["database"]]
+    return ip_prefix_enrich(
+        df,
+        table.df if hasattr(table, "df") else table,
+        ip_col=opts.get("source", "host"),
+        prefix_len=opts.get("prefix_len", 16),
+    )
+
+
 def _t_enrich(df, opts, ctx):
     table = ctx.enrichment_tables[opts["table"]]
     return table.lookup(df, how=opts.get("how", "left"))
@@ -377,6 +409,8 @@ TRANSFORMS: dict[str, Callable] = {
     "aggregate": _t_aggregate,
     "metric_to_log": _t_metric_to_log,
     "script": _t_script,
+    "aws_ec2_metadata": _t_aws_ec2_metadata,
+    "geoip": _t_geoip,
 }
 
 
