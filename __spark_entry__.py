@@ -517,6 +517,48 @@ def q_ann_topk_ivf(spark, sf_dir):
     return ivf_topk(emb, queries_df, dim=64, k=10, n_cells=16, n_probe=4)
 
 
+def _emb_corpus(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    perturbed = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + 0.01).alias("embedding"),
+    )
+    return emb.unionByName(perturbed)
+
+
+def q_emb_kmeans(spark, sf_dir):
+    """Lloyd's k-means over embeddings (dataops/clustering.py), 2
+    exact iterations from deterministic splitmix seeds: centroid
+    updates sum members in id order (left-to-right float arithmetic),
+    so the DuckDB oracle replays every iteration bit-for-bit and the
+    final assignments hash-match."""
+    from vector_spark.dataops.clustering import kmeans_fit, kmeans_predict
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = kmeans_fit(emb, k=8, dim=64, n_iter=2, exact=True)
+    return kmeans_predict(emb, cents).select(
+        F.col("id").alias("vec_id"), "cell"
+    )
+
+
+def q_emb_semdedup(spark, sf_dir):
+    """SemDeDup: cluster first (k-means, 2 exact iterations), then
+    near-duplicate pairs (cosine >= 0.99) WITHIN clusters only — the
+    sub-quadratic semantic-dedup shape; perturbed twins guarantee
+    positives."""
+    from vector_spark.dataops.clustering import kmeans_fit, semdedup_pairs
+
+    corpus = _emb_corpus(spark, sf_dir)
+    cents = kmeans_fit(corpus, k=8, dim=64, n_iter=2, exact=True)
+    return semdedup_pairs(corpus, cents, threshold=0.99)
+
+
 def q_apache_parse(spark, sf_dir):
     """demo_logs apache_common generator -> parse_common_log
     (src/sources/demo_logs.rs + lib/vrl/stdlib/src/parse_common_log.rs).
@@ -1390,6 +1432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontam": q_docs_decontam,
         "docs_stratified_split": q_docs_stratified_split,
         "docs_unigram_logprob": q_docs_unigram_logprob,
+        "emb_kmeans": q_emb_kmeans,
+        "emb_semdedup": q_emb_semdedup,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "sketch_merge": q_sketch_merge,
@@ -2291,6 +2335,22 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
     o["ann_topk_lsh"] = _ann_lsh_oracle()
     o["ann_topk_ivf"] = _ann_ivf_oracle()
 
+    o["emb_kmeans"] = (
+        _kmeans_cte()
+        + "\nSELECT id AS vec_id, CAST(cell AS INT) AS cell FROM afinal"
+    )
+
+    _COS_PAIR = _COS_SQL.format(d=64, a="a.v", b="b.v")
+    o["emb_semdedup"] = (
+        _kmeans_cte(corpus_sql=_EMB_UNION_SQL)
+        + f"""
+SELECT a.cell AS cell, a.id AS id_a, b.id AS id_b,
+       round({_COS_PAIR}, 6) AS cosine
+FROM afinal a JOIN afinal b ON a.cell = b.cell AND a.id < b.id
+WHERE round({_COS_PAIR}, 6) >= 0.99
+"""
+    )
+
     # codec round trips: encode∘decode must be the identity, so the
     # oracle is the plain projection of the same parsed events
     o["native_proto_roundtrip"] = _with(
@@ -2602,6 +2662,67 @@ FROM (
 )
 WHERE rank <= {k}
 """
+
+
+_EMB_UNION_SQL = (
+    "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings "
+    "UNION ALL SELECT vec_id + 1000000, "
+    "list_transform(embedding::DOUBLE[], x -> x + 0.01) FROM embeddings"
+)
+
+
+def _kmeans_cte(
+    k: int = 8, dim: int = 64, n_iter: int = 2,
+    corpus_sql: str = "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings",
+) -> str:
+    """Unrolled Lloyd iterations as CTEs — the DuckDB twin of
+    clustering.kmeans_fit(exact=True): same splitmix seeds (injected
+    as exact-integer literals), same squared-distance left-to-right
+    sums, same id-ordered centroid updates, same ties-to-lowest-cell
+    rule; empty cells keep the previous centroid via the LEFT JOIN."""
+    cells = ",\n  ".join(_plane_row(c, c, c + 101, 7, dim) for c in range(k))
+    d2 = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim} + 1), "
+        "i -> (e.v[i] - c.p[i]) * (e.v[i] - c.p[i]))), (a, b) -> a + b)"
+    )
+    parts = [
+        f"emb AS ({corpus_sql})",
+        f"c0(cell, c2_, p) AS (VALUES\n  {cells}\n)",
+    ]
+    prev = "c0"
+    for it in range(n_iter):
+        parts.append(f"""
+a{it} AS (
+  SELECT id, v, cell FROM (
+    SELECT e.id, e.v, c.cell,
+      row_number() OVER (PARTITION BY e.id ORDER BY {d2}, c.cell) AS rn
+    FROM emb e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+u{it} AS (
+  SELECT cell,
+    list_transform(range(1, {dim} + 1), d ->
+      list_reduce(list_prepend(0.0, list_transform(vl, x -> x[d])),
+                  (a, b) -> a + b) / n) AS p
+  FROM (
+    SELECT cell, list(v ORDER BY id) AS vl, count(*) AS n
+    FROM a{it} GROUP BY cell
+  )
+),
+c{it + 1} AS (
+  SELECT c.cell, coalesce(u.p, c.p) AS p
+  FROM {prev} c LEFT JOIN u{it} u USING (cell)
+)""")
+        prev = f"c{it + 1}"
+    parts.append(f"""
+afinal AS (
+  SELECT id, v, cell FROM (
+    SELECT e.id, e.v, c.cell,
+      row_number() OVER (PARTITION BY e.id ORDER BY {d2}, c.cell) AS rn
+    FROM emb e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)""")
+    return "WITH " + ",".join(parts)
 
 
 def _pii_oracle() -> str:

@@ -190,3 +190,65 @@ def test_unigram_logprob_map_vs_join(spark):
         assert abs(lit[i]["avg_logprob"] - join[i]["avg_logprob"]) < 1e-5
         assert lit[i]["n_tokens"] == join[i]["n_tokens"]
     assert lit[1]["avg_logprob"] > lit[2]["avg_logprob"] > lit[3]["avg_logprob"]
+
+
+# ---------------------------------------------------------------------------
+# embedding clustering + SemDeDup (dataops/clustering.py)
+# ---------------------------------------------------------------------------
+
+
+def _blob_corpus(spark):
+    """Three well-separated 8-dim blobs, 30 points each,
+    deterministic offsets."""
+    rows = []
+    centers = [[5.0] * 8, [-5.0] * 8, [5.0] * 4 + [-5.0] * 4]
+    vid = 0
+    for c in centers:
+        for i in range(30):
+            vec = [x + ((vid * 7 + d * 3) % 5 - 2) * 0.1
+                   for d, x in enumerate(c)]
+            rows.append((vid, vec))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_separates_blobs(spark):
+    from vector_spark.dataops.clustering import kmeans_fit, kmeans_predict
+
+    df = _blob_corpus(spark)
+    cents = kmeans_fit(df, k=3, dim=8, n_iter=4, exact=True)
+    cells = {r["id"]: r["cell"] for r in kmeans_predict(df, cents).collect()}
+    # every blob lands in exactly one cluster, and the three differ
+    blobs = [
+        {cells[i] for i in range(b * 30, (b + 1) * 30)} for b in range(3)
+    ]
+    assert all(len(b) == 1 for b in blobs)
+    assert len({next(iter(b)) for b in blobs}) == 3
+
+
+def test_kmeans_exact_vs_mean_update(spark):
+    from vector_spark.dataops.clustering import kmeans_fit
+
+    df = _blob_corpus(spark)
+    exact = kmeans_fit(df, k=3, dim=8, n_iter=2, exact=True)
+    mean = kmeans_fit(df, k=3, dim=8, n_iter=2, exact=False)
+    for ce, cm in zip(exact, mean):
+        assert all(abs(a - b) < 1e-9 for a, b in zip(ce, cm))
+
+
+def test_semdedup_finds_twins_within_clusters(spark):
+    from pyspark.sql import functions as F
+
+    from vector_spark.dataops.clustering import kmeans_fit, semdedup_pairs
+
+    base = _blob_corpus(spark)
+    twins = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.0001).alias("embedding"),
+    )
+    corpus = base.unionByName(twins)
+    cents = kmeans_fit(corpus, k=3, dim=8, n_iter=4, exact=True)
+    pairs = semdedup_pairs(corpus, cents, threshold=0.999999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # every scaled twin pairs with its original (cosine 1.0)
+    assert all((i, i + 1000) in got for i in range(90))

@@ -1,0 +1,154 @@
+"""Embedding clustering for training-data curation: Lloyd's k-means
+over the embedding column plus SemDeDup-style within-cluster semantic
+pruning (cluster first, then look for near-duplicates ONLY inside a
+cluster — the sub-quadratic trick that makes semantic dedup feasible
+at corpus scale).
+
+Two centroid-update forms, same algorithm:
+
+* `kmeans_fit(..., exact=True)` — each cluster's members are sorted
+  by id and summed LEFT-TO-RIGHT inside one aggregate(); float
+  summation order is fully deterministic, so the DuckDB oracle
+  reproduces every iteration (and therefore every assignment)
+  bit-for-bit. Cluster updates collect per-cluster lists — right for
+  verification scale.
+* `exact=False` — plain groupBy avg per dimension: the 100 TB shape
+  (map-side partial aggregation, no per-cluster list), numerically
+  equal but with engine-dependent float summation order; the
+  throughput twin, equality-tested at fixed precision.
+
+Initial centroids are the deterministic splitmix vectors
+(similarity._hyperplane) — no RNG, both engines derive them from
+constants. k-means on the driver holds k x dim floats per iteration;
+everything per-row is JVM Column arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_spark.dataops.similarity import _hyperplane, cosine
+
+
+def initial_centroids(k: int, dim: int) -> list[list[float]]:
+    """Deterministic seeds (same constants as the IVF cells)."""
+    return [_hyperplane(dim, c + 101, 7) for c in range(k)]
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cell): nearest centroid by squared Euclidean distance,
+    ties to the lowest cell index — one zero-shuffle map stage."""
+    vec = F.col(vec_col)
+
+    def dist2(cv: list[float]) -> Column:
+        carr = F.array(*[F.lit(float(x)) for x in cv])
+        return F.aggregate(
+            F.zip_with(vec, carr, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dists = F.array(*[dist2(cv) for cv in centroids])
+    cell = F.array_position(dists, F.array_min(dists)) - 1
+    return df.select(
+        F.col(id_col).alias("id"), vec.alias("vec"), cell.cast("int").alias("cell")
+    )
+
+
+def _update_exact(assigned: DataFrame, dim: int) -> dict[int, list[float]]:
+    """Sorted left-to-right per-dimension sums — deterministic float
+    order, reproducible in SQL with list(... ORDER BY id)."""
+    rows = (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("id"), F.col("vec")))
+                    ),
+                    lambda s: s["vec"],
+                ),
+                F.array(*[F.lit(0.0)] * dim),
+                lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x),
+            ).alias("sums"),
+        )
+        .collect()
+    )
+    return {
+        r["cell"]: [s / r["n"] for s in r["sums"]] for r in rows
+    }
+
+
+def _update_mean(assigned: DataFrame, dim: int) -> dict[int, list[float]]:
+    """Plain per-dimension avg — the scale form (partial-aggregated
+    shuffle, no per-cluster collect)."""
+    aggs = [
+        F.avg(F.col("vec")[d]).alias(f"m{d}") for d in range(dim)
+    ]
+    rows = assigned.groupBy("cell").agg(*aggs).collect()
+    return {
+        r["cell"]: [r[f"m{d}"] for d in range(dim)] for r in rows
+    }
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+) -> list[list[float]]:
+    """Lloyd's iterations from the deterministic seeds; empty clusters
+    keep their previous centroid (the standard fix, both engines)."""
+    cents = initial_centroids(k, dim)
+    update = _update_exact if exact else _update_mean
+    for _ in range(n_iter):
+        assigned = assign_cells(df, cents, id_col, vec_col)
+        new = update(assigned, dim)
+        cents = [new.get(c, cents[c]) for c in range(k)]
+    return cents
+
+
+def kmeans_predict(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) final assignment."""
+    return assign_cells(df, centroids, id_col, vec_col).select("id", "cell")
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: near-duplicate pairs (cosine >= threshold) WITHIN a
+    cluster only — candidate generation cost is the sum of squared
+    cluster sizes, not n². Output (cell, id_a, id_b, cosine)."""
+    assigned = assign_cells(df, centroids, id_col, vec_col)
+    a = assigned.select(
+        "cell", F.col("id").alias("id_a"), F.col("vec").alias("va")
+    )
+    b = assigned.select(
+        "cell", F.col("id").alias("id_b"), F.col("vec").alias("vb")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("cell", "id_a", "id_b", "cosine")
+    )
