@@ -88,9 +88,17 @@ def test_docs_scan_prunes_columns(spark):
 
 
 def test_parse_scan_prunes_columns(spark):
-    # q_parse projects a fixed column set; `tool` is unused there and
-    # must not reach the transcripts scan
-    plan = _final_plan(_q(spark, "parse"))
+    # the parse projection uses a fixed column set; `tool` is unused
+    # and must not reach the transcripts scan. Bypass the process-
+    # level transcripts cache (an InMemoryRelation hides the file
+    # scan and materializes every column by design).
+    from vector_spark.functions import parse_transcripts
+    from vector_spark.transcripts import load_transcripts
+
+    df = parse_transcripts(
+        load_transcripts(spark, SF, cache=False)
+    ).select("conv_id", "turn_idx", "level", "latency_ms")
+    plan = _final_plan(df)
     scan = plan[plan.index("FileScan"):]
     head = scan[:scan.index("\n") if "\n" in scan else len(scan)]
     assert "ReadSchema" in head
