@@ -156,3 +156,33 @@ def test_reference_behavior_toml_verbatim(spark, suite, known):
             spark.conf.set("spark.sql.ansi.enabled", saved)
     failures = {k: v for k, v in results.items() if v and k not in known}
     assert results and not failures, failures
+
+
+def test_stdin_and_exec_sources(spark):
+    """stdin (config-carried lines + decoding codec) and exec
+    (scheduled command, reference metadata keys) as config sources."""
+    import textwrap
+
+    from vector_spark.config import run_config
+
+    toml = textwrap.dedent("""
+        [sources.logs]
+          type = "stdin"
+          lines = ['{"a": 1}', '{"a": 2}']
+        [sources.cmd]
+          type = "exec"
+          command = ["echo", "hello-from-exec"]
+        [sinks.l_out]
+          type = "memory"
+          inputs = ["logs"]
+        [sinks.c_out]
+          type = "memory"
+          inputs = ["cmd"]
+    """)
+    out = run_config(spark, toml)
+    lines = {r["line"] for r in out["l_out"].collect()}
+    assert lines == {'{"a": 1}', '{"a": 2}'}
+    cmd_rows = out["c_out"].collect()
+    assert len(cmd_rows) == 1
+    assert cmd_rows[0]["message"] == "hello-from-exec"
+    assert list(cmd_rows[0]["command"]) == ["echo", "hello-from-exec"]

@@ -425,6 +425,27 @@ def build_source_frames(
             df = spark.read.text(include).withColumnRenamed("value", "line")
             codec = (comp.get("decoding") or {}).get("codec", "bytes")
             frames[name] = decode_frame(df, codec)
+        elif t == "stdin":
+            # batch stdin: the config carries the lines (`lines` key)
+            # or the caller injects via source_frames
+            lines = comp.get("lines")
+            if lines is None:
+                raise ValueError(
+                    f"source {name}: stdin needs `lines` in the config "
+                    "or a DataFrame via source_frames"
+                )
+            df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+            codec = (comp.get("decoding") or {}).get("codec", "bytes")
+            frames[name] = decode_frame(df, codec)
+        elif t == "exec":
+            from vector_spark.sources import exec_source
+
+            frames[name] = exec_source(
+                spark,
+                command=list(comp["command"]),
+                include_stderr=comp.get("include_stderr", False),
+                working_directory=comp.get("working_directory"),
+            )
         else:
             raise ValueError(
                 f"source {name}: type {t!r} has no batch reader here — "
