@@ -78,6 +78,9 @@ HEADLINE = [
     # round 3: codec round trips under the gate
     "native_proto_roundtrip",
     "avro_roundtrip",
+    # round 3: embedding clustering + semantic dedup
+    "emb_kmeans",
+    "emb_semdedup",
 ]
 
 
