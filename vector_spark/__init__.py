@@ -12,3 +12,19 @@ enum — a fixed StructType schema and Catalyst do the work.
 __version__ = "0.1.0"
 
 from vector_spark.session import get_spark  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences: vector_spark.run_config(...) etc.
+    without importing the pipeline stack at package import."""
+    if name in ("load_config", "run_config", "run_config_tests",
+                "run_config_streaming", "spec_from_config"):
+        import vector_spark.config as _c
+
+        return getattr(_c, name)
+    if name in ("run_pipeline", "compile_pipeline", "unit_test",
+                "PipelineContext"):
+        import vector_spark.pipeline as _p
+
+        return getattr(_p, name)
+    raise AttributeError(name)
