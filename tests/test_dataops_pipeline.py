@@ -213,10 +213,14 @@ def _blob_corpus(spark):
 
 
 def test_kmeans_separates_blobs(spark):
+    """splitmix (constant) init: blob ids are contiguous, so data
+    seeds would all fall in blob 0 — the constant-seed path must
+    still separate well-spread blobs."""
     from vector_spark.dataops.clustering import kmeans_fit, kmeans_predict
 
     df = _blob_corpus(spark)
-    cents = kmeans_fit(df, k=3, dim=8, n_iter=4, exact=True)
+    cents = kmeans_fit(df, k=3, dim=8, n_iter=4, exact=True,
+                       init="splitmix")
     cells = {r["id"]: r["cell"] for r in kmeans_predict(df, cents).collect()}
     # every blob lands in exactly one cluster, and the three differ
     blobs = [
@@ -252,3 +256,22 @@ def test_semdedup_finds_twins_within_clusters(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     # every scaled twin pairs with its original (cosine 1.0)
     assert all((i, i + 1000) in got for i in range(90))
+
+
+def test_kmeans_data_seeds_interleaved(spark):
+    """data-seed init: with blob membership interleaved across ids,
+    the first-k seeds land on distinct blobs and separation holds."""
+    from vector_spark.dataops.clustering import kmeans_fit, kmeans_predict
+
+    rows = []
+    centers = [[5.0] * 8, [-5.0] * 8, [5.0] * 4 + [-5.0] * 4]
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [x + ((i * 7 + d * 3) % 5 - 2) * 0.1
+                         for d, x in enumerate(c)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=3, dim=8, n_iter=3, exact=True, init="data")
+    cells = {r["id"]: r["cell"] for r in kmeans_predict(df, cents).collect()}
+    blobs = [{cells[i] for i in range(b, 90, 3)} for b in range(3)]
+    assert all(len(b) == 1 for b in blobs)
+    assert len({next(iter(b)) for b in blobs}) == 3

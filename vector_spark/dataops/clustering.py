@@ -32,8 +32,26 @@ from vector_spark.dataops.similarity import _hyperplane, cosine
 
 
 def initial_centroids(k: int, dim: int) -> list[list[float]]:
-    """Deterministic seeds (same constants as the IVF cells)."""
+    """Constant deterministic seeds (same constants as the IVF
+    cells). Data-independent but may land off the data manifold —
+    prefer data_seeds for real corpora."""
     return [_hyperplane(dim, c + 101, 7) for c in range(k)]
+
+
+def data_seeds(
+    df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic data-dependent seeds: the k corpus vectors with
+    the smallest ids. On-manifold (no empty clusters from stray
+    constants), reproducible in SQL (ORDER BY id LIMIT k), and one
+    tiny driver collect."""
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
 
 
 def assign_cells(
@@ -106,10 +124,16 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = True,
+    init: str = "data",
 ) -> list[list[float]]:
-    """Lloyd's iterations from the deterministic seeds; empty clusters
-    keep their previous centroid (the standard fix, both engines)."""
-    cents = initial_centroids(k, dim)
+    """Lloyd's iterations from deterministic seeds (init="data": the
+    k smallest-id corpus vectors; init="splitmix": constant vectors);
+    empty clusters keep their previous centroid (the standard fix,
+    both engines)."""
+    if init == "data":
+        cents = data_seeds(df, k, id_col, vec_col)
+    else:
+        cents = initial_centroids(k, dim)
     update = _update_exact if exact else _update_mean
     for _ in range(n_iter):
         assigned = assign_cells(df, cents, id_col, vec_col)
@@ -138,7 +162,9 @@ def semdedup_pairs(
     """SemDeDup: near-duplicate pairs (cosine >= threshold) WITHIN a
     cluster only — candidate generation cost is the sum of squared
     cluster sizes, not n². Output (cell, id_a, id_b, cosine)."""
-    assigned = assign_cells(df, centroids, id_col, vec_col)
+    # cache: both sides of the self-join read the assignment, and the
+    # 32-cell distance expression is the expensive part of this plan
+    assigned = assign_cells(df, centroids, id_col, vec_col).cache()
     a = assigned.select(
         "cell", F.col("id").alias("id_a"), F.col("vec").alias("va")
     )
