@@ -97,3 +97,17 @@ def test_spark_avro_datasource_absent_documented(spark, tmp_path):
     except Exception:
         bundled = False
     assert not bundled, "spark-avro now bundled: delegate encode_avro"
+
+
+def test_decode_frame_dispatch_avro(spark):
+    from vector_spark.codecs_avro import encode_datum
+    from vector_spark.sources import decode_frame
+
+    schema = {"type": "record", "name": "e", "fields": [
+        {"name": "x", "type": ["null", "long"]},
+        {"name": "s", "type": ["null", "string"]},
+    ]}
+    buf = encode_datum({"x": 7, "s": "hi"}, schema)
+    df = spark.createDataFrame([(buf,)], "avro binary")
+    out = decode_frame(df, "avro", line_col="avro", schema=schema).collect()
+    assert out[0]["event"]["x"] == 7 and out[0]["event"]["s"] == "hi"

@@ -193,6 +193,10 @@ def decode_frame(df: DataFrame, codec: str, line_col: str = "line", **kw) -> Dat
         from vector_spark.codecs_proto import decode_native_proto
 
         return decode_native_proto(df, frame_col=line_col)
+    if codec == "avro":
+        from vector_spark.codecs_avro import decode_avro
+
+        return decode_avro(df, kw["schema"], col=line_col)
     if codec == "syslog":
         return parse_syslog(df, line_col)
     raise ValueError(f"unknown decoding codec {codec!r}")
