@@ -477,6 +477,25 @@ def q_docs_unigram_logprob(spark, sf_dir):
     return unigram_logprob(docs)
 
 
+def q_docs_dup_clusters(spark, sf_dir):
+    """Dedup endgame (dataops/dedup.py connected_components): turn
+    the n-gram-Jaccard near-dup PAIRS into duplicate CLUSTERS by
+    min-label propagation and elect one canonical document per
+    component — deterministic (min id reachable), so a recursive-CTE
+    oracle reproduces every label."""
+    from vector_spark.dataops.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.8)
+    return connected_components(corpus, pairs)
+
+
 def q_ann_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
@@ -1438,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unigram_logprob": q_docs_unigram_logprob,
         "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
+        "docs_dup_clusters": q_docs_dup_clusters,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "sketch_merge": q_sketch_merge,
@@ -1737,6 +1757,46 @@ FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.8
+"""
+
+    o["docs_dup_clusters"] = f"""
+WITH RECURSIVE {_corpus},
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS tk
+  FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(greatest(len(tk) - 3, 0) + 1),
+             i -> array_to_string(tk[i + 1 : i + 3], ' '))) AS shingle
+    FROM toks
+  )
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id, min(r) AS cluster_rep, min(r) = id AS is_canonical
+FROM reach GROUP BY id
 """
 
     o["ann_topk"] = """

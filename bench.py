@@ -78,9 +78,10 @@ HEADLINE = [
     # round 3: codec round trips under the gate
     "native_proto_roundtrip",
     "avro_roundtrip",
-    # round 3: embedding clustering + semantic dedup
+    # round 3: embedding clustering + semantic dedup + dup clusters
     "emb_kmeans",
     "emb_semdedup",
+    "docs_dup_clusters",
 ]
 
 

@@ -275,3 +275,20 @@ def test_kmeans_data_seeds_interleaved(spark):
     blobs = [{cells[i] for i in range(b, 90, 3)} for b in range(3)]
     assert all(len(b) == 1 for b in blobs)
     assert len({next(iter(b)) for b in blobs}) == 3
+
+
+def test_connected_components_clusters(spark):
+    """Min-label propagation: chains and singletons resolve to the
+    component minimum; exactly one canonical per component."""
+    from vector_spark.dataops.dedup import connected_components
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(8)], "doc_id long")
+    # components: {0,1,2,3} (chain), {5,6} — 4 and 7 are singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (0, 3), (5, 6)], "id_a long, id_b long")
+    out = {r["id"]: r for r in
+           connected_components(nodes, pairs).collect()}
+    assert [out[i]["cluster_rep"] for i in range(8)] == [0, 0, 0, 0, 4, 5, 5, 7]
+    canon = {i for i in range(8) if out[i]["is_canonical"]}
+    assert canon == {0, 4, 5, 7}

@@ -406,3 +406,80 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    near-dup pair graph by min-label propagation — the step that
+    turns PAIRS into CLUSTERS so exactly one canonical document per
+    component survives (the standard dedup endgame; the distributed
+    min-label loop is the classic large-scale CC algorithm).
+
+    Deterministic: every node converges to the MINIMUM id reachable
+    in its component — min is order-independent, so the result is
+    identical regardless of execution order (and a recursive-CTE
+    oracle reproduces it). Each iteration is one groupBy(min) over
+    the edge list; iterations are bounded by component diameter
+    (near-dup components are shallow); the driver loop stops at
+    fixpoint. Output: (id, cluster_rep, is_canonical)."""
+    # symmetrize in ONE scan of the (possibly expensive) pair
+    # derivation — a two-leg union would compute it twice
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+        .cache()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).cache()
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id"),
+        F.col("label").alias("cluster_rep"),
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )
