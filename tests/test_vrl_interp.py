@@ -221,3 +221,38 @@ def test_type_trace_cache_matches_uncached():
         cached = _run_event(stmts, dict(ev), cache)
         assert plain == cached, ev
     assert len(cache) >= 2  # distinct shapes got distinct traces
+
+
+def test_type_trace_cache_closure_stamps_per_shape():
+    """Closure element-kind stamps (_elem_td) live on the SHARED AST:
+    a cache HIT for shape A after shape B was traced must re-apply A's
+    stamps, or the closure body types against B's element kind. Run
+    int-elements, trace string-elements, then HIT the int trace again
+    and demand identical output to uncached execution."""
+    from vector_spark.vrl_interp import _run_event, parse_program
+
+    src = (
+        ".kinds = []\n"
+        "for_each(array!(.items)) -> |_i, v| {\n"
+        "    .kinds = push(.kinds, type_def(v))\n"
+        "}\n"
+        ".\n"
+    )
+    stmts = parse_program(src)
+    ints = {"items": [1, 2]}
+    strs = {"items": ["a", "b"], "tag": "s"}  # distinct shape
+    cache: dict = {}
+    first = _run_event(stmts, dict(ints), cache)  # traces int shape
+    _run_event(stmts, dict(strs), cache)  # traces str shape (AST now str)
+    hit = _run_event(stmts, dict(ints), cache)  # MUST restore int stamps
+    assert hit == first == _run_event(stmts, dict(ints))
+
+    # list shapes differing only past element 4 must not collide
+    long_a = {"items": [1, 1, 1, 1, 1, 2]}
+    long_b = {"items": [1, 1, 1, 1, 1, "x"]}
+    cache2: dict = {}
+    for ev in (long_a, long_b):
+        assert _run_event(stmts, dict(ev), cache2) == _run_event(
+            stmts, dict(ev)
+        )
+    assert len(cache2) == 2

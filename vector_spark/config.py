@@ -377,7 +377,9 @@ def load_enrichment_tables(
             continue
         path = tcfg["file"]["path"]
         if base_dir and not os.path.isabs(path):
-            path = os.path.join(base_dir, path.lstrip("./"))
+            # normpath keeps '../shared/table.csv' meaning "one level
+            # up from the config file" (lstrip would eat the '..')
+            path = os.path.normpath(os.path.join(base_dir, path))
         with open(path, newline="") as cf:
             rows = list(csv.DictReader(cf))
         for col, typ in (tcfg.get("schema") or {}).items():
@@ -393,6 +395,23 @@ def load_enrichment_tables(
 # ---------------------------------------------------------------------------
 # running configs
 # ---------------------------------------------------------------------------
+
+
+def _decode_kw(spark: SparkSession, dec: dict, include: str | None) -> dict:
+    """Extra decode_frame kwargs from a `decoding` block. json needs a
+    schema: an explicit DDL string (`decoding.schema = "a string, n
+    int"`) wins; otherwise infer it from the files once (batch AND
+    streaming read the same inferred shape, so both modes agree)."""
+    if dec.get("codec") != "json":
+        return {}
+    ddl = dec.get("schema")
+    if ddl:
+        from pyspark.sql.types import _parse_datatype_string
+
+        return {"schema": _parse_datatype_string(ddl)}
+    if include:
+        return {"schema": spark.read.json(str(include)).schema}
+    raise ValueError("json decoding needs `schema` or a file include")
 
 
 def build_source_frames(
@@ -423,8 +442,11 @@ def build_source_frames(
             if not include:
                 raise ValueError(f"source {name}: file needs `include`")
             df = spark.read.text(include).withColumnRenamed("value", "line")
-            codec = (comp.get("decoding") or {}).get("codec", "bytes")
-            frames[name] = decode_frame(df, codec)
+            dec = comp.get("decoding") or {}
+            frames[name] = decode_frame(
+                df, dec.get("codec", "bytes"),
+                **_decode_kw(spark, dec, include),
+            )
         elif t == "stdin":
             # batch stdin: the config carries the lines (`lines` key)
             # or the caller injects via source_frames
@@ -454,6 +476,48 @@ def build_source_frames(
     return frames
 
 
+def build_enrichment_objects(
+    spark: SparkSession, cfg: dict, rows: dict[str, list[dict]]
+) -> dict:
+    """EnrichmentTable objects for the spec transform types `enrich`
+    and `geoip` (ctx.enrichment_tables), from the same loaded rows the
+    VRL get_enrichment_table_record path uses. The join key comes from
+    the table config's `key` (list or string; default: the first
+    column — Vector resolves keys per-lookup, so a table used only by
+    geoip/VRL never needs one)."""
+    from vector_spark.enrich import EnrichmentTable
+
+    out = {}
+    for tname, tcfg in (cfg.get("enrichment_tables") or {}).items():
+        tbl_rows = rows.get(tname) or []
+        if not tbl_rows:
+            continue
+        df = spark.createDataFrame(tbl_rows)
+        key = None
+        if isinstance(tcfg, dict):
+            key = tcfg.get("key") or (tcfg.get("file") or {}).get("key")
+        if isinstance(key, str):
+            key = [key]
+        if not key:
+            key = [list(tbl_rows[0].keys())[0]]
+        case_sensitive = True
+        if isinstance(tcfg, dict):
+            case_sensitive = tcfg.get("case_sensitive", True)
+        out[tname] = EnrichmentTable(
+            df, key=key, name=tname, case_sensitive=case_sensitive
+        )
+    return out
+
+
+def _load_ctx_enrichment(ctx, spark, cfg, base_dir) -> None:
+    if not cfg.get("enrichment_tables"):
+        return
+    ctx.enrichment_rows = load_enrichment_tables(cfg, base_dir)
+    ctx.enrichment_tables = build_enrichment_objects(
+        spark, cfg, ctx.enrichment_rows
+    )
+
+
 def run_config(
     spark: SparkSession,
     config: str | dict,
@@ -474,8 +538,7 @@ def run_config(
     spec = spec_from_config(cfg, base_dir=base_dir)
     frames = build_source_frames(spark, cfg, sf_dir, source_frames)
     ctx = PipelineContext(spark)
-    if cfg.get("enrichment_tables"):
-        ctx.enrichment_rows = load_enrichment_tables(cfg, base_dir)
+    _load_ctx_enrichment(ctx, spark, cfg, base_dir)
     return run_pipeline(ctx, spec, frames)
 
 
@@ -548,8 +611,7 @@ def _run_one_test(
     extracts = [o["extract_from"] for o in outputs_spec] + list(no_outputs)
 
     ctx = PipelineContext(spark)
-    if cfg.get("enrichment_tables"):
-        ctx.enrichment_rows = load_enrichment_tables(cfg, base_dir)
+    _load_ctx_enrichment(ctx, spark, cfg, base_dir)
     got = unit_test(ctx, spec, inserts, extracts)
 
     errors: list[str] = []
@@ -604,22 +666,39 @@ def run_config_streaming(
         include = comp.get("include")
         if not include:
             raise ValueError(f"source {name}: file needs `include`")
-        if str(include).endswith((".parquet", "/")) or os.path.isdir(
-            str(include)
-        ):
+        codec = (comp.get("decoding") or {}).get("codec")
+        is_parquet = str(include).endswith(".parquet") or (
+            # a directory is a parquet table only if it holds parquet
+            # parts — an explicit decoding codec, or text files in the
+            # dir, means the batch-identical text reader
+            codec is None
+            and os.path.isdir(str(include))
+            and any(
+                f.endswith(".parquet")
+                for f in os.listdir(str(include))
+            )
+        )
+        if is_parquet:
             schema = spark.read.parquet(include).schema
             streams[name] = (
                 spark.readStream.schema(schema).parquet(include)
             )
         else:
-            streams[name] = (
+            from vector_spark.sources import decode_frame
+
+            raw = (
                 spark.readStream.format("text")
                 .load(include)
                 .withColumnRenamed("value", "line")
             )
+            # same decoding.codec as the batch front door — pure
+            # Column expressions, so it applies to streaming frames
+            dec = comp.get("decoding") or {}
+            streams[name] = decode_frame(
+                raw, codec or "bytes", **_decode_kw(spark, dec, include)
+            )
     ctx = PipelineContext(spark)
-    if cfg.get("enrichment_tables"):
-        ctx.enrichment_rows = load_enrichment_tables(cfg, base_dir)
+    _load_ctx_enrichment(ctx, spark, cfg, base_dir)
     return run_pipeline_streaming(
         ctx, spec, streams, out_dir,
         checkpoint_dir=checkpoint_dir, trigger_once=trigger_once,

@@ -648,6 +648,83 @@ def compile_pipeline(
     return outputs
 
 
+def file_sink_line(df: DataFrame, comp: dict, name: str):
+    """File-sink encoding (src/sinks/file + lib/codecs/src/encoding/
+    format/): render one string per event per the configured codec.
+    Returns (df, line_col) — statsd/prometheus encoders rewrite the
+    frame itself (metric-row input), so the caller must use BOTH.
+    Shared by the batch runner and the streaming spec runner so one
+    config encodes identically in either mode."""
+    enc = comp.get("encoding") or {}
+    codec = enc.get("codec", "json")
+    if codec == "json":
+        line = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    elif codec == "logfmt":
+        from vector_spark.vrl import encode_key_value
+
+        m = F.create_map(
+            *[
+                x
+                for c in df.columns
+                for x in (F.lit(c), F.col(c).cast("string"))
+            ]
+        )
+        line = encode_key_value(m)
+    elif codec == "text":
+        fldn = enc.get("field", "message")
+        if fldn not in df.columns:
+            raise PipelineError(
+                f"{name}: text codec field {fldn!r} not in input"
+            )
+        line = F.col(fldn).cast("string")
+    elif codec == "gelf":
+        msg_field = enc.get("field", "message")
+        if msg_field not in df.columns:
+            raise PipelineError(
+                f"{name}: gelf codec needs a {msg_field!r} column"
+            )
+        gelf_cols = [
+            F.lit("1.1").alias("version"),
+            (
+                F.col("host")
+                if "host" in df.columns
+                else F.lit("vector-spark")
+            ).alias("host"),
+            F.col(msg_field).cast("string").alias("short_message"),
+        ]
+        if "timestamp" in df.columns:
+            gelf_cols.append(
+                F.col("timestamp")
+                .cast("timestamp_ltz")
+                .cast("double")
+                .alias("timestamp")
+            )
+        if "level" in df.columns:
+            gelf_cols.append(F.col("level").cast("long").alias("level"))
+        for c in df.columns:
+            if c not in ("host", msg_field, "timestamp", "level"):
+                gelf_cols.append(F.col(c).cast("string").alias("_" + c))
+        line = F.to_json(F.struct(*gelf_cols))
+    elif codec == "statsd":
+        # metric-row input shape (src/sinks/statsd.rs)
+        from vector_spark.codecs import encode_statsd
+
+        line = F.col("statsd_line")
+        df = encode_statsd(df, namespace=enc.get("namespace"))
+    elif codec == "prometheus":
+        from vector_spark.codecs import encode_prometheus
+
+        line = F.col("prom_line")
+        df = encode_prometheus(df, namespace=enc.get("namespace"))
+    elif codec == "native_json":
+        from vector_spark.codecs import encode_native_json_log
+
+        line = encode_native_json_log(df, enc.get("fields") or df.columns)
+    else:
+        raise PipelineError(f"{name}: unknown encoding codec {codec!r}")
+    return df, line
+
+
 def run_pipeline(
     ctx: PipelineContext,
     spec: dict,
@@ -655,7 +732,11 @@ def run_pipeline(
 ) -> dict[str, Any]:
     """Execute sinks. Returns {sink: result} where result is the
     DataFrame (memory), row count (blackhole), collected rows
-    (console), or {'path', 'rows'} (parquet)."""
+    (console), or {'path', 'rows'} (parquet).
+
+    File-sink line rendering lives in `file_sink_line` so the
+    streaming spec runner encodes identically (same config, same
+    bytes on disk in either mode)."""
     spec = expand_macros(spec)  # sink inputs may name macro components
     outputs = compile_pipeline(ctx, spec, source_frames)
     results: dict[str, Any] = {}
@@ -701,79 +782,7 @@ def run_pipeline(
             # text / gelf rendered as one `value` string per event,
             # written with the distributed text writer
             path = comp["path"]
-            enc = comp.get("encoding") or {}
-            codec = enc.get("codec", "json")
-            if codec == "json":
-                line = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
-            elif codec == "logfmt":
-                from vector_spark.vrl import encode_key_value
-
-                m = F.create_map(
-                    *[
-                        x
-                        for c in df.columns
-                        for x in (F.lit(c), F.col(c).cast("string"))
-                    ]
-                )
-                line = encode_key_value(m)
-            elif codec == "text":
-                fldn = enc.get("field", "message")
-                if fldn not in df.columns:
-                    raise PipelineError(
-                        f"{name}: text codec field {fldn!r} not in input"
-                    )
-                line = F.col(fldn).cast("string")
-            elif codec == "gelf":
-                msg_field = enc.get("field", "message")
-                if msg_field not in df.columns:
-                    raise PipelineError(
-                        f"{name}: gelf codec needs a {msg_field!r} column"
-                    )
-                gelf_cols = [
-                    F.lit("1.1").alias("version"),
-                    (
-                        F.col("host")
-                        if "host" in df.columns
-                        else F.lit("vector-spark")
-                    ).alias("host"),
-                    F.col(msg_field).cast("string").alias("short_message"),
-                ]
-                if "timestamp" in df.columns:
-                    gelf_cols.append(
-                        F.col("timestamp")
-                        .cast("timestamp_ltz")
-                        .cast("double")
-                        .alias("timestamp")
-                    )
-                if "level" in df.columns:
-                    gelf_cols.append(F.col("level").cast("long").alias("level"))
-                for c in df.columns:
-                    if c not in ("host", msg_field, "timestamp", "level"):
-                        gelf_cols.append(
-                            F.col(c).cast("string").alias("_" + c)
-                        )
-                line = F.to_json(F.struct(*gelf_cols))
-            elif codec == "statsd":
-                # metric-row input shape (src/sinks/statsd.rs)
-                from vector_spark.codecs import encode_statsd
-
-                line = F.col("statsd_line")
-                df = encode_statsd(df, namespace=enc.get("namespace"))
-            elif codec == "prometheus":
-                from vector_spark.codecs import encode_prometheus
-
-                line = F.col("prom_line")
-                df = encode_prometheus(df, namespace=enc.get("namespace"))
-            elif codec == "native_json":
-                from vector_spark.codecs import encode_native_json_log
-
-                line = encode_native_json_log(
-                    df, enc.get("fields") or df.columns
-                )
-            else:
-                raise PipelineError(
-                    f"{name}: unknown encoding codec {codec!r}"
-                )
+            df, line = file_sink_line(df, comp, name)
             key_tmpl = comp.get("key_template")
             if key_tmpl:
                 # KeyPartitioner (src/sinks/util/partitioner.rs:5-30):

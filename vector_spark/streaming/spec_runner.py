@@ -338,7 +338,7 @@ def run_pipeline_streaming(
                     st["rows"] += batch_df.count()
                 return fb
             writer = df.writeStream.foreachBatch(make_bh(state))
-        elif kind in ("parquet", "file"):
+        elif kind == "parquet":
             path = comp.get("path") or os.path.join(out_dir, name)
             state["path"] = path
 
@@ -359,6 +359,35 @@ def run_pipeline_streaming(
                     )
                 return fb
             writer = df.writeStream.foreachBatch(make_pq(state))
+        elif kind == "file":
+            # file sink: the SAME newline-framed encoding codec as the
+            # batch runner (pipeline.file_sink_line), written as
+            # epoch-partitioned text with idempotent epoch overwrite —
+            # one config, identical bytes in batch or stream mode
+            from vector_spark.pipeline import file_sink_line
+
+            path = comp.get("path") or os.path.join(out_dir, name)
+            state["path"] = path
+
+            def make_txt(st, comp=comp, name=name, path=path):
+                def fb(batch_df: DataFrame, epoch_id: int) -> None:
+                    if epoch_id in st["epochs"]:
+                        return
+                    st["epochs"].add(epoch_id)
+                    st["rows"] += batch_df.count()
+                    enc_df, line = file_sink_line(batch_df, comp, name)
+                    (
+                        enc_df.select(
+                            line.alias("value"),
+                            F.lit(epoch_id).alias("_epoch"),
+                        )
+                        .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("_epoch")
+                        .text(path)
+                    )
+                return fb
+            writer = df.writeStream.foreachBatch(make_txt(state))
         elif kind == "memory":
             limit = comp.get("limit", 1000)
 

@@ -468,6 +468,8 @@ class Interp:
             {} if _skip_types else td_of_value(self.event, external=True)
         )
         self.tmeta: dict = td_of_value(self.meta) if metadata else {"object": {}}
+        # set by build_type_trace to capture (node, _elem_td) stamps
+        self._elem_stamps: list | None = None
 
     # ---- program ----
 
@@ -937,6 +939,12 @@ class Interp:
                 node._elem_td = td_element(self.t_expr(node.args[0]))
             except Exception:
                 node._elem_td = dict(TD_ANY)
+            # the AST is SHARED across events: record the stamp so a
+            # memoized trace can restore its own per-call-site kinds
+            # before exec (a later trace for a different shape would
+            # otherwise leave ITS kinds on the node)
+            if self._elem_stamps is not None:
+                self._elem_stamps.append((node, node._elem_td))
         return _td_copy(_FN_TDEF.get(name, dict(TD_ANY)))
 
     # ---- dynamic execution ----
@@ -3391,7 +3399,10 @@ def _shape_sig(v):
     if isinstance(v, dict):
         return tuple(sorted((k, _shape_sig(x)) for k, x in v.items()))
     if isinstance(v, list):
-        return ("[]",) + tuple(_shape_sig(x) for x in v[:4])
+        # FULL element signature — td_of_value types lists positionally,
+        # so truncating here would collide shapes that type differently
+        # past the cut and reuse the wrong trace
+        return ("[]",) + tuple(_shape_sig(x) for x in v)
     if isinstance(v, bool):
         return "b"
     if isinstance(v, int):
@@ -3405,19 +3416,22 @@ def _shape_sig(v):
     return type(v).__name__
 
 
-def build_type_trace(stmts, ev: dict) -> list:
+def build_type_trace(stmts, ev: dict) -> tuple[list, list]:
     """One full type-flow pass over the program for this input shape:
-    returns per-statement (tvars, troot, tmeta) as seen by exec().
-    Also stashes closure element-kind hints on the AST (idempotent
-    for a fixed shape)."""
+    returns (per-statement (tvars, troot, tmeta) as seen by exec(),
+    per-call-site closure element-kind stamps). The stamps travel WITH
+    the trace — the AST is shared across events, so a cached trace for
+    shape A must re-apply ITS _elem_td values before exec (a later
+    trace for shape B would otherwise leave B's kinds on the nodes)."""
     it = Interp(ev)
+    it._elem_stamps = []
     trace = []
     for s in stmts:
         it.t_stmt(s)
         # tvars is mutated in place downstream; troot/tmeta are
         # replaced functionally — shallow-copy the former only
         trace.append((dict(it.tvars), it.troot, it.tmeta))
-    return trace
+    return trace, it._elem_stamps
 
 
 def _run_event(stmts, ev: dict, trace_cache: dict | None = None):
@@ -3428,9 +3442,14 @@ def _run_event(stmts, ev: dict, trace_cache: dict | None = None):
     ttrace = None
     if trace_cache is not None:
         sig = _shape_sig(ev)
-        ttrace = trace_cache.get(sig)
-        if ttrace is None:
-            ttrace = trace_cache[sig] = build_type_trace(stmts, ev)
+        cached = trace_cache.get(sig)
+        if cached is None:
+            cached = trace_cache[sig] = build_type_trace(stmts, ev)
+        ttrace, stamps = cached
+        # restore THIS shape's closure element-kinds onto the shared
+        # AST (another shape's trace pass may have overwritten them)
+        for node, td in stamps:
+            node._elem_td = td
     try:
         it = Interp(ev, _skip_types=ttrace is not None)
         _, out_ev = it.run(stmts, ttrace)
