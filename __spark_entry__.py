@@ -508,32 +508,39 @@ def q_ann_topk(spark, sf_dir):
 def q_ann_topk_lsh(spark, sf_dir):
     """Approximate top-k via random-hyperplane LSH (the scale path for
     ann_topk): bucket collisions in any of 4 tables -> exact cosine
-    re-rank of candidates only. The hyperplanes are deterministic
+    re-rank of candidates only. The REGISTERED plan is the BLAS
+    signature kernel (one matmul per Arrow batch, lsh_topk_fast) —
+    the interpreted-lambda JVM twin (lsh_topk) anchors the same
+    oracle and their bucket equality is pinned in
+    test_similarity_kernels. The hyperplanes are deterministic
     splitmix scrambles, so the DuckDB oracle recomputes the exact
     same buckets from injected integer literals."""
-    from vector_spark.dataops.similarity import lsh_topk
+    from vector_spark.dataops.similarity import lsh_topk_fast
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     queries_df = emb.filter(F.col("vec_id") < 8)
-    return lsh_topk(emb, queries_df, dim=64, k=10, n_bits=10, n_tables=4)
+    return lsh_topk_fast(emb, queries_df, dim=64, k=10, n_bits=10, n_tables=4)
 
 
 def q_ann_topk_ivf(spark, sf_dir):
     """Approximate top-k via IVF coarse quantization: corpus vectors
     assign to the argmax-dot centroid cell; queries probe their 4
-    best cells; exact cosine re-rank. Centroids are deterministic,
+    best cells; exact cosine re-rank. The REGISTERED plan uses the
+    BLAS cell kernel (one matmul per Arrow batch, ivf_topk_fast);
+    the JVM twin (ivf_topk) anchors the same oracle and their cell
+    agreement is pinned in test_dataops. Centroids are deterministic,
     so the oracle reproduces cell assignment bit-for-bit."""
-    from vector_spark.dataops.similarity import ivf_topk
+    from vector_spark.dataops.similarity import ivf_topk_fast
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     queries_df = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk(emb, queries_df, dim=64, k=10, n_cells=16, n_probe=4)
+    return ivf_topk_fast(emb, queries_df, dim=64, k=10, n_cells=16, n_probe=4)
 
 
 def _emb_corpus(spark, sf_dir):
@@ -580,6 +587,42 @@ def q_emb_semdedup(spark, sf_dir):
     )
     cents = kmeans_fit(corpus, k=32, dim=64, n_iter=1, exact=True)
     return semdedup_pairs(corpus, cents, threshold=0.99)
+
+
+def q_emb_kmeans_scale(spark, sf_dir):
+    """The 100 TB k-means twin: centroid updates are a plain
+    groupBy-avg per dimension (map-side partial aggregation, no
+    per-cluster collect_list), with centroids rounded to 6 decimals
+    after every update so the engine-order float divergence can't
+    leak into the next assignment — the final integer assignments
+    are value-exact against the DuckDB round-6 oracle. Same Lloyd's
+    loop as emb_kmeans (which stays the bit-exact gate)."""
+    from vector_spark.dataops.clustering import kmeans_fit, kmeans_predict
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = kmeans_fit(emb, k=8, dim=64, n_iter=2, exact=False, round_to=6)
+    return kmeans_predict(emb, cents, kernel="numpy").select(
+        F.col("id").alias("vec_id"), "cell"
+    )
+
+
+def q_emb_semdedup_scale(spark, sf_dir):
+    """SemDeDup on the scale-form k-means (groupBy-avg centroids,
+    round-6 per update): within-cluster near-dup pairs only. This is
+    the plan you'd run at 100 TB — no collect_list of cluster
+    members anywhere; emb_semdedup keeps the bit-exact oracle."""
+    from vector_spark.dataops.clustering import kmeans_fit, semdedup_pairs
+
+    corpus = _emb_corpus(spark, sf_dir).filter(
+        F.col("vec_id") % 4 == 0
+    )
+    cents = kmeans_fit(
+        corpus, k=32, dim=64, n_iter=1, exact=False, round_to=6
+    )
+    return semdedup_pairs(corpus, cents, threshold=0.99, kernel="numpy")
 
 
 def q_apache_parse(spark, sf_dir):
@@ -1424,66 +1467,15 @@ ROWS_ONLY = {"docs_lang_id"}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note: the round-2 driver recorded correctness rows for
-    # exactly the FIRST 50 registry entries. Entries whose oracle is
-    # new or which lacked a driver row in CORRECTNESS_r02 are listed
-    # FIRST so this round's driver run covers them; the tail entries
-    # are the longest-verified ones (green in r02 AND in the in-repo
-    # full sweep, tools/check_oracles.py / CORRECTNESS_FULL_r03.json).
+    # Ordering note: the driver records correctness rows for exactly
+    # the FIRST 50 registry entries per round. Round 3's window
+    # stamped entries 1-50 of the old order; the 31 it did NOT reach
+    # now lead, followed by queries new in round 4, so the union of
+    # the r3 and r4 driver windows covers the whole registry. The
+    # tail entries are r3-driver-stamped AND green in the in-repo
+    # full sweep (tools/check_oracles.py, CORRECTNESS_FULL_r03.json).
     return {
-        # -- no driver row in r02 (registry past the 50-entry window)
-        "tokens_parse": q_tokens_parse,
-        "regex_all_parse": q_regex_all_parse,
-        "user_agent_parse": q_user_agent_parse,
-        "ruby_hash_parse": q_ruby_hash_parse,
-        "xml_parse": q_xml_parse,
-        "cloudwatch_parse": q_cloudwatch_parse,
-        "remap_vrl": q_remap_vrl,
-        "remap_vrl_interp": q_remap_vrl_interp,
-        "datadog_filter": q_datadog_filter,
-        "gelf_decode": q_gelf_decode,
-        "statsd_decode": q_statsd_decode,
-        "statsd_encode": q_statsd_encode,
-        "prometheus_encode": q_prometheus_encode,
-        "native_json": q_native_json,
-        "sample_counter": q_sample_counter,
-        # -- new in round 3
-        "native_proto_roundtrip": q_native_proto_roundtrip,
-        "avro_roundtrip": q_avro_roundtrip,
-        "docs_pii_scrub": q_docs_pii_scrub,
-        "docs_gopher_quality": q_docs_gopher_quality,
-        "docs_decontam": q_docs_decontam,
-        "docs_stratified_split": q_docs_stratified_split,
-        "docs_unigram_logprob": q_docs_unigram_logprob,
-        "emb_kmeans": q_emb_kmeans,
-        "emb_semdedup": q_emb_semdedup,
-        "docs_dup_clusters": q_docs_dup_clusters,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "sketch_merge": q_sketch_merge,
-        "merge_histograms": q_merge_histograms,
-        "enrich_ci": q_enrich_ci,
-        "enrich_wildcard": q_enrich_wildcard,
-        # -- oracle newly added or changed in round 3
-        "docs_minhash_lsh": q_docs_minhash_lsh,
-        "docs_simhash": q_docs_simhash,
-        "emb_near_dup_lsh": q_emb_near_dup_lsh,
-        "docs_lang_id": q_docs_lang_id,
-        "parse": q_parse,
-        "enrich": q_enrich,
-        "route_counts": q_route_counts,
-        "route_assistant_tool": q_route_assistant_tool,
-        "route_unmatched": q_route_unmatched,
-        "aggregate_hourly": q_aggregate_hourly,
-        "filter_errors": q_filter_errors,
-        "reduce_conversations": q_reduce_conversations,
-        "sample_keyed": q_sample_keyed,
-        "throttle": q_throttle,
-        "log_to_metric_hourly": q_log_to_metric_hourly,
-        "tag_cardinality": q_tag_cardinality,
-        "dedupe": q_dedupe,
-        "events_sessionize": q_events_sessionize,
-        "q1_pricing": q_q1_pricing,
+        # -- no driver row in r03 (registry past the 50-entry window)
         "q3_revenue": q_q3_revenue,
         "events_tumbling": q_events_tumbling,
         "docs_fingerprint": q_docs_fingerprint,
@@ -1515,6 +1507,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auth_parse": q_auth_parse,
         "vpc_flow_parse": q_vpc_flow_parse,
         "alb_parse": q_alb_parse,
+        # -- new or changed in round 4 (must stay inside the window)
+        "ann_topk_lsh": q_ann_topk_lsh,  # now the BLAS kernel plan
+        "ann_topk_ivf": q_ann_topk_ivf,  # now the BLAS cell kernel
+        "emb_kmeans_scale": q_emb_kmeans_scale,
+        "emb_semdedup_scale": q_emb_semdedup_scale,
+        # -- r3-driver-stamped fill for the rest of the 50-row window
+        "parse": q_parse,
+        "enrich": q_enrich,
+        "route_counts": q_route_counts,
+        "route_assistant_tool": q_route_assistant_tool,
+        "route_unmatched": q_route_unmatched,
+        "aggregate_hourly": q_aggregate_hourly,
+        "filter_errors": q_filter_errors,
+        "reduce_conversations": q_reduce_conversations,
+        "sample_keyed": q_sample_keyed,
+        "throttle": q_throttle,
+        "log_to_metric_hourly": q_log_to_metric_hourly,
+        "tag_cardinality": q_tag_cardinality,
+        "dedupe": q_dedupe,
+        "events_sessionize": q_events_sessionize,
+        "q1_pricing": q_q1_pricing,
+        "docs_minhash_lsh": q_docs_minhash_lsh,
+        "docs_simhash": q_docs_simhash,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "docs_lang_id": q_docs_lang_id,
+        # -- r3-driver-stamped tail (beyond the window is fine)
+        "tokens_parse": q_tokens_parse,
+        "regex_all_parse": q_regex_all_parse,
+        "user_agent_parse": q_user_agent_parse,
+        "ruby_hash_parse": q_ruby_hash_parse,
+        "xml_parse": q_xml_parse,
+        "cloudwatch_parse": q_cloudwatch_parse,
+        "remap_vrl": q_remap_vrl,
+        "remap_vrl_interp": q_remap_vrl_interp,
+        "datadog_filter": q_datadog_filter,
+        "gelf_decode": q_gelf_decode,
+        "statsd_decode": q_statsd_decode,
+        "statsd_encode": q_statsd_encode,
+        "prometheus_encode": q_prometheus_encode,
+        "native_json": q_native_json,
+        "sample_counter": q_sample_counter,
+        "native_proto_roundtrip": q_native_proto_roundtrip,
+        "avro_roundtrip": q_avro_roundtrip,
+        "docs_pii_scrub": q_docs_pii_scrub,
+        "docs_gopher_quality": q_docs_gopher_quality,
+        "docs_decontam": q_docs_decontam,
+        "docs_stratified_split": q_docs_stratified_split,
+        "docs_unigram_logprob": q_docs_unigram_logprob,
+        "emb_kmeans": q_emb_kmeans,
+        "emb_semdedup": q_emb_semdedup,
+        "docs_dup_clusters": q_docs_dup_clusters,
+        "sketch_merge": q_sketch_merge,
+        "merge_histograms": q_merge_histograms,
+        "enrich_ci": q_enrich_ci,
+        "enrich_wildcard": q_enrich_wildcard,
     }
 
 
@@ -2418,6 +2465,27 @@ WHERE round({_COS_PAIR}, 6) >= 0.99
 """
     )
 
+    # scale twins: groupBy-avg centroids rounded to 6 decimals per
+    # update (see kmeans_fit round_to) — the assignments are still
+    # value-exact because both engines feed identical rounded
+    # centroids into every assignment step
+    o["emb_kmeans_scale"] = (
+        _kmeans_cte(round_to=6)
+        + "\nSELECT id AS vec_id, CAST(cell AS INT) AS cell FROM afinal"
+    )
+    o["emb_semdedup_scale"] = (
+        _kmeans_cte(
+            k=32, n_iter=1, round_to=6,
+            corpus_sql=f"SELECT * FROM ({_EMB_UNION_SQL}) WHERE id % 4 = 0",
+        )
+        + f"""
+SELECT a.cell AS cell, a.id AS id_a, b.id AS id_b,
+       round({_COS_PAIR}, 6) AS cosine
+FROM afinal a JOIN afinal b ON a.cell = b.cell AND a.id < b.id
+WHERE round({_COS_PAIR}, 6) >= 0.99
+"""
+    )
+
     # codec round trips: encode∘decode must be the identity, so the
     # oracle is the plain projection of the same parsed events
     o["native_proto_roundtrip"] = _with(
@@ -2742,13 +2810,20 @@ def _kmeans_cte(
     k: int = 8, dim: int = 64, n_iter: int = 2,
     corpus_sql: str = "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings",
     init: str = "data",
+    round_to: int | None = None,
 ) -> str:
     """Unrolled Lloyd iterations as CTEs — the DuckDB twin of
     clustering.kmeans_fit(exact=True): same deterministic seeds
     (init="data": the k smallest-id vectors; init="splitmix": exact-
     integer plane literals), same squared-distance left-to-right
     sums, same id-ordered centroid updates, same ties-to-lowest-cell
-    rule; empty cells keep the previous centroid via the LEFT JOIN."""
+    rule; empty cells keep the previous centroid via the LEFT JOIN.
+
+    round_to: the scale-twin contract (kmeans_fit(exact=False,
+    round_to=N)) — centroids round to N decimals after every update,
+    so Spark's partial-aggregated avg and this CTE's left-to-right
+    mean feed IDENTICAL centroids into each assignment step and the
+    final integer assignments match exactly."""
     d2 = (
         f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim} + 1), "
         "i -> (e.v[i] - c.p[i]) * (e.v[i] - c.p[i]))), (a, b) -> a + b)"
@@ -2767,6 +2842,11 @@ def _kmeans_cte(
         )
         c0 = f"c0(cell, c2_, p) AS (VALUES\n  {cells}\n)"
     parts = [f"emb AS ({corpus_sql})", c0]
+    cent_expr = "coalesce(u.p, c.p)"
+    if round_to is not None:
+        cent_expr = (
+            f"list_transform(coalesce(u.p, c.p), x -> round(x, {round_to}))"
+        )
     prev = "c0"
     for it in range(n_iter):
         parts.append(f"""
@@ -2788,7 +2868,7 @@ u{it} AS (
   )
 ),
 c{it + 1} AS (
-  SELECT c.cell, coalesce(u.p, c.p) AS p
+  SELECT c.cell, {cent_expr} AS p
   FROM {prev} c LEFT JOIN u{it} u USING (cell)
 )""")
         prev = f"c{it + 1}"

@@ -82,6 +82,11 @@ HEADLINE = [
     "emb_kmeans",
     "emb_semdedup",
     "docs_dup_clusters",
+    # round 4: the registered 100 TB twins (BLAS kernels + groupBy-avg
+    # centroids) — these are the plans you'd run at scale; the exact
+    # forms above stay as the bit-exact gate
+    "emb_kmeans_scale",
+    "emb_semdedup_scale",
 ]
 
 
@@ -341,7 +346,33 @@ def main() -> int:
         result["host_probe"] = _host_ceiling_probe(8, 32, secs=3.0)
 
     spark.stop()
-    print(json.dumps(result))
+    # full detail (per-round arrays, soak, probe) goes to a sidecar —
+    # the driver's tail capture keeps only the LAST 2000 chars of
+    # stdout, so the final line must fit inside that or the round's
+    # bench artifact records parsed:null (round 3's 3.5 KB line did)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    compact = {
+        k: v
+        for k, v in result.items()
+        if k not in ("queries_all_secs", "soak", "host_probe", "cpu_secs")
+    }
+    compact["queries"] = {
+        n: round(s, 2) for n, s in result["queries"].items()
+    }
+    compact["detail"] = "BENCH_DETAIL.json"
+    line = json.dumps(compact)
+    if len(line) > 1900:  # hard guard: keep only the slowest queries
+        slow = sorted(
+            compact["queries"].items(), key=lambda kv: -kv[1]
+        )[:25]
+        compact["queries"] = dict(sorted(slow))
+        compact["queries_truncated"] = True
+        line = json.dumps(compact)
+    print(line)
     return 0
 
 

@@ -173,3 +173,59 @@ def test_lsh_buckets_numpy_matches_jvm(emb):
     assert len(np_rows) == len(jvm)
     for r in np_rows:
         assert jvm[(r["id"], r["table"])] == r["bucket"]
+
+
+def test_lsh_topk_fast_matches_jvm(emb):
+    """The registered BLAS LSH top-k plan must equal the JVM twin
+    row-for-row (same buckets -> same candidates -> identical exact
+    re-rank)."""
+    from vector_spark.dataops.similarity import lsh_topk, lsh_topk_fast
+
+    q = emb.filter(F.col("vec_id") < 4)
+    key = lambda r: (r["q_id"], r["rank"])
+    slow = sorted(lsh_topk(emb, q, dim=64, k=5).collect(), key=key)
+    fast = sorted(lsh_topk_fast(emb, q, dim=64, k=5).collect(), key=key)
+    assert [tuple(r) for r in slow] == [tuple(r) for r in fast]
+    assert len(fast) > 0
+
+
+def test_assign_cells_numpy_matches_jvm(emb):
+    """The BLAS k-means assignment kernel must reproduce the JVM
+    argmin cell per vector (ties to the lowest cell on both sides)."""
+    from vector_spark.dataops.clustering import (
+        assign_cells,
+        assign_cells_numpy,
+        initial_centroids,
+    )
+
+    cents = initial_centroids(8, 64)
+    jvm = {r["id"]: r["cell"] for r in assign_cells(emb, cents).collect()}
+    np_rows = assign_cells_numpy(emb, cents).collect()
+    assert len(np_rows) == len(jvm)
+    for r in np_rows:
+        assert jvm[r["id"]] == r["cell"]
+
+
+def test_ivf_cells_numpy_matches_jvm(emb):
+    """The BLAS IVF cell kernel (the 100 TB path) must reproduce the
+    JVM argmax cell per vector AND the JVM probe ranking per query —
+    ties break to the smaller index on both sides."""
+    from vector_spark.dataops.similarity import (
+        ivf_cells_numpy,
+        ivf_topk,
+        ivf_topk_fast,
+    )
+
+    q = emb.filter(F.col("vec_id") < 4)
+    key = lambda r: (r["q_id"], r["rank"])
+    slow = sorted(ivf_topk(emb, q, dim=64, k=5).collect(), key=key)
+    fast = sorted(ivf_topk_fast(emb, q, dim=64, k=5).collect(), key=key)
+    assert [tuple(r) for r in slow] == [tuple(r) for r in fast]
+    assert len(fast) > 0
+    # probe ranking shape: n_probe cells per query, all distinct
+    probes = ivf_cells_numpy(q, dim=64, n_cells=16, n_probe=4).collect()
+    per_q: dict = {}
+    for r in probes:
+        per_q.setdefault(r["id"], []).append(r["cell"])
+    for cells in per_q.values():
+        assert len(cells) == 4 and len(set(cells)) == 4

@@ -292,3 +292,22 @@ def test_connected_components_clusters(spark):
     assert [out[i]["cluster_rep"] for i in range(8)] == [0, 0, 0, 0, 4, 5, 5, 7]
     canon = {i for i in range(8) if out[i]["is_canonical"]}
     assert canon == {0, 4, 5, 7}
+
+
+def test_connected_components_lineage_bounded(spark):
+    """A deep chain forces many propagation rounds; the periodic
+    localCheckpoint must keep the logical plan from growing one join
+    per iteration (a deep component at real scale would otherwise
+    balloon the driver DAG)."""
+    from vector_spark.dataops.dedup import connected_components
+
+    n = 40  # one long chain: label 0 takes ~n rounds to reach the end
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    out = connected_components(nodes, pairs, max_iter=n + 2)
+    assert {r["cluster_rep"] for r in out.collect()} == {0}
+    # the checkpointed loop's final plan stays shallow: a handful of
+    # post-checkpoint iterations, not ~n stacked joins
+    depth = out._jdf.queryExecution().optimizedPlan().toString().count("Join")
+    assert depth <= 12, depth

@@ -79,6 +79,42 @@ def assign_cells(
     )
 
 
+def assign_cells_numpy(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """assign_cells via ONE BLAS matmul per Arrow batch — the 100 TB
+    kernel. argmin over ||x-c||² = argmin over (||c||² - 2·x·c) (the
+    ||x||² term is constant per row); numpy argmin takes the first
+    minimum, the same lowest-index tie rule as the JVM
+    array_position-of-min. Float caveat mirrors lsh_buckets_numpy:
+    pairwise vs left-to-right summation can reorder distances only
+    on sub-ulp ties — test_dataops pins full assignment agreement
+    with assign_cells on the test corpora."""
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.array(centroids, dtype=np.float64)  # (k, dim)
+    c2 = (cents**2).sum(axis=1)  # (k,)
+
+    @pandas_udf(T.IntegerType())
+    def cell_of(vecs):
+        import pandas as pd
+
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        d = c2[None, :] - 2.0 * (mat @ cents.T)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        cell_of(F.col(vec_col)).alias("cell"),
+    )
+
+
 def _update_exact(assigned: DataFrame, dim: int) -> dict[int, list[float]]:
     """Sorted left-to-right per-dimension sums — deterministic float
     order, reproducible in SQL with list(... ORDER BY id)."""
@@ -125,20 +161,33 @@ def kmeans_fit(
     vec_col: str = "embedding",
     exact: bool = True,
     init: str = "data",
+    round_to: int | None = None,
 ) -> list[list[float]]:
     """Lloyd's iterations from deterministic seeds (init="data": the
     k smallest-id corpus vectors; init="splitmix": constant vectors);
     empty clusters keep their previous centroid (the standard fix,
-    both engines)."""
+    both engines).
+
+    round_to: round every centroid coordinate after each update. The
+    scale form (exact=False) sums in engine-dependent float order, so
+    an oracle can only agree with it at fixed precision — rounding
+    INSIDE the loop makes both engines feed identical centroids into
+    the next assignment, so the final integer assignments match
+    exactly, not just approximately."""
     if init == "data":
         cents = data_seeds(df, k, id_col, vec_col)
     else:
         cents = initial_centroids(k, dim)
     update = _update_exact if exact else _update_mean
+    # the scale form pairs with the BLAS assignment kernel; the exact
+    # form keeps the left-to-right JVM expression the oracle replays
+    assign = assign_cells if exact else assign_cells_numpy
     for _ in range(n_iter):
-        assigned = assign_cells(df, cents, id_col, vec_col)
+        assigned = assign(df, cents, id_col, vec_col)
         new = update(assigned, dim)
         cents = [new.get(c, cents[c]) for c in range(k)]
+        if round_to is not None:
+            cents = [[round(x, round_to) for x in cv] for cv in cents]
     return cents
 
 
@@ -147,9 +196,13 @@ def kmeans_predict(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "jvm",
 ) -> DataFrame:
-    """(id, cell) final assignment."""
-    return assign_cells(df, centroids, id_col, vec_col).select("id", "cell")
+    """(id, cell) final assignment. kernel="numpy" uses the BLAS
+    matmul kernel (the 100 TB path); "jvm" keeps the oracle-exact
+    left-to-right expression."""
+    assign = assign_cells_numpy if kernel == "numpy" else assign_cells
+    return assign(df, centroids, id_col, vec_col).select("id", "cell")
 
 
 def semdedup_pairs(
@@ -158,13 +211,15 @@ def semdedup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "jvm",
 ) -> DataFrame:
     """SemDeDup: near-duplicate pairs (cosine >= threshold) WITHIN a
     cluster only — candidate generation cost is the sum of squared
     cluster sizes, not n². Output (cell, id_a, id_b, cosine)."""
+    assign = assign_cells_numpy if kernel == "numpy" else assign_cells
     # cache: both sides of the self-join read the assignment, and the
-    # 32-cell distance expression is the expensive part of this plan
-    assigned = assign_cells(df, centroids, id_col, vec_col).cache()
+    # cell-assignment expression is the expensive part of this plan
+    assigned = assign(df, centroids, id_col, vec_col).cache()
     a = assigned.select(
         "cell", F.col("id").alias("id_a"), F.col("vec").alias("va")
     )

@@ -451,7 +451,7 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ).cache()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         msgs = (
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy(F.col("dst").alias("id"))
@@ -465,8 +465,15 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             )
-            .cache()
         )
+        if (it + 1) % 5 == 0:
+            # truncate lineage: cache alone keeps the full logical
+            # plan growing one join per iteration — a deep component
+            # at real scale would balloon the driver's DAG (and
+            # re-derivation on executor loss replays every round)
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

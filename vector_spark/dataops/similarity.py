@@ -115,6 +115,7 @@ def lsh_buckets_numpy(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, table, bucket) via ONE BLAS matmul per Arrow batch — the
     100 TB signature kernel (~100x the interpreted-lambda JVM cost of
@@ -150,8 +151,16 @@ def lsh_buckets_numpy(
             buckets(F.col(vec_col)).alias("bucket"),
         )
     )
-    return df.select(F.col(id_col).alias("id"), tb.alias("tb")).select(
-        "id", F.col("tb.table").cast("int").alias("table"), "tb.bucket"
+    # keep_vec carries the vector through the explode (duplicated
+    # n_tables ways) so callers re-ranking candidates don't pay a
+    # shuffle-join back to the source for it
+    extra = [F.col(vec_col).alias("vec")] if keep_vec else []
+    out = df.select(F.col(id_col).alias("id"), *extra, tb.alias("tb"))
+    return out.select(
+        "id",
+        F.col("tb.table").cast("int").alias("table"),
+        "tb.bucket",
+        *(["vec"] if keep_vec else []),
     )
 
 
@@ -191,6 +200,56 @@ def lsh_topk(
     cb = bucketize(corpus, "c")
     cand = (
         qb.join(cb, ["table", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_vec", F.col("c_id").alias("neighbor_id"), "c_vec")
+        .distinct()
+    )
+    scored = cand.withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def lsh_topk_fast(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 10,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """lsh_topk with the BLAS signature kernel — the registered scale
+    path. Buckets come from lsh_buckets_numpy (one matmul per Arrow
+    batch instead of n_bits*n_tables interpreted JVM lambda sums, the
+    ~100x win measured in test_similarity_kernels); the exact cosine
+    re-rank of the (small) candidate set stays JVM-side, strictly
+    left-to-right, so the DuckDB oracle reproduces it bit-for-bit.
+    Bucket agreement with the JVM/oracle path is exact except when a
+    projection sits within one ulp of zero (pairwise vs left-to-right
+    float summation); test_similarity_kernels pins full agreement on
+    the test corpora."""
+    def bucketize(df: DataFrame, side: str) -> DataFrame:
+        # keep_vec rides the vector through the explode — no
+        # shuffle-join back to the source on the (large) corpus side
+        return (
+            lsh_buckets_numpy(
+                df, dim, n_bits, n_tables,
+                id_col=id_col, vec_col=vec_col, keep_vec=True,
+            )
+            .withColumnRenamed("id", f"{side}_id")
+            .withColumnRenamed("vec", f"{side}_vec")
+        )
+
+    qb = bucketize(queries, "q")
+    cb = bucketize(corpus, "c")
+    cand = (
+        F.broadcast(qb)  # query side is small by definition
+        .join(cb, ["table", "bucket"])
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "q_vec", F.col("c_id").alias("neighbor_id"), "c_vec")
         .distinct()
@@ -296,32 +355,146 @@ def ivf_topk(
             ]
         )
 
+    # The score array must be evaluated ONCE per row: Catalyst does
+    # not CSE across higher-order-function lambdas, and CollapseProject
+    # re-inlines a multiply-referenced alias — so every derivation
+    # below references `scores` exactly once (argmax via struct
+    # array-max, not array_position(scores, array_max(scores))).
+    # array_max over struct(s, -i) picks the max score and, on exact
+    # float ties, the smallest index — identical to the oracle's
+    # first-position-of-max.
+    idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
+
+    def argmax_cell(scores):
+        amax = F.array_max(
+            F.zip_with(
+                scores, idx,
+                lambda s, i: F.struct(s.alias("s"), (-i).alias("ni")),
+            )
+        )
+        return -amax["ni"]
+
     c_assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        (F.array_position(
-            cell_scores(F.col(vec_col)),
-            F.array_max(cell_scores(F.col(vec_col))),
-        ) - 1).alias("cell"),
+        argmax_cell(cell_scores(F.col(vec_col))).alias("cell"),
     )
-    scores = cell_scores(F.col(vec_col))
-    idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
-    ranked_cells = F.slice(
-        F.transform(
-            F.array_sort(
-                F.zip_with(scores, idx, lambda s, i: F.struct((-s).alias("neg"), i.alias("i")))
+
+    def ranked_cells(scores):
+        return F.slice(
+            F.transform(
+                F.array_sort(
+                    F.zip_with(
+                        scores, idx,
+                        lambda s, i: F.struct((-s).alias("neg"), i.alias("i")),
+                    )
+                ),
+                lambda x: x["i"],
             ),
-            lambda x: x["i"],
-        ),
-        1,
-        n_probe,
-    )
-    q_assigned = queries.select(
+            1,
+            n_probe,
+        )
+
+    q_scored = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(ranked_cells).alias("cell"),
+        cell_scores(F.col(vec_col)).alias("scores"),
     )
-    cand = q_assigned.join(c_assigned, "cell").filter(
+    q_assigned = q_scored.select(
+        "q_id",
+        "q_vec",
+        F.explode(ranked_cells(F.col("scores"))).alias("cell"),
+    )
+    cand = F.broadcast(q_assigned).join(c_assigned, "cell").filter(
+        F.col("q_id") != F.col("neighbor_id")
+    )
+    scored = cand.withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ivf_cells_numpy(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    n_probe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell assignment via ONE BLAS matmul per Arrow batch — the
+    100 TB twin of ivf_topk's JVM cell_scores (which codegens
+    n_cells*dim literals into the projection and evaluates
+    interpreted lambdas per row). Without n_probe: (id, vec, cell)
+    with cell = argmax-dot centroid, ties to the smallest index
+    (numpy argmax = first max, same as the JVM struct-max). With
+    n_probe: the n_probe best cells exploded per row (query side;
+    stable argsort ties to the smaller index like the JVM
+    array_sort on struct(-s, i)). Float caveat mirrors
+    lsh_buckets_numpy: BLAS pairwise vs left-to-right summation can
+    differ within one ulp — test_similarity_kernels pins full cell
+    agreement on the test corpora."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.array(
+        [_hyperplane(dim, c + 101, 7) for c in range(n_cells)]
+    )  # (cells, dim)
+
+    if n_probe is None:
+        @pandas_udf(T.IntegerType())
+        def best_cell(vecs: pd.Series) -> pd.Series:
+            mat = np.array(vecs.tolist(), dtype=np.float64)
+            return pd.Series(
+                (mat @ cents.T).argmax(axis=1).astype("int32")
+            )
+
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            best_cell(F.col(vec_col)).alias("cell"),
+        )
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        order = np.argsort(-(mat @ cents.T), axis=1, kind="stable")
+        return pd.Series(order[:, :n_probe].astype("int32").tolist())
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+
+
+def ivf_topk_fast(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ivf_topk with the BLAS cell kernel — the registered scale
+    path. Assignment and probe ranking run as one matmul per Arrow
+    batch (ivf_cells_numpy); the exact cosine re-rank of candidates
+    stays JVM-side, strictly left-to-right, so the DuckDB oracle
+    reproduces it bit-for-bit."""
+    c_assigned = ivf_cells_numpy(
+        corpus, dim, n_cells, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "cell"
+    )
+    q_assigned = ivf_cells_numpy(
+        queries, dim, n_cells, n_probe=n_probe, id_col=id_col, vec_col=vec_col
+    ).select(F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), "cell")
+    cand = F.broadcast(q_assigned).join(c_assigned, "cell").filter(
         F.col("q_id") != F.col("neighbor_id")
     )
     scored = cand.withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))

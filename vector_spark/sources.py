@@ -588,8 +588,21 @@ def decode_gelf(df: DataFrame, line_col: str = "line") -> DataFrame:
     surface in an `additional` map<string,string>. Spec violations
     set `_decode_error` instead of erroring the batch."""
     col = F.col(line_col)
-    core = F.from_json(col, GELF_CORE_SCHEMA)
+    # ONE json parse per row: everything derives from the string map
+    # (scalar JSON tokens keep their literal text, so the typed core
+    # fields are exact casts of the map values — no second from_json)
     allmap = F.from_json(col, "map<string,string>")
+
+    class _CoreView:
+        """core[field] with GELF_CORE_SCHEMA's types, served from the
+        single map parse."""
+
+        def __getitem__(self, name: str):
+            v = allmap[name]
+            typ = {f.name: f.dataType for f in GELF_CORE_SCHEMA}[name]
+            return v if isinstance(typ, T.StringType) else v.cast(typ)
+
+    core = _CoreView()
     extras = F.map_filter(
         allmap,
         lambda k, v: k.startswith("_")
