@@ -63,6 +63,15 @@ class VrlCompileError(ValueError):
     pass
 
 
+class VrlStaticAbort(Exception):
+    """An `abort` reached on the statically-unconditional path: the
+    program provably stops here for every event. eval_vrl truncates
+    the plan at this statement and returns the event-so-far (the
+    reference corpus records exactly that state); compile_vrl
+    re-raises as VrlCompileError so production remap falls back to
+    the interpreter, whose abort/drop routing is exact."""
+
+
 # ---------------------------------------------------------------------------
 # tokenizer
 # ---------------------------------------------------------------------------
@@ -970,6 +979,11 @@ class Compiler:
         # expressions are self-contained (eval mode) — compile_vrl
         # plans reference real df columns and skip probing.
         self._spark = probe_spark
+        # >0 while compiling a conditionally-executed region (if
+        # branch with non-constant condition, closure body, ?? arm):
+        # an `abort` there is data-dependent and stays out of the
+        # compile subset; at depth 0 it is a static program exit
+        self._branch_depth = 0
 
     # ---- helpers ----
 
@@ -1009,21 +1023,44 @@ class Compiler:
     def lookup_path(self, path: Path) -> Column:
         if not path.segments:
             return self.event_struct()
-        key = self._event_key(path)
-        if key in self.env.bind:
+        segs = path.segments
+
+        def step(col: Column, seg) -> Column:
+            if isinstance(seg, tuple) and seg and seg[0] == "|":
+                # static path coalescing on READ: first alternative
+                # that resolves — value-level coalesce of the steps
+                return F.coalesce(*[step(col, a) for a in seg[1]])
+            if isinstance(seg, int):
+                return F.try_element_at(
+                    col, F.lit(seg + 1 if seg >= 0 else seg)
+                )
+            return col.getItem(seg)
+
+        if isinstance(segs[0], tuple) and segs[0] and segs[0][0] == "|":
+            heads = [
+                self.env.bind["." + str(a)]
+                for a in segs[0][1]
+                if ("." + str(a)) in self.env.bind
+            ]
+            if not heads:
+                return F.lit(None)
+            col = F.coalesce(*heads) if len(heads) > 1 else heads[0]
+            for seg in segs[1:]:
+                col = step(col, seg)
+            return col
+        key = None
+        if not any(isinstance(s, tuple) for s in segs):
+            key = self._event_key(path)
+        if key is not None and key in self.env.bind:
             return self.env.bind[key]
         # nested access into a bound parent (struct field / map key /
-        # array index — getItem covers all three)
-        head = "." + str(path.segments[0])
+        # array index — getItem covers all three; coalesce segments
+        # become value-level coalesces over the alternatives)
+        head = "." + str(segs[0])
         if head in self.env.bind:
             col = self.env.bind[head]
-            for seg in path.segments[1:]:
-                if isinstance(seg, int):
-                    col = F.try_element_at(
-                        col, F.lit(seg + 1 if seg >= 0 else seg)
-                    )
-                else:
-                    col = col.getItem(seg)
+            for seg in segs[1:]:
+                col = step(col, seg)
             return col
         return F.lit(None)
 
@@ -1221,6 +1258,18 @@ class Compiler:
                 if kl and kr:
                     eq = _strict_eq(lv, rv)
                     return True, (eq if node.op == "==" else not eq)
+                return False, None
+            if node.op == "*":
+                kl, lv = self.py_value(node.left)
+                kr, rv = self.py_value(node.right)
+                # VRL string repetition (int * str in either order)
+                if kl and kr and (
+                    isinstance(lv, int) and isinstance(rv, str)
+                    or isinstance(lv, str) and isinstance(rv, int)
+                ) and not isinstance(lv, bool) and not isinstance(
+                    rv, bool
+                ):
+                    return True, lv * rv
                 return False, None
             if node.op in ("&&", "||"):
                 kl, lv = self.py_value(node.left)
@@ -1462,6 +1511,43 @@ class Compiler:
             return ("obj", d)
         return ("arr", None)
 
+    def _resolve_coalesce_segs(self, segs, head_shape=None, event=True):
+        """Statically resolve `(a | b)` coalesce segments in an
+        ASSIGNMENT path: the reference overwrites the first
+        alternative that exists, else materializes the LAST one
+        (expressions/assignment/read_only_coalesce_allowed.vrl,
+        single_external_complex.vrl). Existence is judged from the
+        compile-time env/shape — exactly what the subset knows."""
+        out = []
+        sh = head_shape
+        for i, s in enumerate(segs):
+            if isinstance(s, tuple) and s and s[0] == "|":
+                alts = s[1]
+                pick = None
+                if i == 0 and event:
+                    for a in alts:
+                        key = "." + str(a)
+                        if key in self.env.bind and key not in self.env.deleted:
+                            pick = a
+                            break
+                elif sh and isinstance(sh, tuple) and sh[0] == "obj":
+                    for a in alts:
+                        if a in sh[1]:
+                            pick = a
+                            break
+                s = pick if pick is not None else alts[-1]
+            out.append(s)
+            if i == 0 and event:
+                sh = self.env.shape.get("." + str(s))
+            elif sh and isinstance(sh, tuple):
+                if sh[0] == "obj" and isinstance(s, str):
+                    sh = sh[1].get(s)
+                elif sh[0] == "arr":
+                    sh = sh[1]
+                else:
+                    sh = None
+        return out
+
     def assign_target(self, target, col: Column, shape=None, pynode=None):
         sparse = getattr(self.env, "sparse_cols", None)
         if sparse is not None and isinstance(target, Path) and target.segments:
@@ -1487,6 +1573,15 @@ class Compiler:
                 self.env.nodes.pop(target.name, None)
             return
         if isinstance(target, VarPath):
+            if any(isinstance(s, tuple) for s in target.segments):
+                target = VarPath(
+                    target.name,
+                    self._resolve_coalesce_segs(
+                        target.segments,
+                        head_shape=self.env.shape.get(target.name),
+                        event=False,
+                    ),
+                )
             base = self.env.bind.get(target.name)
             if base is None:
                 self.env.bind[target.name] = self._fresh_container(
@@ -1507,6 +1602,8 @@ class Compiler:
             return
         if isinstance(target, Path):
             segs = target.segments
+            if any(isinstance(s, tuple) for s in segs):
+                segs = self._resolve_coalesce_segs(segs)
             if not segs:
                 # '. = expr' replaces the event
                 for t in list(self.env.top):
@@ -1624,7 +1721,17 @@ class Compiler:
         if isinstance(node, Arr):
             if not node.items:
                 return F.array()
-            return F.array(*[self.compile(i) for i in node.items])
+            items = [self.compile(i) for i in node.items]
+            arr = F.array(*items)
+            if len(items) > 1 and not self._probe_ok(arr):
+                # heterogeneous literal array: VRL arrays mix types,
+                # Spark's can't — coerce every element to its string
+                # rendering (documented divergence the golden harness
+                # accepts) instead of failing analysis
+                coerced = F.array(*[c.cast("string") for c in items])
+                if self._probe_ok(coerced):
+                    return coerced
+            return arr
         if isinstance(node, Obj):
             if not node.pairs:
                 return F.struct()  # struct<> — withField-able
@@ -1660,11 +1767,22 @@ class Compiler:
             self.merge_branches(cond, then_env, else_env)
             if then_val is None and else_val is None:
                 return F.lit(None)
-            return F.when(
-                F.coalesce(cond, F.lit(False)),
-                then_val if then_val is not None else F.lit(None),
-            ).otherwise(else_val if else_val is not None else F.lit(None))
+            tv = then_val if then_val is not None else F.lit(None)
+            ev = else_val if else_val is not None else F.lit(None)
+            out = F.when(F.coalesce(cond, F.lit(False)), tv).otherwise(ev)
+            if not self._probe_ok(out):
+                # branch values of different VRL types (string vs
+                # bool, ...): carry both as strings rather than fail
+                # analysis — the documented rendering divergence
+                coerced = F.when(
+                    F.coalesce(cond, F.lit(False)), tv.cast("string")
+                ).otherwise(ev.cast("string"))
+                if self._probe_ok(coerced):
+                    return coerced
+            return out
         if isinstance(node, Abort):
+            if self._branch_depth == 0:
+                raise VrlStaticAbort()
             raise VrlCompileError("abort (out of scope; use vrl_interp)")
         raise VrlCompileError(f"cannot compile node {node!r}")
 
@@ -1685,11 +1803,16 @@ class Compiler:
                 except ValueError:
                     return self.compile(node.right)
             # VRL ?? catches errors; Spark raises type errors at
-            # analysis time, so probe the left plan and fall back
+            # analysis time, so probe the left plan and fall back.
+            # Either arm is a conditionally-taken region (abort there
+            # is data-dependent, not a static exit).
+            self._branch_depth += 1
             try:
                 left = self.compile(node.left)
             except VrlCompileError:
                 left = None
+            finally:
+                self._branch_depth -= 1
             if left is None:
                 return self.compile(node.right)
             right = self.compile(node.right)
@@ -1698,6 +1821,17 @@ class Compiler:
                 return combined
             if not self._probe_ok(left):
                 return right
+            # both sides resolve but their types don't unify (e.g.
+            # ends_with(...) ?? "nope"): VRL values are heterogeneous,
+            # Spark columns aren't — carry BOTH through as strings
+            # (documented string-rendering divergence) rather than
+            # silently dropping the fallback
+            if self._probe_ok(right):
+                both = F.coalesce(
+                    left.cast("string"), right.cast("string")
+                )
+                if self._probe_ok(both):
+                    return both
             return left
         if node.op == "|":
             return self.compile_merge(node.left, node.right)
@@ -1722,6 +1856,21 @@ class Compiler:
             if kl and kr:
                 eq = _strict_eq(lv, rv)
                 return F.lit(eq if node.op == "==" else not eq)
+        if node.op == "&&":
+            # VRL `&&` operands must be boolean (or null): a
+            # statically non-boolean side is a fallible type error the
+            # surrounding ?? recovers from (expressions/logical/and.vrl).
+            # `||` is different — it takes the first TRUTHY value of
+            # any type, so no such check there.
+            for side in (node.left, node.right):
+                ks, sv = self.py_value(side)
+                if ks and sv is not None and not isinstance(sv, bool):
+                    raise VrlCompileError("non-boolean operand to &&")
+                td = self.infer_tdef(side)
+                if td is not None and td and not (
+                    td.get("boolean") or td.get("null")
+                ):
+                    raise VrlCompileError("non-boolean operand to &&")
         if node.op in ("&&", "||"):
             kl, lv = self.py_value(node.left)
             if kl:
@@ -1902,6 +2051,14 @@ class Compiler:
         if name == "assert" and node.args:
             return self.compile(node.args[0]).cast("boolean")
         if name == "to_string" and node.args:
+            sh = self.infer_shape(node.args[0])
+            if sh is not None and isinstance(sh, tuple) and sh[0] in (
+                "arr", "obj",
+            ):
+                # to_string.rs: collections are a type error (the
+                # fallible path ?? recovers; bang-variant aborts —
+                # both out of the Column subset)
+                raise VrlCompileError("to_string of a collection")
             td = self.infer_tdef(node.args[0])
             if td == {"timestamp": True}:
                 ts = self.compile(node.args[0])
@@ -1967,6 +2124,16 @@ class Compiler:
             known, v = self.py_value(node.args[0])
             if known:
                 return F.lit(json.dumps(v, separators=(",", ":")))
+            sh = self.infer_shape(node.args[0])
+            if sh is None or sh[0] not in ("arr", "obj"):
+                col = self.compile(node.args[0])
+                if not self._probe_ok(F.to_json(col)):
+                    # scalar: to_json needs a container, so render
+                    # through a 1-array and strip the brackets — JSON
+                    # escaping/boolean/null rendering all come out
+                    # exactly right
+                    j = F.to_json(F.array(col))
+                    return F.substring(j, F.lit(2), F.length(j) - 2)
         if name == "parse_common_log" and node.args:
             return _parse_common_log_col(self.compile(node.args[0]))
         if name == "parse_syslog" and node.args:
@@ -2274,11 +2441,13 @@ class Compiler:
             env.nodes.pop(p, None)
         saved = self.env
         self.env = env
+        self._branch_depth += 1
         try:
             val = None
             for s in body:
                 val = self.exec_stmt(s)
         finally:
+            self._branch_depth -= 1
             self.env = saved
         return val if val is not None else F.lit(None)
 
@@ -2306,8 +2475,12 @@ class Compiler:
                 self.env.py.pop(p, None)
             self.env.nodes.pop(p, None)
         val = None
-        for s in body:
-            val = self.exec_stmt(s)
+        self._branch_depth += 1
+        try:
+            for s in body:
+                val = self.exec_stmt(s)
+        finally:
+            self._branch_depth -= 1
         for p, (b, sh, pv, nd) in saved.items():
             if b is None:
                 self.env.bind.pop(p, None)
@@ -2527,11 +2700,15 @@ class Compiler:
     def run_block(self, stmts: list, env: Env):
         saved = self.env
         self.env = env
-        val = None
-        for s in stmts:
-            val = self.exec_stmt(s)
-        out_env = self.env
-        self.env = saved
+        self._branch_depth += 1
+        try:
+            val = None
+            for s in stmts:
+                val = self.exec_stmt(s)
+            out_env = self.env
+        finally:
+            self._branch_depth -= 1
+            self.env = saved
         return out_env, val
 
     def merge_branches(self, cond: Column, then_env: Env, else_env: Env):
@@ -2846,11 +3023,17 @@ def compile_vrl(
     if enrichment_rows:
         env.enrichment_rows = enrichment_rows
     comp = Compiler(env)
-    for s in stmts:
-        # a bare trailing '.' (common program terminator) is a no-op here
-        if isinstance(s, Path) and not s.segments:
-            continue
-        comp.exec_stmt(s)
+    try:
+        for s in stmts:
+            # a bare trailing '.' (common program terminator) is a
+            # no-op here
+            if isinstance(s, Path) and not s.segments:
+                continue
+            comp.exec_stmt(s)
+    except VrlStaticAbort:
+        # production remap must route aborted rows, not truncate —
+        # the interpreter tier owns abort semantics
+        raise VrlCompileError("abort (out of scope; use vrl_interp)")
     cols = [
         comp.env.bind["." + n].alias(n) for n in comp._top_fields()
     ]
@@ -2885,8 +3068,15 @@ def eval_vrl(spark, source: str, event: dict | None = None):
         spark.conf.set(k, v)
     try:
         val_col = None
+        aborted = False
         for s in stmts:
-            out = comp.exec_stmt(s)
+            try:
+                out = comp.exec_stmt(s)
+            except VrlStaticAbort:
+                # static program exit: the result is the event state
+                # reached so far (what the reference corpus records)
+                aborted = True
+                break
             val_col = out if isinstance(out, Column) else None
         names = comp._top_fields()
         sel = [
@@ -2904,6 +3094,8 @@ def eval_vrl(spark, source: str, event: dict | None = None):
             else:
                 spark.conf.set(k, v)
     ev = {n: _to_py(row[f"f_{i}"]) for i, n in enumerate(names)}
+    if aborted:
+        return ev, ev
     return _to_py(row["_val"]), ev
 
 
