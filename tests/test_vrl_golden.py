@@ -123,9 +123,7 @@ ADAPTERS = {
     if "ascii_set" in a
     else vrl.encode_percent(to_lit(a["value"])),
     "decode_percent": lambda a: vrl.decode_percent(to_lit(a["value"])),
-    "encode_json": lambda a: vrl.encode_json(to_lit(a["value"]))
-    if isinstance(a["value"], (list, dict))
-    else (_ for _ in ()).throw(Unsupported("scalar encode_json")),
+    "encode_json": lambda a: vrl.encode_json(to_lit(a["value"])),
     "md5": lambda a: vrl.md5_(to_lit(a["value"])),
     "sha1": lambda a: vrl.sha1_(to_lit(a["value"])),
     "sha2": lambda a: vrl.sha2_(

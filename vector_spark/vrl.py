@@ -160,8 +160,13 @@ def decode_base64(col: Column, charset: str = "standard") -> Column:
 
 
 def encode_json(col: Column) -> Column:
-    """encode_json.rs: struct/map/array -> JSON string."""
-    return F.to_json(col)
+    """encode_json.rs: any value -> JSON string. Rendered through a
+    one-element array (then the brackets stripped) so SCALARS work
+    too — to_json itself only takes containers, and the array form
+    gives exactly the right escaping/boolean/null rendering for
+    every type."""
+    j = F.to_json(F.array(col))
+    return F.substring(j, F.lit(2), F.length(j) - 2)
 
 
 def encode_logfmt(map_col: Column) -> Column:
