@@ -7,7 +7,7 @@ Every case builds the literal arguments as Columns, evaluates on a
 one-row DataFrame, and compares to the reference's expected value.
 Cases whose argument types can't be a Spark literal (mixed-type
 arrays — VRL is dynamically typed, Spark arrays are homogeneous) are
-skipped explicitly; a summary test enforces that at least 150 cases
+skipped explicitly; a summary test enforces that at least 290 cases
 actually executed so skips can't silently hollow the suite out.
 """
 
@@ -53,6 +53,29 @@ def to_lit(v):
             return F.array(*[to_lit(x) for x in v])
         raise Unsupported(f"mixed-type array {v!r}")
     raise Unsupported(f"unrepresentable literal {v!r}")
+
+
+def _grok_map(value: str, grok: str, keep_empty: bool):
+    """parse_grok / parse_groks golden adapter: grok -> regex via the
+    library compiler, extraction via the same Arrow-batched kernel the
+    DataFrame stage uses, surfaced as a map. parse_grok drops groups
+    that did not participate in the match; parse_groks keeps every
+    alias with an empty-string default (parse_groks.rs)."""
+    from vector_spark.functions import grok_to_regex_typed, make_regex_parser
+
+    pattern, _casts = grok_to_regex_typed(grok)
+    parser, struct = make_regex_parser(pattern)
+    col = parser(F.lit(value))
+    names = [f.name for f in struct.fields]
+    m = F.map_from_arrays(
+        F.array(*[F.lit(n) for n in names]),
+        F.array(*[col[n] for n in names]),
+    )
+    if keep_empty:
+        return F.transform_values(m, lambda k, v: F.coalesce(v, F.lit("")))
+    # Arrow's extract_regex yields '' (not null) for groups that did
+    # not participate — drop both forms, like parse_grok.rs
+    return F.map_filter(m, lambda k, v: v.isNotNull() & (v != ""))
 
 
 def _dtype_of(v) -> str:
@@ -163,7 +186,23 @@ ADAPTERS = {
     "push": lambda a: vrl.push(to_lit(a["value"]), to_lit(a["item"])),
     "flatten": lambda a: vrl.flatten(to_lit(a["value"]))
     if a["value"] and all(isinstance(x, list) for x in a["value"])
-    else (_ for _ in ()).throw(Unsupported("flatten of non-nested")),
+    else (
+        # flat array: VRL flatten is identity — exercised through the
+        # same F.flatten by wrapping in a one-element outer array
+        vrl.flatten(F.array(to_lit(a["value"])))
+        if a["value"] and not any(isinstance(x, list) for x in a["value"])
+        else (_ for _ in ()).throw(Unsupported("flatten of mixed depth"))
+    ),
+    # the `pattern` form drops non-participating groups; the
+    # `patterns` (parse_groks-style) form keeps every alias with an
+    # empty-string default (parse_grok.rs vs parse_groks.rs)
+    "parse_grok": lambda a: _grok_map(a["value"], a["pattern"], False)
+    if "pattern" in a
+    else (
+        _grok_map(a["value"], a["patterns"][0], True)
+        if len(a["patterns"]) == 1
+        else (_ for _ in ()).throw(Unsupported("multi-pattern parse_groks"))
+    ),
     "unique": lambda a: vrl.unique(to_lit(a["value"])),
     "includes": lambda a: vrl.includes(to_lit(a["value"]), to_lit(a["item"])),
     "tally": lambda a: vrl.tally(to_lit(a["value"])),
@@ -306,6 +345,6 @@ def test_golden(spark, case):
 
 
 def test_golden_coverage_floor():
-    """At least 150 reference vectors must have actually executed —
+    """At least 290 reference vectors must have actually executed —
     skips (mixed-type arrays etc.) can't hollow out the suite."""
-    assert len(EXECUTED) >= 150, f"only {len(EXECUTED)} golden cases ran"
+    assert len(EXECUTED) >= 290, f"only {len(EXECUTED)} golden cases ran"

@@ -230,7 +230,34 @@ def grok_to_regex_typed(
         out = expanded
     else:
         raise ValueError("grok pattern expansion exceeded max depth (cycle?)")
-    return out, casts
+    return _uncapture(out), casts
+
+
+def _uncapture(pattern: str) -> str:
+    """Rewrite bare capture groups `(` to non-capturing `(?:`. Grok
+    extraction is by named alias only, but users write literal parens
+    for alternation (`(%{A:a}|%{B:b})`) which the RE2 extract kernel
+    rejects as unnamed captures. Escapes and character classes are
+    honored; `(?...)` constructs pass through untouched."""
+    buf, i, in_class = [], 0, False
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            buf.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "(" and pattern[i + 1 : i + 2] != "?":
+            buf.append("(?:")
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    return "".join(buf)
 
 
 def grok_to_regex(grok: str) -> str:
