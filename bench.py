@@ -293,6 +293,22 @@ def soak_bench(spark, target_lines: int = 2_000_000) -> dict:
     }
 
 
+def main_soak_only() -> int:
+    """One soak measurement at $SPARK_GRAFT_CPUS, printed as a JSON
+    line. Run as a subprocess by the full bench for the local[4]
+    reference-comparable leg (the reference's soak numbers are 4-core:
+    soaks/README.md), so the low-parallelism session doesn't share a
+    JVM with the 32-thread one."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from vector_spark.session import get_spark
+
+    spark = get_spark("vector-spark-soak", master=f"local[{CPUS}]")
+    out = soak_bench(spark)
+    spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from vector_spark.session import get_spark
@@ -346,6 +362,10 @@ def main() -> int:
         result["host_probe"] = _host_ceiling_probe(8, 32, secs=3.0)
 
     spark.stop()
+    if not flagship_only:
+        # after stop(): the idle 32-thread JVM must not share the box
+        # with the 4-core reference-comparable leg
+        result["soak_local4"] = _soak_local4()
     # full detail (per-round arrays, soak, probe) goes to a sidecar —
     # the driver's tail capture keeps only the LAST 2000 chars of
     # stdout, so the final line must fit inside that or the round's
@@ -358,7 +378,9 @@ def main() -> int:
     compact = {
         k: v
         for k, v in result.items()
-        if k not in ("queries_all_secs", "soak", "host_probe", "cpu_secs")
+        if k not in (
+            "queries_all_secs", "soak", "soak_local4", "host_probe", "cpu_secs"
+        )
     }
     compact["queries"] = {
         n: round(s, 2) for n, s in result["queries"].items()
@@ -374,6 +396,32 @@ def main() -> int:
         line = json.dumps(compact)
     print(line)
     return 0
+
+
+def _soak_local4() -> dict:
+    """The reference-comparable soak datum: a fresh local[4] process
+    (reference soaks run 4-core — datadog_agent_remap_datadog_logs
+    mean ~7.86 MiB/s/core) AFTER the 32-thread session has stopped
+    competing, best of 2 attempts. Recorded every round so the series
+    r2 (8.14-8.22) onward stays alive."""
+    here = os.path.abspath(__file__)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    for attempt in (1, 2):
+        out = subprocess.run(
+            [sys.executable, here, "--soak-only"],
+            env=env, capture_output=True, text=True,
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            try:
+                return json.loads(out.stdout.strip().splitlines()[-1])
+            except json.JSONDecodeError:
+                pass
+        print(
+            f"# local[4] soak attempt {attempt} failed "
+            f"(rc={out.returncode}): {out.stderr[-300:]}",
+            file=sys.stderr,
+        )
+    return {"error": "local[4] soak failed twice"}
 
 
 def _prepare_scaled_input(mult: int) -> str:
@@ -550,4 +598,8 @@ def main_scaling() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main_scaling() if "--scaling" in sys.argv else main())
+    if "--scaling" in sys.argv:
+        raise SystemExit(main_scaling())
+    if "--soak-only" in sys.argv:
+        raise SystemExit(main_soak_only())
+    raise SystemExit(main())
