@@ -18,19 +18,32 @@ from pyspark.sql import functions as F
 from vector_spark.dataops.text import tokens
 
 
-def shingles(col: Column, n: int = 5) -> Column:
-    """Distinct word n-grams of the lowercased token stream. Guarded:
-    Spark's sequence() descends when stop < start, so short docs get
-    an explicit empty array."""
-    toks = tokens(col)
-    size = F.size(toks)
+def token_shingles(tok_col: Column, n: int = 5) -> Column:
+    """Distinct word n-grams from an already-projected token-array
+    column. Guarded: Spark's sequence() descends when stop < start,
+    so short docs get an explicit empty array.
+
+    The token array must be a column of its own projection — inlining
+    the tokenization here replicates its subtree per gram element
+    (O(len^2) splitting; measured 6x on the sf0.1 documents table).
+    A multiply-referenced non-cheap alias survives CollapseProject
+    and is evaluated once per row."""
+    size = F.size(tok_col)
     grams = F.transform(
         F.sequence(F.lit(1), size - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+        lambda i: F.array_join(F.slice(tok_col, i, n), " "),
     )
     return F.array_distinct(
         F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
     )
+
+
+def shingles(col: Column, n: int = 5) -> Column:
+    """Distinct word n-grams of the lowercased token stream. Prefer
+    projecting tokens() to a column and calling token_shingles — this
+    single-expression form embeds the tokenization once per reference
+    (see token_shingles docstring)."""
+    return token_shingles(tokens(col), n)
 
 
 def decontaminate(
@@ -48,11 +61,14 @@ def decontaminate(
     complete per-document verdict, not just the positives.
     """
     bench_shingles = (
-        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        benchmark.select(tokens(F.col(text_col)).alias("_toks"))
+        .select(F.explode(token_shingles(F.col("_toks"), n)).alias("shingle"))
         .distinct()
     )
     corpus_shingles = corpus.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col), F.explode(token_shingles(F.col("_toks"), n)).alias("shingle")
     )
     hits = (
         corpus_shingles.join(F.broadcast(bench_shingles), "shingle")

@@ -43,14 +43,24 @@ def token_int(col):
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    The token array is projected into its own column FIRST: inlining
+    split() into the gram lambda replicates the tokenization subtree
+    per gram element (O(len^2) splitting — measured 6x on the sf0.1
+    documents table). As a multiply-referenced non-cheap alias it
+    survives CollapseProject and is evaluated once per row."""
+    tokd = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks"),
+    )
+    toks = F.col("_toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
     )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        tokd.select("id", F.explode(F.array_distinct(grams)).alias("shingle"))
         .distinct()
     )
 
