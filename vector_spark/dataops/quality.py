@@ -39,18 +39,24 @@ MAX_TOP_BIGRAM_FRAC = 0.20
 MIN_ALPHA_WORD_FRAC = 0.90
 
 
-def dup_token_frac(col: Column) -> Column:
-    toks = tokens(col)
+def dup_token_frac_tokens(toks: Column) -> Column:
     return F.round(
         1.0 - F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)),
         6,
     )
 
 
-def alpha_word_frac(col: Column) -> Column:
-    toks = tokens(col)
+def dup_token_frac(col: Column) -> Column:
+    return dup_token_frac_tokens(tokens(col))
+
+
+def alpha_word_frac_tokens(toks: Column) -> Column:
     alpha = F.filter(toks, lambda t: t.rlike("[a-z]"))
     return F.round(F.size(alpha) / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def alpha_word_frac(col: Column) -> Column:
+    return alpha_word_frac_tokens(tokens(col))
 
 
 def top_bigram_frac(col: Column) -> Column:
@@ -66,7 +72,10 @@ def top_bigram_frac(col: Column) -> Column:
     distinct element (Catalyst does not CSE inside lambda bodies),
     which measured ~12x slower at sf0.1; the run-length form
     evaluates every array exactly once per row."""
-    toks = tokens(col)
+    return top_bigram_frac_tokens(tokens(col))
+
+
+def top_bigram_frac_tokens(toks: Column) -> Column:
     n = F.size(toks)
     bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
@@ -98,20 +107,26 @@ def top_bigram_frac(col: Column) -> Column:
 def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, metrics..., gopher_pass) — flags are computed from the
     ROUNDED metrics so both engines sit on the same side of every
-    threshold boundary."""
-    c = F.col(text_col)
-    n = token_count(c)
-    mtl = mean_token_len(c)
-    dup = dup_token_frac(c)
-    top2 = top_bigram_frac(c)
-    alpha = alpha_word_frac(c)
-    out = df.select(
+    threshold boundary.
+
+    The token array is projected ONCE and every metric reads the
+    column: inlining tokens() into each metric re-evaluates the
+    split per reference (~10 per row across the five rules). A
+    multiply-referenced non-cheap alias survives CollapseProject."""
+    tokd = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    mtl = F.round(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        / F.greatest(F.size(toks), F.lit(1)),
+        6,
+    )
+    out = tokd.select(
         F.col(id_col),
-        n.cast("bigint").alias("n_tokens"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
         mtl.alias("mean_token_len"),
-        dup.alias("dup_token_frac"),
-        top2.alias("top_bigram_frac"),
-        alpha.alias("alpha_word_frac"),
+        dup_token_frac_tokens(toks).alias("dup_token_frac"),
+        top_bigram_frac_tokens(toks).alias("top_bigram_frac"),
+        alpha_word_frac_tokens(toks).alias("alpha_word_frac"),
     )
     passed = (
         (F.col("n_tokens") >= MIN_TOKENS)
