@@ -804,8 +804,18 @@ def q_metric_to_log(spark, sf_dir):
 
 
 def q_docs_lang_id(spark, sf_dir):
-    """n-gram language-ID heuristic (pandas UDF over Arrow batches);
-    rows-only check (the heuristic has no SQL twin)."""
+    """n-gram language-ID heuristic (pandas UDF over Arrow batches).
+
+    PERMANENTLY rows-only, by design: language ID is a task-brief
+    addition (the reference has no language transform — its closest
+    enrichment is geoip, src/transforms/geoip.rs), and the classifier
+    is a Cavnar-Trenkle trigram-profile vote (dataops/text.py:106-185)
+    whose ~5k-entry profile tables and argmax tie-breaking have no
+    faithful ANSI-SQL twin — a DuckDB re-implementation would just be
+    a second copy of the same heuristic, gating nothing. Accuracy is
+    instead gated directly: tests/test_langid.py holds >=96.5% on the
+    labeled corpus, and the driver's rows-only check still pins row
+    count and schema."""
     from vector_spark.dataops.text import lang_id_udf
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
