@@ -133,3 +133,22 @@ def test_grok_alias_sanitization():
 
     rx, _ = grok_to_regex_typed("%{INT:response.time} %{INT:[@meta][x]}")
     assert "(?P<response_time>" in rx and "(?P<meta_x>" in rx
+
+
+def test_uncapture_bare_groups():
+    """Bare capture groups become non-capturing; named groups,
+    escaped parens, and char-class parens are untouched."""
+    from vector_spark.functions import _uncapture, grok_to_regex
+
+    assert _uncapture(r"(a|b)") == r"(?:a|b)"
+    assert _uncapture(r"(?P<x>a)(b)") == r"(?P<x>a)(?:b)"
+    assert _uncapture(r"\(literal\)") == r"\(literal\)"
+    assert _uncapture(r"[()]+(x)") == r"[()]+(?:x)"
+    assert _uncapture(r"(?:already)") == r"(?:already)"
+    # alternation grok: the whole pattern must compile RE2-clean with
+    # only named groups
+    import re as _re
+
+    rx = grok_to_regex("(%{TIMESTAMP_ISO8601:ts}|%{LOGLEVEL:level})")
+    compiled = _re.compile(rx)
+    assert compiled.groups == len(compiled.groupindex)
