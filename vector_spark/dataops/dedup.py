@@ -467,6 +467,9 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        # the changed flag rides the label frame itself (new < old
+        # iff a neighbor message beat the old label) — detecting the
+        # fixpoint needs no second join-and-count pass per iteration
         new_labels = (
             labels.join(msgs, "id", "left")
             .select(
@@ -474,6 +477,8 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nbr_min"), F.col("label")) < F.col("label"))
+                .alias("_chg"),
             )
         )
         if (it + 1) % 5 == 0:
@@ -484,15 +489,10 @@ def connected_components(
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        converged = new_labels.filter(F.col("_chg")).isEmpty()
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if converged:
             break
     edges.unpersist()
     return labels.select(
