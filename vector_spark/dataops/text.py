@@ -72,15 +72,46 @@ def quality_score(col: Column) -> Column:
 
 
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document text metrics in ONE pass over a projected token
+    array (inlining tokens() into each metric re-evaluates the split
+    per reference — see quality.gopher_quality); quality_score is
+    derived from the already-rounded metric COLUMNS, which is exactly
+    the per-text helper's arithmetic."""
     c = F.col(text_col)
-    return df.select(
+    tokd = df.select(
         F.col(id_col),
-        token_count(c).alias("n_tokens"),
-        char_count(c).alias("n_chars"),
+        F.length(c).alias("n_chars"),
         punct_ratio(c).alias("punct_ratio"),
-        stopword_ratio(c).alias("stopword_ratio"),
-        mean_token_len(c).alias("mean_token_len"),
-        quality_score(c).alias("quality_score"),
+        tokens(c).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    stops = F.filter(toks, lambda t: t.isin(STOPWORDS))
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    base = tokd.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.col("n_chars"),
+        F.col("punct_ratio"),
+        F.round(F.size(stops) / F.greatest(n, F.lit(1)), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(total / F.greatest(n, F.lit(1)), 6).alias("mean_token_len"),
+    )
+    len_ok = F.when(
+        (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 5000), 1.0
+    ).otherwise(0.3)
+    mtl_ok = F.when(
+        (F.col("mean_token_len") >= 3.0) & (F.col("mean_token_len") <= 12.0),
+        1.0,
+    ).otherwise(0.4)
+    punct_ok = F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.5)
+    stop_ok = F.when(F.col("stopword_ratio") >= 0.05, 1.0).otherwise(0.6)
+    return base.select(
+        "*",
+        F.round(
+            len_ok * 0.3 + mtl_ok * 0.3 + punct_ok * 0.2 + stop_ok * 0.2, 6
+        ).alias("quality_score"),
     )
 
 
