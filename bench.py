@@ -370,11 +370,14 @@ def main() -> int:
     # the driver's tail capture keeps only the LAST 2000 chars of
     # stdout, so the final line must fit inside that or the round's
     # bench artifact records parsed:null (round 3's 3.5 KB line did)
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as fh:
-        json.dump(result, fh, indent=1)
+    if not flagship_only:
+        # only the FULL run owns the committed sidecar — scaling legs
+        # run --flagship-only as subprocesses and must not clobber it
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as fh:
+            json.dump(result, fh, indent=1)
     compact = {
         k: v
         for k, v in result.items()
