@@ -104,3 +104,21 @@ def test_parse_scan_prunes_columns(spark):
     assert "ReadSchema" in head
     assert "tool" not in head.split("ReadSchema")[1], \
         f"transcripts scan reads unused columns: {head}"
+
+
+# -- single-tokenization invariant ------------------------------------------
+
+@pytest.mark.parametrize("name", [
+    "docs_gopher_quality", "docs_text_stats",
+])
+def test_tokenize_once_per_row(spark, name):
+    """The token array must be PROJECTED once, not inlined per metric:
+    an inlined split() re-evaluates per reference / per lambda element
+    (O(len^2) tokenization — the CollapseProject trap that cost 4x on
+    decontam). One split per projection chain is the invariant."""
+    plan = _final_plan(_q(spark, name))
+    # the physical plan prints one split(...) call per evaluation site
+    assert plan.count("split(") <= 1, (
+        f"{name} re-tokenizes per metric ({plan.count('split(')} split "
+        f"sites):\n{plan[:2000]}"
+    )
