@@ -63,6 +63,17 @@ def test_parse_duration(row):
     assert row(parse_duration_ms(F.lit("2m"))) == 120000.0
 
 
+def test_encode_json_contract(row):
+    # pin the serde contract: NULL serializes to the literal string
+    # 'null' (encode_json.rs: serde_json::to_string(Value::Null)),
+    # NOT SQL-NULL pass-through — a deliberate divergence from the
+    # pre-r4 behavior, matching the reference
+    assert row(vrl.encode_json(F.lit(None))) == "null"
+    assert row(vrl.encode_json(F.lit("a\"b"))) == '"a\\"b"'
+    assert row(vrl.encode_json(F.lit(True))) == "true"
+    assert row(vrl.encode_json(F.lit(1.5))) == "1.5"
+
+
 def test_collection_functions(row):
     arr = F.array(F.lit("a"), F.lit(None).cast("string"), F.lit(""), F.lit("b"))
     assert row(vrl.compact(arr)) == ["a", "b"]

@@ -45,6 +45,12 @@ def token_int(col):
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle).
 
+    PRECONDITION: `id_col` values must be unique (one row per doc).
+    (id, shingle) uniqueness — which ngram_jaccard_pairs' df-counts
+    and intersection counts rely on — comes from array_distinct
+    within the single row each doc occupies; duplicate ids would
+    inflate both. The documents table's doc_id is its primary key.
+
     The token array is projected into its own column FIRST: inlining
     split() into the gram lambda replicates the tokenization subtree
     per gram element (O(len^2) splitting — measured 6x on the sf0.1

@@ -239,18 +239,23 @@ def _uncapture(pattern: str) -> str:
     for alternation (`(%{A:a}|%{B:b})`) which the RE2 extract kernel
     rejects as unnamed captures. Escapes and character classes are
     honored; `(?...)` constructs pass through untouched."""
-    buf, i, in_class = [], 0, False
+    buf, i, in_class, class_start = [], 0, False, False
     while i < len(pattern):
         ch = pattern[i]
         if ch == "\\" and i + 1 < len(pattern):
             buf.append(pattern[i : i + 2])
             i += 2
+            class_start = False
             continue
         if in_class:
-            if ch == "]":
+            # a ']' immediately after '[' or '[^' is a literal class
+            # member (POSIX/RE2 rule), not the class terminator
+            if ch == "]" and not class_start:
                 in_class = False
+            class_start = class_start and ch == "^" and pattern[i - 1] == "["
         elif ch == "[":
             in_class = True
+            class_start = True
         elif ch == "(" and pattern[i + 1 : i + 2] != "?":
             buf.append("(?:")
             i += 1

@@ -397,15 +397,21 @@ def parse_aws_vpc_flow_log(
     Custom `format` strings reorder/subset fields exactly like the
     reference's optional format argument."""
     fields = (format or VPC_FLOW_DEFAULT_FORMAT).split(" ")
-    toks = F.split(F.col(line_col), " ")
-    out = df.withColumn(
+    # project the token array to a named column first: Catalyst's
+    # CollapseProject keeps a multiply-referenced non-cheap alias, so
+    # the line splits ONCE per row instead of once per field (the
+    # inline form leans on codegen subexpression elimination, which
+    # doesn't always fire across 14+ references)
+    out = df.withColumn("_toks", F.split(F.col(line_col), " "))
+    toks = F.col("_toks")
+    out = out.withColumn(
         "_parse_error", F.size(toks) != F.lit(len(fields))
     )
     for i, name in enumerate(fields):
         raw = F.nullif(F.element_at(toks, i + 1), F.lit("-"))
         col = raw.cast("long") if name in _VPC_INT_FIELDS else raw
         out = out.withColumn(name, col)
-    return out
+    return out.drop("_toks")
 
 
 # ---------------------------------------------------------------------------
