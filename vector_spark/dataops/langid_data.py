@@ -183,3 +183,61 @@ SCRIPT_RANGES: list[tuple[int, int, str]] = [
 # cyrillic split: ukrainian-only vs russian-only letters
 UK_CHARS = set("іїєґ")
 RU_CHARS = set("ыэъё")
+
+# high-frequency function/marker words per Latin-script language —
+# word-level evidence that separates close relatives (fr/it, no/da,
+# es/pt) where character trigrams overlap heavily. Chosen to be
+# distinctive: shared forms (no/da 'ikke', 'mens') are omitted or
+# listed for every language that uses them ('av' -> sv+no, 'af' ->
+# da) so a hit never favors the wrong sibling.
+FUNCTION_WORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "are", "was", "this", "that",
+           "with", "should", "from", "while", "at", "after", "all",
+           "will", "has", "have"),
+    "es": ("el", "los", "las", "una", "por", "para", "con", "del",
+           "es", "está", "sobre", "mientras"),
+    "fr": ("le", "la", "les", "des", "du", "est", "et", "dans",
+           "pour", "que", "une", "devrait", "nous", "ceci", "au",
+           "aux", "avec", "pas", "ne", "se", "elle", "mais", "plus",
+           "sur", "avant", "après"),
+    "de": ("der", "die", "das", "und", "ist", "mit", "für", "von",
+           "den", "ein", "eine", "über", "während", "zu", "nach",
+           "dass", "nicht", "auch"),
+    "it": ("il", "lo", "gli", "della", "nella", "per", "che",
+           "è", "sono", "questo", "mentre", "sopra", "dal", "di",
+           "al", "si", "non", "più", "anche", "dopo", "molto"),
+    "pt": ("o", "os", "as", "uma", "do", "da", "dos", "para",
+           "com", "em", "não", "é", "enquanto", "sobre"),
+    "nl": ("de", "het", "een", "van", "en", "is", "voor", "met",
+           "aan", "zijn", "te", "terwijl", "naar"),
+    "sv": ("och", "att", "det", "som", "för", "på", "av", "är",
+           "med", "en", "ett", "till", "medan", "från", "inte",
+           "jag", "upp", "ska", "finns", "mycket", "när", "han",
+           "hon", "efter", "vara", "den", "har"),
+    "no": ("og", "det", "som", "på", "av", "er", "med", "en", "et",
+           "til", "etter", "hva", "ikke", "å", "opp", "når", "mye",
+           "noen", "skal", "være", "han", "hun", "om", "ut", "bare",
+           "den", "har", "mens", "fra", "gutt", "jente", "veldig",
+           "noe"),
+    "da": ("og", "det", "som", "på", "af", "er", "med", "en", "et",
+           "til", "efter", "hvad", "ikke", "at", "op", "når",
+           "meget", "nogle", "skal", "være", "han", "hun", "om",
+           "ud", "kun", "godt", "den", "har", "mens", "fra", "der",
+           "dreng", "pige", "kigger", "noget"),
+    "fi": ("ja", "on", "että", "oli", "mutta", "hän", "se", "tämä",
+           "kun", "yli", "sen"),
+    "pl": ("i", "w", "na", "się", "nie", "jest", "że", "do", "z",
+           "dla", "gdy"),
+    "cs": ("a", "v", "na", "se", "je", "že", "do", "s", "pro",
+           "přes", "aby"),
+    "ro": ("și", "în", "la", "de", "cu", "este", "pentru", "care",
+           "sunt", "peste", "timp"),
+    "hu": ("a", "az", "és", "hogy", "nem", "is", "egy", "van",
+           "meg", "el", "kell"),
+    "tr": ("ve", "bir", "bu", "için", "ile", "çok", "gibi", "daha",
+           "olan", "üzerinden"),
+    "id": ("yang", "dan", "di", "untuk", "dengan", "ini", "itu",
+           "akan", "dari", "adalah", "para"),
+    "vi": ("và", "của", "là", "không", "có", "được", "cho", "trong",
+           "người", "đang", "một"),
+}

@@ -145,6 +145,7 @@ def guess_language(t: str) -> str:
 
     from vector_spark.dataops.langid_data import (
         DISTINCTIVE_CHARS,
+        FUNCTION_WORDS,
         RU_CHARS,
         SCRIPT_RANGES,
         TRIGRAM_PROFILES,
@@ -193,13 +194,35 @@ def guess_language(t: str) -> str:
         if langs:
             for lang in langs:
                 bonus[lang] += CHAR_BONUS / len(langs)
+    # word-level evidence: function words separate close relatives
+    # (fr/it, no/da/sv) whose trigram profiles overlap heavily. A
+    # word shared by k languages splits its weight k ways (same rule
+    # as DISTINCTIVE_CHARS) so shared Scandinavian forms never tip
+    # the scale toward the wrong sibling.
+    if "word_langs" not in _LANGID_STATE:
+        inv: dict[str, list[str]] = {}
+        for lang, ws in FUNCTION_WORDS.items():
+            for w in ws:
+                inv.setdefault(w, []).append(lang)
+        _LANGID_STATE["word_langs"] = inv
+    word_langs = _LANGID_STATE["word_langs"]
+    words = low.replace("'", " ").replace("’", " ").split()
+    WORD_BONUS = CHAR_BONUS // 2
+    wbonus: Counter = Counter()
+    for w in words:
+        langs = word_langs.get(w.strip(".,;:!?()\"«»"))
+        if langs:
+            for lang in langs:
+                wbonus[lang] += WORD_BONUS / len(langs)
+    for lang, b in wbonus.items():
+        bonus[lang] += min(b, 8 * CHAR_BONUS)
     best, best_score = "und", float("inf")
     for lang, ranks in prof_ranks.items():
         dist = sum(
             abs(i - ranks[g]) if g in ranks else MISSING
             for i, g in enumerate(doc_top)
         )
-        score = dist - min(bonus.get(lang, 0), 10 * CHAR_BONUS)
+        score = dist - min(bonus.get(lang, 0), 18 * CHAR_BONUS)
         if score < best_score:
             best, best_score = lang, score
     return best
