@@ -301,11 +301,14 @@ def test_connected_components_lineage_bounded(spark):
     balloon the driver DAG)."""
     from vector_spark.dataops.dedup import connected_components
 
-    n = 40  # one long chain: label 0 takes ~n rounds to reach the end
+    n = 40  # one long chain — the worst case for plain propagation
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
-    out = connected_components(nodes, pairs, max_iter=n + 2)
+    # max_iter=12 << n pins the O(log diameter) property: pointer
+    # doubling from round 2 must fully converge a 40-chain in ~8
+    # rounds; plain min-label would need ~40 and fail this assert
+    out = connected_components(nodes, pairs, max_iter=12)
     assert {r["cluster_rep"] for r in out.collect()} == {0}
     # the checkpointed loop's final plan stays shallow: a handful of
     # post-checkpoint iterations, not ~n stacked joins

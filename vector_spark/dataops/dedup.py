@@ -56,6 +56,17 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     per gram element (O(len^2) splitting — measured 6x on the sf0.1
     documents table). As a multiply-referenced non-cheap alias it
     survives CollapseProject and is evaluated once per row."""
+    return shingle_sets(df, id_col, text_col, n).select(
+        "id", F.explode("_shingles").alias("shingle")
+    )
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, _shingles: array<string>) — the DISTINCT shingle set per
+    doc as a zero-shuffle per-row expression (same precondition and
+    tokenize-once discipline as shingles())."""
     tokd = df.select(
         F.col(id_col).alias("id"),
         F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks"),
@@ -69,9 +80,7 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     # doc and each doc is a single row, so (id, shingle) pairs are
     # unique by construction — a distinct here would shuffle the whole
     # exploded shingle set for nothing
-    return tokd.select(
-        "id", F.explode(F.array_distinct(grams)).alias("shingle")
-    )
+    return tokd.select("id", F.array_distinct(grams).alias("_shingles"))
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -111,7 +120,13 @@ def ngram_jaccard_pairs(
     # df_counts groupBy and the inverted-index self-join (measured
     # ~1.4x vs caching a (id,shingle)-distinct shuffle, ~3x vs raw)
     sh = shingles(df, id_col, text_col, n).repartition(F.col("shingle")).cache()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # per-doc set sizes as a zero-shuffle per-row expression — the
+    # groupBy(id) form shuffled the ENTIRE exploded shingle stream a
+    # second time just to count it (at 100 TB that is the corpus's
+    # whole token stream); re-tokenizing the doc row is a per-row map
+    sizes = shingle_sets(df, id_col, text_col, n).select(
+        "id", F.size("_shingles").alias("sz")
+    )
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     filtered = sh.join(
         F.broadcast(df_counts.filter(F.col("df") > max_shingle_df)),
@@ -450,12 +465,26 @@ def connected_components(
     Deterministic: every node converges to the MINIMUM id reachable
     in its component — min is order-independent, so the result is
     identical regardless of execution order (and a recursive-CTE
-    oracle reproduces it). Each iteration is one groupBy(min) over
-    the edge list; iterations are bounded by component diameter
-    (near-dup components are shallow); the driver loop stops at
-    fixpoint. Output: (id, cluster_rep, is_canonical)."""
+    oracle reproduces it; the oracle is algorithm-independent, it
+    pins the min-reachable fixpoint itself).
+
+    Round structure (shallow graphs cheap, deep graphs log-bounded):
+    - iteration 0 skips the edge⋈label join entirely — labels are
+      the identity map, so min-neighbor is just groupBy(dst).min(src)
+    - iterations 0-1 run plain min-label propagation: one
+      groupBy(min) per round, optimal for the shallow components
+      near-dup dedup actually produces (diameter 1-2)
+    - from iteration 2 on (a deep component is evidently present)
+      each round adds pointer doubling — label <- label(label), the
+      anchor-compression step — so the propagation horizon doubles
+      per round and total rounds are O(log diameter) instead of
+      O(diameter) (Kiveris et al., 'Connected Components in
+      MapReduce and Beyond')
+    Output: (id, cluster_rep, is_canonical)."""
     # symmetrize in ONE scan of the (possibly expensive) pair
-    # derivation — a two-leg union would compute it twice
+    # derivation — a two-leg union would compute it twice. No
+    # .distinct(): min-agg is idempotent to duplicate edges, and the
+    # dedupe would shuffle the whole edge set for nothing.
     edges = (
         pairs.select(
             F.explode(
@@ -470,18 +499,25 @@ def connected_components(
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .distinct()
         .cache()
     )
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ).cache()
     for it in range(max_iter):
-        msgs = (
-            edges.join(labels, edges["src"] == labels["id"])
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
+        if it == 0:
+            # labels is the identity map on round 0: joining it in
+            # would map src -> src, so skip the join
+            msgs = (
+                edges.groupBy(F.col("dst").alias("id"))
+                .agg(F.min("src").alias("nbr_min"))
+            )
+        else:
+            msgs = (
+                edges.join(labels, edges["src"] == labels["id"])
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("label").alias("nbr_min"))
+            )
         # the changed flag rides the label frame itself (new < old
         # iff a neighbor message beat the old label) — detecting the
         # fixpoint needs no second join-and-count pass per iteration
@@ -496,16 +532,43 @@ def connected_components(
                 .alias("_chg"),
             )
         )
-        if (it + 1) % 5 == 0:
-            # truncate lineage: cache alone keeps the full logical
-            # plan growing one join per iteration — a deep component
-            # at real scale would balloon the driver's DAG (and
-            # re-derivation on executor loss replays every round)
+        if it >= 2:
+            # pointer doubling: a component still unconverged after
+            # two rounds has depth — compress paths so remaining
+            # rounds go log(diameter). Cache the stepped frame: the
+            # doubling join reads it twice.
+            stepped = new_labels.cache()
+            lmap = stepped.select(
+                F.col("id").alias("_lid"), F.col("label").alias("_llab")
+            )
+            new_labels = (
+                stepped.join(lmap, stepped["label"] == lmap["_lid"], "left")
+                .select(
+                    "id",
+                    F.coalesce("_llab", "label").alias("label"),
+                    (
+                        F.col("_chg")
+                        | (F.coalesce("_llab", "label") < F.col("label"))
+                    ).alias("_chg"),
+                )
+            )
+        else:
+            stepped = None
+        if it >= 2:
+            # truncate lineage EVERY doubling round: the self-join
+            # references the label frame twice, so the logical plan
+            # would otherwise double per round (cache feeds execution
+            # but does not truncate the plan). Doubling rounds are
+            # O(log diameter), so an eager checkpoint per round is
+            # cheap — and keeps the driver DAG flat and executor-loss
+            # recovery bounded at real scale.
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.cache()
         converged = new_labels.filter(F.col("_chg")).isEmpty()
         labels.unpersist()
+        if stepped is not None:
+            stepped.unpersist()
         labels = new_labels
         if converged:
             break
