@@ -79,6 +79,99 @@ def test_feature_vectors_deterministic():
     assert loud[0] > a1[0]
 
 
+def test_png_roundtrip_gray_rgb_rgba():
+    from vector_spark.dataops.media_codecs import decode_png, encode_png
+
+    rgb = _gradient(6, 9)
+    assert np.array_equal(decode_png(encode_png(rgb)), rgb)
+    rgba = np.dstack([rgb, np.arange(54).reshape(6, 9).astype(np.uint8)])
+    assert np.array_equal(decode_png(encode_png(rgba)), rgba)
+    gray = rgb[:, :, 0]
+    out = decode_png(encode_png(gray))
+    assert out.shape == (6, 9, 1)
+    assert np.array_equal(out[:, :, 0], gray)
+
+
+def test_png_all_five_filters_unfilter_exactly():
+    """Hand-FORWARD-filter scanlines with each of the five PNG filter
+    types and assert the decoder inverts them byte-exactly — this is
+    the part a round-trip through our filter-0 encoder can't cover."""
+    import struct
+    import zlib
+
+    from vector_spark.dataops.media_codecs import decode_png
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    h, w, bpp = img.shape
+    body = img.reshape(h, w * bpp).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        ftype = y % 5
+        line = body[y]
+        left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+        up = prev
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if ftype == 0:
+            filt = line
+        elif ftype == 1:
+            filt = line - left
+        elif ftype == 2:
+            filt = line - up
+        elif ftype == 3:
+            filt = line - (left + up) // 2
+        else:  # Paeth
+            p = left + up - upleft
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, up, upleft))
+            filt = line - pred
+        raw += bytes([ftype]) + (filt % 256).astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    buf = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(buf), img)
+
+
+def test_png_unsupported_features_raise():
+    import struct
+    import zlib
+
+    from vector_spark.dataops.media_codecs import decode_png, encode_png
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    palette = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)))
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(palette)
+    interlaced = (b"\x89PNG\r\n\x1a\n"
+                  + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)))
+    with pytest.raises(ValueError, match="interlac"):
+        decode_png(interlaced)
+    # corrupt: truncated scanline data
+    good = encode_png(_gradient(3, 3))
+    sixteen = good.replace(
+        chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0)),
+        chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 16, 2, 0, 0, 0)),
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(sixteen)
+
+
 def test_spark_real_decode_end_to_end(spark):
     from vector_spark.dataops.multimodal import (
         extract_features,
@@ -99,18 +192,24 @@ def test_spark_real_decode_end_to_end(spark):
     resized = resize_images(
         media.filter("kind = 'image'"), 4, 4, decode="real"
     ).collect()
-    from vector_spark.dataops.media_codecs import decode_ppm as dec
+    from vector_spark.dataops.media_codecs import decode_png, decode_ppm
 
+    mimes = set()
     for r in resized:
-        arr = dec(bytes(r["payload"]))
+        mimes.add(r["meta"]["mime"])
+        if r["meta"]["mime"] == "image/png":  # PNG round-trips as PNG
+            arr = decode_png(bytes(r["payload"]))
+        else:
+            arr = decode_ppm(bytes(r["payload"]))
         assert arr.shape == (4, 4, 3)
         assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
-        assert r["meta"]["mime"] == "image/x-portable-pixmap"
+    # synthetic real payloads alternate PNG / PPM — both paths ran
+    assert mimes == {"image/png", "image/x-portable-pixmap"}
 
 
 def test_spark_real_decode_unsupported_mime_raises(spark):
     from vector_spark.dataops.multimodal import extract_features, synthetic_media
 
-    png_like = synthetic_media(spark, 3).filter("kind = 'image'")  # image/png
+    mp4_like = synthetic_media(spark, 3).filter("kind = 'video'")  # video/mp4
     with pytest.raises(Exception, match="NotImplementedError|decode"):
-        extract_features(png_like, decode="real").collect()
+        extract_features(mp4_like, decode="real").collect()

@@ -5,6 +5,8 @@ formats need nothing beyond numpy and the stdlib:
 
 * PPM (P6)           — header + raw RGB24 rows (image decode/encode)
 * BMP (24-bit, BI_RGB) — fixed 54-byte header, bottom-up padded rows
+* PNG (8-bit, non-interlaced, gray/RGB/RGBA) — stdlib zlib inflate +
+  per-scanline unfiltering (all five filters), zlib/CRC32 encode
 * WAV (PCM16)        — stdlib `wave` module framing + numpy samples
 
 plus real kernels over the decoded arrays: nearest-neighbor resize
@@ -12,7 +14,7 @@ plus real kernels over the decoded arrays: nearest-neighbor resize
 (per-channel statistics + coarse luminance grid), and audio feature
 vectors (RMS / zero-crossing rate / FFT band energies). These are the
 `decode=real` path of dataops/multimodal.py; formats that genuinely
-need a codec library (PNG/JPEG/MP4) still fail at the marked seam.
+need a codec library (JPEG/MP4) still fail at the marked seam.
 
 Everything here is deterministic: the same payload always yields the
 same features, so results are testable byte-for-byte.
@@ -23,6 +25,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -102,6 +105,127 @@ def encode_bmp24(arr: np.ndarray) -> bytes:
     body = np.zeros((h, stride), dtype=np.uint8)
     body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
     return header + body.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit, non-interlaced) — stdlib zlib + struct, no PIL
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 array -> PNG bytes. (h, w) grayscale, (h, w, 3) RGB or
+    (h, w, 4) RGBA; 8-bit, non-interlaced, filter 0 scanlines."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = arr.astype(np.uint8).reshape(h, w * c)
+    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Baseline PNG -> (h, w, channels) uint8 (grayscale decodes to
+    (h, w, 1)). Supports the common web baseline: bit depth 8,
+    non-interlaced, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+    6 (RGBA); all five scanline filters (None/Sub/Up/Average/Paeth).
+    Palette (3), 16-bit and Adam7 interlacing stay out of scope —
+    they raise with the feature named."""
+    if not buf.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idats = len(_PNG_SIG), None, []
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idats.append(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
+    if interlace:
+        raise ValueError("unsupported PNG: Adam7 interlacing")
+    if comp or filt:
+        raise ValueError("unsupported PNG compression/filter method")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype} (palette?)")
+    raw = zlib.decompress(b"".join(idats))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 1:  # Sub: recon[x] = line[x] + recon[x-bpp]
+            # per-byte-lane cumulative sum mod 256 — vectorized, no
+            # per-pixel Python
+            lanes = line.reshape(w, bpp).astype(np.int64)
+            recon = (lanes.cumsum(axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up
+            recon = line + prev  # uint8 add wraps mod 256 natively
+        elif ftype == 3:  # Average
+            recon = np.empty(stride, dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.uint16)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                left = (
+                    line[s].astype(np.uint16)
+                    + ((left + prev[s].astype(np.uint16)) >> 1)
+                ) & 0xFF
+                recon[s] = left.astype(np.uint8)
+        elif ftype == 4:  # Paeth
+            recon = np.empty(stride, dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.int32)
+            upleft = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                up = prev[s].astype(np.int32)
+                p = left + up - upleft
+                pa, pb, pc = (
+                    np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                left = (line[s].astype(np.int32) + pred) & 0xFF
+                recon[s] = left.astype(np.uint8)
+                upleft = up
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = recon
+        prev = recon
+    return out.reshape(h, w, channels)
 
 
 # ---------------------------------------------------------------------------

@@ -23,6 +23,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -70,14 +71,21 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def _real_feature(payload: bytes, mime: str | None, dim: int) -> list[float]:
-    """Dispatch to the numpy kernels by mime. PNG/JPEG/MP4 fail at
-    this seam — the one place a codec library would plug in."""
+    """Dispatch to the numpy kernels by mime. JPEG/MP4 fail at this
+    seam — the one place a codec library would plug in."""
     from vector_spark.dataops import media_codecs as mc
 
     if mime == "image/x-portable-pixmap":
         return mc.image_features(mc.decode_ppm(bytes(payload)), dim)
     if mime == "image/bmp":
         return mc.image_features(mc.decode_bmp24(bytes(payload)), dim)
+    if mime == "image/png":
+        arr = mc.decode_png(bytes(payload))
+        if arr.shape[2] == 4:  # drop alpha for the RGB feature kernel
+            arr = arr[:, :, :3]
+        elif arr.shape[2] != 3:  # gray / gray+alpha -> replicate luma
+            arr = np.repeat(arr[:, :, :1], 3, axis=2)
+        return mc.image_features(arr, dim)
     if mime == "audio/wav":
         samples, rate = mc.decode_wav_pcm16(bytes(payload))
         return mc.audio_features(samples, rate, dim)
@@ -143,6 +151,12 @@ def resize_images(
             arr = mc.decode_ppm(bytes(payload))
         elif mime == "image/bmp":
             arr = mc.decode_bmp24(bytes(payload))
+        elif mime == "image/png":
+            # PNG round-trips as PNG (alpha/grayscale preserved)
+            arr = mc.decode_png(bytes(payload))
+            return mc.encode_png(
+                mc.resize_nearest(arr, width, height)
+            ), "image/png"
         else:
             raise NotImplementedError(
                 f"real resize for {mime!r} requires PIL; plug the codec "
@@ -207,7 +221,7 @@ def synthetic_media(spark, n: int = 64, real_payloads: bool = False) -> DataFram
         if real_payloads and kind == "image":
             import numpy as np
 
-            from vector_spark.dataops.media_codecs import encode_ppm
+            from vector_spark.dataops.media_codecs import encode_png, encode_ppm
 
             w = h = 8 + (i % 3) * 4
             yy, xx = np.mgrid[0:h, 0:w]
@@ -216,8 +230,11 @@ def synthetic_media(spark, n: int = 64, real_payloads: bool = False) -> DataFram
                  (yy * 255 // max(h - 1, 1)),
                  np.full((h, w), i % 256)], axis=2
             ).astype(np.uint8)
-            payload = encode_ppm(arr)
-            mime, width, height = "image/x-portable-pixmap", w, h
+            if i % 2 == 0:  # alternate real formats: PNG and PPM
+                payload, mime = encode_png(arr), "image/png"
+            else:
+                payload, mime = encode_ppm(arr), "image/x-portable-pixmap"
+            width, height = w, h
         elif real_payloads and kind == "audio":
             import numpy as np
 
