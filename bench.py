@@ -78,15 +78,18 @@ HEADLINE = [
     # round 3: codec round trips under the gate
     "native_proto_roundtrip",
     "avro_roundtrip",
-    # round 3: embedding clustering + semantic dedup + dup clusters
-    "emb_kmeans",
-    "emb_semdedup",
+    # round 3: duplicate-cluster resolution (CC over near-dup pairs)
     "docs_dup_clusters",
-    # round 4: the registered 100 TB twins (BLAS kernels + groupBy-avg
-    # centroids) — these are the plans you'd run at scale; the exact
-    # forms above stay as the bit-exact gate
+    # round 4/5: the benched kmeans/semdedup forms are the 100 TB
+    # twins ONLY (BLAS kernels + groupBy-avg centroids) — the exact
+    # collect_list oracle anchors stay REGISTERED for the correctness
+    # gate but out of the HEADLINE so the benched set is exactly the
+    # scale-shaped plans (r4 VERDICT ask #7)
     "emb_kmeans_scale",
     "emb_semdedup_scale",
+    # round 5: streaming runner under the bench (spec_runner,
+    # Trigger.AvailableNow over the same parquet)
+    "stream_route_counts",
 ]
 
 

@@ -84,11 +84,13 @@ def test_vrl_program(spark, case):
 def test_vrl_program_floor():
     """Enough whole reference programs must compile, run, and match;
     the skip escape hatch can't hollow the gate out."""
-    # round 4: static abort truncation, STATIC path-coalescing in
-    # assignment targets and reads, string-coerced heterogeneous
-    # arrays / ?? arms / if-branch values, strict && fallibility,
-    # to_string-of-collection fallibility, scalar encode_json, and
-    # string repetition lifted the measured count to 133/164 (round
-    # 3: 113); the floor keeps headroom for environment variance
-    # without letting skips hollow the gate
-    assert len(EXECUTED) >= 125, f"only {len(EXECUTED)} programs passed"
+    # round 5: branch-union type_def inference (the reference type
+    # checker never narrows on constant conditions), external-any /
+    # known-absent-null path tdefs, whole-event type_def(.), object
+    # tdef union + merge, typed-null array coercion, shape-aware
+    # path-coalesce reads, constant-folded collection indexing,
+    # statically-failing-block ?? fallbacks, and push/append
+    # string-coercion lifted the measured count to 147/164 (round 4:
+    # 133, round 3: 113); the floor keeps headroom for environment
+    # variance without letting skips hollow the gate
+    assert len(EXECUTED) >= 145, f"only {len(EXECUTED)} programs passed"

@@ -804,8 +804,16 @@ class Env:
         # top-level event field NAMES (may contain dots — the bind-key
         # encoding alone can't distinguish `.a.b` from field "a.b")
         self.top: set[str] = set()
-        # best-effort VRL type definitions (type_def.rs lattice)
+        # best-effort VRL type definitions (type_def.rs lattice).
+        # Entry protocol: a dict value is a known tdef; an explicit
+        # None means "assigned, type unknown"; an ABSENT key means the
+        # path was never touched by the program — external data,
+        # which the reference types as {"any": true}.
         self.tdef: dict[str, Any] = {}
+        # True once the program replaced the whole event ('. = {...}')
+        # — from then on a missing top-level field is known-absent
+        # (query -> null), not external-any
+        self.root_known = False
 
     def fork(self) -> "Env":
         e = Env({})
@@ -816,6 +824,7 @@ class Env:
         e.nodes = dict(self.nodes)
         e.top = set(self.top)
         e.tdef = dict(self.tdef)
+        e.root_known = self.root_known
         return e
 
 
@@ -844,6 +853,37 @@ def _shape_of_py(v) -> Any:
     if isinstance(v, list):
         return ("arr", _shape_of_py(v[0]) if v else None)
     return None
+
+
+def _tdef_union(a: dict | None, b: dict | None) -> dict | None:
+    """Union of two VRL type-defs (type_def.rs Kind::merge): kinds
+    union; 'any' absorbs everything; object field maps union
+    recursively with a field missing on one side contributing null
+    (querying an absent field yields null). None = unknown wins."""
+    if a is None or b is None:
+        return None
+    if a.get("any") or b.get("any"):
+        return {"any": True}
+    out: dict[str, Any] = {}
+    for k in set(a) | set(b):
+        if k == "object":
+            ao, bo = a.get("object"), b.get("object")
+            if ao is None or bo is None:
+                # object kind on one side only: keep its field map
+                out["object"] = ao if bo is None else bo
+                continue
+            fields: dict[str, Any] = {}
+            for f in set(ao) | set(bo):
+                u = _tdef_union(
+                    ao.get(f, {"null": True}), bo.get(f, {"null": True})
+                )
+                if u is None:
+                    return None
+                fields[f] = u
+            out["object"] = fields
+        else:
+            out[k] = True
+    return out
 
 
 def _shape_step(sh, seg):
@@ -1025,29 +1065,57 @@ class Compiler:
             return self.event_struct()
         segs = path.segments
 
-        def step(col: Column, seg) -> Column:
+        def step(col: Column, sh, seg) -> tuple[Column, Any]:
+            """One path step, shape-aware: a field statically absent
+            from a struct shape resolves to null instead of failing
+            analysis (structs are positional — getItem on a missing
+            field is an AnalysisException, not a null)."""
             if isinstance(seg, tuple) and seg and seg[0] == "|":
                 # static path coalescing on READ: first alternative
                 # that resolves — value-level coalesce of the steps
-                return F.coalesce(*[step(col, a) for a in seg[1]])
+                alts = [step(col, sh, a) for a in seg[1]]
+                live = [
+                    (c, s2) for c, s2 in alts if s2 is not _MISSING
+                ]
+                if not live:
+                    return F.lit(None), None
+                cols = [c for c, _ in live]
+                out_sh = live[0][1] if len(live) == 1 else None
+                return (
+                    F.coalesce(*cols) if len(cols) > 1 else cols[0]
+                ), out_sh
             if isinstance(seg, int):
+                new_sh = sh[1] if (sh and sh[0] == "arr") else None
                 return F.try_element_at(
                     col, F.lit(seg + 1 if seg >= 0 else seg)
-                )
-            return col.getItem(seg)
+                ), new_sh
+            if sh and sh[0] == "obj" and seg not in sh[1]:
+                return F.lit(None), _MISSING
+            new_sh = sh[1].get(seg) if (sh and sh[0] == "obj") else None
+            return col.getItem(seg), new_sh
+
+        def walk(col: Column, sh, rest) -> Column:
+            for seg in rest:
+                col, sh = step(col, sh, seg)
+                if sh is _MISSING:
+                    return F.lit(None)
+            return col
 
         if isinstance(segs[0], tuple) and segs[0] and segs[0][0] == "|":
             heads = [
-                self.env.bind["." + str(a)]
+                ("." + str(a))
                 for a in segs[0][1]
                 if ("." + str(a)) in self.env.bind
             ]
             if not heads:
                 return F.lit(None)
-            col = F.coalesce(*heads) if len(heads) > 1 else heads[0]
-            for seg in segs[1:]:
-                col = step(col, seg)
-            return col
+            col = (
+                F.coalesce(*[self.env.bind[h] for h in heads])
+                if len(heads) > 1
+                else self.env.bind[heads[0]]
+            )
+            sh = self.env.shape.get(heads[0]) if len(heads) == 1 else None
+            return walk(col, sh, segs[1:])
         key = None
         if not any(isinstance(s, tuple) for s in segs):
             key = self._event_key(path)
@@ -1058,10 +1126,9 @@ class Compiler:
         # become value-level coalesces over the alternatives)
         head = "." + str(segs[0])
         if head in self.env.bind:
-            col = self.env.bind[head]
-            for seg in segs[1:]:
-                col = step(col, seg)
-            return col
+            return walk(
+                self.env.bind[head], self.env.shape.get(head), segs[1:]
+            )
         return F.lit(None)
 
     # ---- static knowledge: shapes + constant folding ----
@@ -1225,6 +1292,15 @@ class Compiler:
                 return self.py_value(self.env.nodes[node.name])
             return False, None
         if isinstance(node, Path):
+            if not node.segments:
+                # whole-event constant: known only when EVERY live top
+                # field has a known compile-time value
+                out = {}
+                for f in self._top_fields():
+                    if "." + f not in self.env.py:
+                        return False, None
+                    out[f] = self.env.py["." + f]
+                return True, out
             key = self._event_key(node)
             if key in self.env.py:
                 return True, self.env.py[key]
@@ -1401,7 +1477,47 @@ class Compiler:
         if isinstance(node, Var):
             return self.env.tdef.get(node.name)
         if isinstance(node, Path):
-            return self.env.tdef.get(self._event_key(node))
+            if not node.segments:
+                # type_def(.) — whole-event object tdef, buildable
+                # once the program owns the event shape
+                if not self.env.root_known:
+                    return None
+                fields = set(self.env.top) | {
+                    k[1:] for k in self.env.tdef
+                    if k.startswith(".") and "." not in k[1:]
+                }
+                out: dict[str, Any] = {}
+                for f in sorted(fields):
+                    ft = self.env.tdef.get("." + f)
+                    if ft is None:
+                        return None
+                    out[f] = ft
+                return {"object": out}
+            key = self._event_key(node)
+            if key in self.env.tdef:
+                return self.env.tdef[key]  # dict, or None = unknown
+            if key in self.env.deleted:
+                return None
+            if self.env.root_known and len(node.segments) == 1:
+                # program-owned event, field known absent -> null
+                if key not in self.env.bind:
+                    return {"null": True}
+                return None
+            if key in self.env.bind or not self.env.root_known:
+                # untouched external data types as any (type_def.rs:
+                # external paths start at Kind::any)
+                return {"any": True}
+            return None
+        if isinstance(node, Assign):
+            return self.infer_tdef(node.expr)
+        if isinstance(node, Obj):
+            fields = {}
+            for k, v in node.pairs:
+                ft = self.infer_tdef(v)
+                if ft is None:
+                    return None
+                fields[k] = ft
+            return {"object": fields}
         if isinstance(node, Block):
             return self.infer_tdef(node.stmts[-1]) if node.stmts else None
         if isinstance(node, If):
@@ -1415,9 +1531,7 @@ class Compiler:
                 if node.orelse
                 else {"null": True}
             )
-            if t is None or e is None:
-                return None
-            return {**t, **e}
+            return _tdef_union(t, e)
         if isinstance(node, Bin):
             if node.op == "||":
                 t = self.infer_tdef(node.left)
@@ -1427,6 +1541,16 @@ class Compiler:
                 return t or e
             if node.op in ("==", "!=", "<", "<=", ">", ">=", "&&"):
                 return {"boolean": True}
+            if node.op == "|":
+                # object merge: right-biased shallow field-map union
+                lt = self.infer_tdef(node.left)
+                rt = self.infer_tdef(node.right)
+                if (
+                    lt and rt
+                    and set(lt) == {"object"} and set(rt) == {"object"}
+                ):
+                    return {"object": {**lt["object"], **rt["object"]}}
+                return None
             return None
         if isinstance(node, TsLit):
             return {"timestamp": True}
@@ -1559,10 +1683,9 @@ class Compiler:
         if isinstance(target, Var):
             self.env.bind[target.name] = col
             self.env.shape[target.name] = shape
-            if tdef is not None:
-                self.env.tdef[target.name] = tdef
-            else:
-                self.env.tdef.pop(target.name, None)
+            # None is the explicit "assigned, type unknown" sentinel
+            # (absent = never touched = external any)
+            self.env.tdef[target.name] = tdef
             if known:
                 self.env.py[target.name] = pv
             else:
@@ -1605,13 +1728,15 @@ class Compiler:
             if any(isinstance(s, tuple) for s in segs):
                 segs = self._resolve_coalesce_segs(segs)
             if not segs:
-                # '. = expr' replaces the event
+                # '. = expr' replaces the event: the program now owns
+                # the full shape (missing fields are known-absent)
                 for t in list(self.env.top):
                     self.env.bind.pop("." + t, None)
                     self.env.shape.pop("." + t, None)
                     self.env.py.pop("." + t, None)
                     self.env.tdef.pop("." + t, None)
                 self.env.top = set()
+                self.env.root_known = True
                 if pynode is not None and isinstance(pynode, Obj):
                     for k, v in pynode.pairs:
                         self.assign_target(
@@ -1643,10 +1768,7 @@ class Compiler:
                 self.env.shape[head] = shape
                 self.env.deleted.discard(head)
                 self.env.top.add(str(segs[0]))
-                if tdef is not None:
-                    self.env.tdef[head] = tdef
-                else:
-                    self.env.tdef.pop(head, None)
+                self.env.tdef[head] = tdef  # None = assigned, unknown
                 if known:
                     self.env.py[head] = pv
                 else:
@@ -1666,7 +1788,7 @@ class Compiler:
             self.env.deleted.discard(head)
             self.env.top.add(str(segs[0]))
             self.env.py.pop(head, None)
-            self.env.tdef.pop(head, None)
+            self.env.tdef[head] = None  # assigned through, unknown
             return
         raise VrlCompileError(f"bad assignment target {target!r}")
 
@@ -1724,6 +1846,25 @@ class Compiler:
             items = [self.compile(i) for i in node.items]
             arr = F.array(*items)
             if len(items) > 1 and not self._probe_ok(arr):
+                # first try typing statically-null elements as the
+                # first non-null element's type (F.when(false, c) is
+                # a typed NULL) — [., err] with err null stays a real
+                # struct array instead of degrading to strings
+                null_idx = [
+                    i for i, it in enumerate(node.items)
+                    if self.py_value(it) == (True, None)
+                ]
+                if null_idx and len(null_idx) < len(items):
+                    donor = next(
+                        c for i, c in enumerate(items) if i not in null_idx
+                    )
+                    typed = [
+                        F.when(F.lit(False), donor) if i in null_idx else c
+                        for i, c in enumerate(items)
+                    ]
+                    retyped = F.array(*typed)
+                    if self._probe_ok(retyped):
+                        return retyped
                 # heterogeneous literal array: VRL arrays mix types,
                 # Spark's can't — coerce every element to its string
                 # rendering (documented divergence the golden harness
@@ -1757,9 +1898,28 @@ class Compiler:
             kc, cv = self.py_value(node.cond)
             if kc and (isinstance(cv, bool) or cv is None):
                 branch = node.then if cv is True else node.orelse
+                other = node.orelse if cv is True else node.then
+                pre = self.env.fork()
                 val = None
                 for s in branch:
                     val = self.exec_stmt(s)
+                # the reference type checker does NOT narrow on
+                # constant conditions: type-infer the untaken branch
+                # on a fork of the pre-state and union its tdefs in
+                # (values/bindings stay from the taken branch only)
+                if other:
+                    try:
+                        other_env, _ = self.run_block(other, pre)
+                    except Exception:  # noqa: BLE001 — best-effort types
+                        other_env = None
+                else:
+                    # absent branch = event passes through unchanged:
+                    # its tdef contribution is the pre-state itself
+                    other_env = pre
+                if other_env is not None:
+                    self.env.tdef = self._union_branch_tdefs(
+                        self.env, other_env
+                    )
                 return val if val is not None else F.lit(None)
             cond = self.compile(node.cond)
             then_env, then_val = self.run_block(node.then, self.env.fork())
@@ -1786,7 +1946,32 @@ class Compiler:
             raise VrlCompileError("abort (out of scope; use vrl_interp)")
         raise VrlCompileError(f"cannot compile node {node!r}")
 
+    def _stmt_static_error(self, stmt) -> bool:
+        """True when a statement is a fallible call with literal
+        arguments that provably errors at runtime (so a `??` over the
+        enclosing block must take the fallback)."""
+        if (
+            isinstance(stmt, Call)
+            and stmt.name == "parse_json"  # non-! form propagates
+            and stmt.args
+            and isinstance(stmt.args[0], Lit)
+            and isinstance(stmt.args[0].value, str)
+        ):
+            try:
+                json.loads(stmt.args[0].value)
+            except ValueError:
+                return True
+        return False
+
     def compile_bin(self, node: Bin) -> Column:
+        if node.op in ("getfield", "index"):
+            # constant fold BEFORE compiling the base: indexing a
+            # known collection keeps heterogeneous elements typed
+            # (e.g. [0, {"bar": 2}][1].bar) where the compiled base
+            # would be a string-coerced array column
+            known, v = self.py_value(node)
+            if known:
+                return _py_to_col(v)
         if node.op == "??":
             # constant fold: a literal-argument fallible call decides
             # the branch at compile time (parse_json("...") ?? x)
@@ -1802,6 +1987,13 @@ class Compiler:
                     return self.compile(node.left)
                 except ValueError:
                     return self.compile(node.right)
+            # a BLOCK is fallible if ANY statement errors, not just
+            # its value ({ parse_json("invalid"); 2 } ?? 1 -> 1) —
+            # decide statically-failing literal calls at compile time
+            if isinstance(node.left, Block) and any(
+                self._stmt_static_error(s) for s in node.left.stmts
+            ):
+                return self.compile(node.right)
             # VRL ?? catches errors; Spark raises type errors at
             # analysis time, so probe the left plan and fall back.
             # Either arm is a conditionally-taken region (abort there
@@ -1868,7 +2060,7 @@ class Compiler:
                     raise VrlCompileError("non-boolean operand to &&")
                 td = self.infer_tdef(side)
                 if td is not None and td and not (
-                    td.get("boolean") or td.get("null")
+                    td.get("boolean") or td.get("null") or td.get("any")
                 ):
                     raise VrlCompileError("non-boolean operand to &&")
         if node.op in ("&&", "||"):
@@ -1984,6 +2176,30 @@ class Compiler:
             "remove_metadata_field",
         ):
             return self._metadata_call(name, node)
+        if name in ("push", "append") and len(node.args) == 2:
+            arr = self.compile(node.args[0])
+            second = self.compile(node.args[1])
+            out = (
+                F.array_append(arr, second)
+                if name == "push"
+                else F.concat(arr, second)
+            )
+            if self._probe_ok(out):
+                return out
+            # heterogeneous result array: carry as array<string>
+            # (the same documented rendering divergence as mixed
+            # array literals) instead of failing analysis
+            sarr = F.transform(arr, lambda x: x.cast("string"))
+            out = (
+                F.array_append(sarr, second.cast("string"))
+                if name == "push"
+                else F.concat(
+                    sarr, F.transform(second, lambda x: x.cast("string"))
+                )
+            )
+            if self._probe_ok(out):
+                return out
+            raise VrlCompileError(f"{name}: operand types irreconcilable")
         if name == "parse_regex" and node.args and isinstance(
             node.args[1], (Regex, Lit)
         ):
@@ -2647,6 +2863,7 @@ class Compiler:
                 old = self.env.bind.pop(key)
                 self.env.shape.pop(key, None)
                 self.env.py.pop(key, None)
+                self.env.tdef[key] = None  # post-del type left unknown
                 self.env.deleted.add(key)
                 return old
             if len(t.segments) > 1:
@@ -2747,10 +2964,31 @@ class Compiler:
             if then_env.nodes[k] is else_env.nodes.get(k)
         }
         self.env.top = then_env.top | else_env.top
-        self.env.tdef = {
-            k: {**then_env.tdef[k], **else_env.tdef[k]}
-            for k in set(then_env.tdef) & set(else_env.tdef)
-        }
+        self.env.tdef = self._union_branch_tdefs(then_env, else_env)
+
+    @staticmethod
+    def _absent_tdef(env: Env, key: str) -> dict | None:
+        """Tdef contribution of a branch whose env has NO tdef entry
+        for `key`: an existing binding means untouched external data
+        (any); no binding means the field is absent there — querying
+        yields null when the program owns the event shape, any when
+        the event is still external."""
+        if key in env.bind:
+            return {"any": True}
+        if key.startswith(".") and not env.root_known:
+            return {"any": True}
+        return {"null": True}
+
+    def _union_branch_tdefs(self, a_env: Env, b_env: Env) -> dict:
+        """Per-key tdef union of two branch environments — the
+        reference type checker keeps BOTH branches' types (it never
+        narrows on which branch ran, even for constant conditions)."""
+        out: dict[str, Any] = {}
+        for k in set(a_env.tdef) | set(b_env.tdef):
+            a = a_env.tdef[k] if k in a_env.tdef else self._absent_tdef(a_env, k)
+            b = b_env.tdef[k] if k in b_env.tdef else self._absent_tdef(b_env, k)
+            out[k] = _tdef_union(a, b)
+        return out
 
     def exec_stmt(self, node):
         if isinstance(node, Assign):
@@ -2784,6 +3022,8 @@ class Compiler:
         td = self.infer_tdef(node)
         if td and len(td) == 1:
             k = next(iter(td))
+            if k in ("any", "never"):  # lattice extremes, not kinds
+                return None
             return {"bytes": "string"}.get(k, k)
         return None
 
@@ -2858,15 +3098,24 @@ class Compiler:
                 if not (isinstance(node.err, Var) and node.err.name == "_"):
                     self.assign_target(node.err, F.lit(msg), None)
                 return F.lit(msg)
+        err_node = None
         if isinstance(expr, Bin) and expr.op in ("/", "%"):
-            right = self.compile(expr.right)
-            raw = self.compile(expr)
-            err = F.when(
-                right == 0, F.lit("can't divide by zero")
-            ).otherwise(F.lit(None))
-            val = F.coalesce(
-                raw, F.lit(0.0) if expr.op == "/" else F.lit(0)
-            )
+            kr, rv = self.py_value(expr.right)
+            if kr and rv != 0:
+                # statically non-zero divisor: the operation is
+                # infallible, err is the null LITERAL (so downstream
+                # folds — e.g. typed-null array coercion — see it)
+                val = self.compile(expr)
+                err, err_node = F.lit(None), Lit(None)
+            else:
+                right = self.compile(expr.right)
+                raw = self.compile(expr)
+                err = F.when(
+                    right == 0, F.lit("can't divide by zero")
+                ).otherwise(F.lit(None))
+                val = F.coalesce(
+                    raw, F.lit(0.0) if expr.op == "/" else F.lit(0)
+                )
         else:
             val = self.compile(expr)
             err = F.when(val.isNull(), F.lit("error")).otherwise(
@@ -2876,7 +3125,7 @@ class Compiler:
             node.ok, val, self.infer_shape(expr), pynode=expr
         )
         if not (isinstance(node.err, Var) and node.err.name == "_"):
-            self.assign_target(node.err, err, None)
+            self.assign_target(node.err, err, None, pynode=err_node)
         return val
 
 
@@ -2991,6 +3240,16 @@ def _strict_eq(a, b) -> bool:
     return a == b
 
 
+def _vrl_str(x) -> str | None:
+    """VRL string rendering of a scalar (for the documented
+    heterogeneous-array -> array<string> coercion divergence)."""
+    if x is None:
+        return None
+    if isinstance(x, bool):
+        return "true" if x else "false"
+    return str(x)
+
+
 def _py_to_col(v) -> Column:
     if isinstance(v, dict):
         if not v:
@@ -2999,6 +3258,14 @@ def _py_to_col(v) -> Column:
     if isinstance(v, list):
         if not v:
             return F.array()
+        kinds = {type(x) for x in v if x is not None}
+        if len(kinds) > 1 and kinds != {int, float}:
+            # mixed scalar types (int/float widen natively in Spark,
+            # everything else doesn't): carry the VRL heterogeneous
+            # array as strings — the documented rendering divergence,
+            # same as the Arr-literal path
+            if not any(isinstance(x, (dict, list)) for x in v):
+                return F.array(*[F.lit(_vrl_str(x)) for x in v])
         return F.array(*[_py_to_col(x) for x in v])
     return F.lit(v)
 
