@@ -1,0 +1,100 @@
+"""Round-5 compile-tier semantics, pinned as unit contracts (each
+also has a whole-program witness in the reference corpus — these keep
+the behavior from regressing independently of corpus skip accounting).
+
+Reference semantics cited per test:
+- assignment.rs: a failed `ok, err =` assigns the expression KIND's
+  default value to ok ([] for arrays, {} for objects)
+- query/mod.rs + length.rs: length(null) is a runtime ERROR `??`
+  recovers from, not a comparable null
+- rfcs/8381: del() on a closure-variable path removes the field from
+  the closure value
+"""
+
+from __future__ import annotations
+
+from vector_spark.vrl_lang import eval_vrl
+
+
+def test_fallible_push_on_null_gets_array_default(spark):
+    got, _ = eval_vrl(
+        spark,
+        '.a, err = push(.a, "foo")\n.a = push(.a, "bar")\n.a',
+        {},
+    )
+    assert got == ["bar"]
+
+
+def test_fallible_merge_on_null_gets_object_default(spark):
+    got, _ = eval_vrl(
+        spark,
+        '.m, err = merge(.m, {"x": true})\n.m = merge(.m, {"y": true})\n.m',
+        {},
+    )
+    assert got == {"y": True}
+
+
+def test_fallible_merge_assignment_folds_parse_key_value(spark):
+    got, _ = eval_vrl(
+        spark,
+        '.res = { "foo": 2 }\n.res, _ |= parse_key_value(s\'bar=3\')\n.res',
+        {},
+    )
+    assert got == {"foo": 2, "bar": "3"}
+
+
+def test_del_on_closure_variable_path(spark):
+    got, _ = eval_vrl(
+        spark,
+        ".answers = map_values(array!(.answers)) -> |value| "
+        "{ del(value.ttl); value }\n.answers",
+        {"answers": [{"class": "IN", "ttl": "264"}]},
+    )
+    assert got == [{"class": "IN"}]
+
+
+def test_length_of_null_is_error_not_value(spark):
+    # length(.unset) errors in VRL; `??` must take the fallback even
+    # though our null-based model would compare null == null as true
+    got, _ = eval_vrl(
+        spark, "(length(.blob) == length(.bloob)) ?? 42", {"x": 1}
+    )
+    assert got == 42
+
+
+def test_heterogeneous_final_array_keeps_native_types(spark):
+    got, _ = eval_vrl(
+        spark, '[.a, .b]', {"a": [1, 2], "b": {"k": True}}
+    )
+    assert got == [[1, 2], {"k": True}]
+
+
+def test_closure_unroll_folds_parse_json_per_element(spark):
+    got, _ = eval_vrl(
+        spark,
+        'strings = split!(.message, "|")\n'
+        "compact(map_values(strings) -> |value| { parse_json(value) ?? null })",
+        {"message": '{"n": 1}|bad|{"n": 2}'},
+    )
+    assert got == [{"n": 1}, {"n": 2}]
+
+
+def test_constant_parse_common_log_skips_error_branch(spark):
+    src = (
+        "., err = parse_common_log(.log)\n"
+        "if err != null {\n    .malformed = true\n} else {\n"
+        "    .total_bytes = del(.size)\n}\n."
+    )
+    got, _ = eval_vrl(
+        spark,
+        src,
+        {
+            "log": '1.2.3.4 - alice [03/Feb/2021:21:13:55 -0200] '
+            '"GET /x HTTP/1.0" 201 99'
+        },
+    )
+    assert "malformed" not in got, got
+    assert "size" not in got, got
+    assert got["total_bytes"] == 99
+    assert got["timestamp"] == "2021-02-03T23:13:55Z"
+    assert got["user"] == "alice"

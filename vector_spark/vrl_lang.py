@@ -814,6 +814,11 @@ class Env:
         # — from then on a missing top-level field is known-absent
         # (query -> null), not external-any
         self.root_known = False
+        # True when the concrete RUNTIME event is fully known (REPL /
+        # corpus evaluation): an unbound event path is value-null at
+        # runtime even though its TYPE stays external-any (the
+        # reference type checker never closes external objects)
+        self.event_closed = False
 
     def fork(self) -> "Env":
         e = Env({})
@@ -825,6 +830,7 @@ class Env:
         e.top = set(self.top)
         e.tdef = dict(self.tdef)
         e.root_known = self.root_known
+        e.event_closed = self.event_closed
         return e
 
 
@@ -1192,16 +1198,13 @@ class Compiler:
                     obj = ("obj", {c: None for c in rows[0].keys()})
                     return obj if node.name.startswith("get_") else ("arr", obj)
                 return None
-            if (
-                node.name == "parse_json"
-                and node.args
-                and isinstance(node.args[0], Lit)
-                and isinstance(node.args[0].value, str)
-            ):
-                try:
-                    return _shape_of_py(json.loads(node.args[0].value))
-                except Exception:
-                    return None
+            if node.name == "parse_json" and node.args:
+                pk, pv = self.py_value(node.args[0])
+                if pk and isinstance(pv, str):
+                    try:
+                        return _shape_of_py(json.loads(pv))
+                    except Exception:
+                        return None
             if node.name == "compact" and node.args:
                 sh = self.infer_shape(node.args[0])
                 if sh and sh[0] == "obj":
@@ -1247,6 +1250,11 @@ class Compiler:
                         d.pop(keys[0], None)
                     return ("obj", d)
                 return base
+            # a call that constant-folds has the shape of its value
+            # (parse_key_value on a literal, replace, join, ...)
+            known, v = self._py_call(node)
+            if known:
+                return _shape_of_py(v)
             return None
         if isinstance(node, If):
             a = (
@@ -1389,6 +1397,16 @@ class Compiler:
                     return True, av + [bv]
                 if isinstance(bv, list):
                     return True, av + bv
+        if (
+            name == "split"
+            and len(node.args) == 2
+            and not node.kwargs
+            and not isinstance(node.args[1], Regex)
+        ):
+            ka, av = self.py_value(node.args[0])
+            kb, bv = self.py_value(node.args[1])
+            if ka and kb and isinstance(av, str) and isinstance(bv, str):
+                return True, av.split(bv)
         if name == "join" and node.args:
             ka, av = self.py_value(node.args[0])
             sep_node = node.args[1] if len(node.args) > 1 else (
@@ -1411,10 +1429,41 @@ class Compiler:
             known, v = self.py_value(node.args[0])
             if known:
                 return True, json.dumps(v, separators=(",", ":"))
+        if (
+            name == "parse_key_value"
+            and len(node.args) == 1
+            and not node.kwargs
+        ):
+            # default-delimiter KV on an unquoted literal folds to a
+            # literal object (parse_key_value.rs defaults: ' ' field
+            # sep, '=' kv sep) — lets `|=` merge it shape-known
+            known, v = self.py_value(node.args[0])
+            if (
+                known
+                and isinstance(v, str)
+                and '"' not in v
+                and "'" not in v
+                and all("=" in p for p in v.split() if p)
+                and v.strip()
+            ):
+                return True, {
+                    p.split("=", 1)[0]: p.split("=", 1)[1]
+                    for p in v.split()
+                }
         if name == "type_def" and node.args:
             td = self.infer_tdef(node.args[0])
             if td is not None:
                 return True, td
+        if name == "to_string" and len(node.args) == 1:
+            known, v = self.py_value(node.args[0])
+            if known and isinstance(v, str):  # identity on strings
+                return True, v
+        if name == "parse_common_log" and node.args and not node.kwargs:
+            known, v = self.py_value(node.args[0])
+            if known and isinstance(v, str):
+                parsed = _py_parse_common_log(v)
+                if parsed is not None:  # only a SUCCESSFUL parse folds
+                    return True, parsed
         if name.startswith("is_") and node.args:
             return self._py_is(name, node.args[0])
         return False, None
@@ -1954,13 +2003,78 @@ class Compiler:
             isinstance(stmt, Call)
             and stmt.name == "parse_json"  # non-! form propagates
             and stmt.args
-            and isinstance(stmt.args[0], Lit)
-            and isinstance(stmt.args[0].value, str)
         ):
-            try:
-                json.loads(stmt.args[0].value)
-            except ValueError:
+            pk, pv = self.py_value(stmt.args[0])
+            if pk and isinstance(pv, str):
+                try:
+                    json.loads(pv)
+                except ValueError:
+                    return True
+        return False
+
+    def _runtime_null(self, node) -> bool:
+        """True when the node's RUNTIME value is provably null: a
+        statically-null type, a known-None constant, or (under a
+        closed event, eval_vrl) an event path never bound nor
+        assigned."""
+        if self.infer_tdef(node) == {"null": True}:
+            return True
+        known, v = self.py_value(node)
+        if known and v is None:
+            return True
+        if (
+            isinstance(node, Path)
+            and node.segments
+            and self.env.event_closed
+        ):
+            key = self._event_key(node)
+            return key not in self.env.bind and key not in self.env.tdef
+        return False
+
+    def _expr_static_error(self, node) -> bool:
+        """True when an expression subtree PROVABLY errors at runtime
+        — e.g. length() of a statically-null operand (length.rs only
+        accepts array/object/string) or parse_json of an invalid
+        literal. Used by `??` to take the fallback: our null-based
+        error model can't distinguish error-null from value-null, so
+        comparisons like `length(.unset) == length(.unset2)` would
+        otherwise compare as values instead of erroring. Conservative:
+        an inner `??` already recovers its left side, and `&&`/`||`
+        right sides may be short-circuited away, so neither is
+        walked."""
+        if isinstance(node, Call):
+            if self._stmt_static_error(node):
                 return True
+            name = _FN_ALIASES.get(node.name, node.name)
+            if (
+                name == "length"
+                and not node.name.endswith("!")
+                and node.args
+                and self._runtime_null(node.args[0])
+            ):
+                return True
+            return any(
+                self._expr_static_error(a) for a in node.args
+            ) or any(
+                self._expr_static_error(v)
+                for v in node.kwargs.values()
+            )
+        if isinstance(node, Bin):
+            if node.op == "??":
+                return self._expr_static_error(node.right)
+            if node.op in ("&&", "||"):
+                return self._expr_static_error(node.left)
+            return self._expr_static_error(
+                node.left
+            ) or self._expr_static_error(node.right)
+        if isinstance(node, Un):
+            return self._expr_static_error(node.operand)
+        if isinstance(node, Arr):
+            return any(self._expr_static_error(x) for x in node.items)
+        if isinstance(node, Obj):
+            return any(
+                self._expr_static_error(v) for _, v in node.pairs
+            )
         return False
 
     def compile_bin(self, node: Bin) -> Column:
@@ -1973,20 +2087,26 @@ class Compiler:
             if known:
                 return _py_to_col(v)
         if node.op == "??":
+            # a provable runtime error anywhere in the left operand
+            # (length(null), invalid literal parse_json) forces the
+            # fallback — VRL fallibility is the ERROR channel, which
+            # Spark's null-propagating expressions can't carry
+            if self._expr_static_error(node.left):
+                return self.compile(node.right)
             # constant fold: a literal-argument fallible call decides
             # the branch at compile time (parse_json("...") ?? x)
             if (
                 isinstance(node.left, Call)
                 and node.left.name.rstrip("!") == "parse_json"
                 and node.left.args
-                and isinstance(node.left.args[0], Lit)
-                and isinstance(node.left.args[0].value, str)
             ):
-                try:
-                    json.loads(node.left.args[0].value)
-                    return self.compile(node.left)
-                except ValueError:
-                    return self.compile(node.right)
+                pk, pv = self.py_value(node.left.args[0])
+                if pk and isinstance(pv, str):
+                    try:
+                        json.loads(pv)
+                        return self.compile(node.left)
+                    except ValueError:
+                        return self.compile(node.right)
             # a BLOCK is fallible if ANY statement errors, not just
             # its value ({ parse_json("invalid"); 2 } ?? 1 -> 1) —
             # decide statically-failing literal calls at compile time
@@ -2286,16 +2406,13 @@ class Compiler:
                     F.when(frac != "", F.concat(F.lit("."), frac)).otherwise(F.lit("")),
                     F.lit("Z"),
                 )
-        if (
-            name == "parse_json"
-            and node.args
-            and isinstance(node.args[0], Lit)
-            and isinstance(node.args[0].value, str)
-        ):
-            try:
-                return _py_to_col(json.loads(node.args[0].value))
-            except Exception:
-                return F.lit(None)  # fallible; `??` supplies fallback
+        if name == "parse_json" and node.args:
+            pk, pv = self.py_value(node.args[0])
+            if pk and isinstance(pv, str):
+                try:
+                    return _py_to_col(json.loads(pv))
+                except Exception:
+                    return F.lit(None)  # fallible; `??` supplies fallback
         if name in ("set", "remove") and node.args:
             out = self._set_remove(name, node)
             if out is not None:
@@ -2313,6 +2430,21 @@ class Compiler:
             rsh = self.infer_shape(node.args[1])
             if lsh and lsh[0] == "obj" and rsh and rsh[0] == "obj":
                 return self.compile_merge(node.args[0], node.args[1])
+            if rsh and rsh[0] == "obj" and not node.kwargs:
+                # opaque left side: probe the generic map-merge NOW so
+                # a statically-null operand (e.g. an unset event path)
+                # fails at COMPILE time — the fallible-assignment
+                # handler then applies the reference's error branch
+                # (ok <- {} default, issues/11287) instead of the
+                # analysis error surfacing at collect
+                out = FUNCTIONS["merge"](
+                    self.compile(node.args[0]), self.compile(node.args[1])
+                )
+                if self._probe_ok(out):
+                    return out
+                raise VrlCompileError(
+                    "merge: left operand unresolvable (statically null)"
+                )
         if name == "compact" and node.args:
             sh = self.infer_shape(node.args[0])
             if sh and sh[0] == "obj":
@@ -2620,6 +2752,20 @@ class Compiler:
         argnode = arg
         if isinstance(arg, Var) and arg.name in self.env.nodes:
             argnode = self.env.nodes[arg.name]
+        if not isinstance(argnode, (Arr, Obj)):
+            # a compile-time-known scalar list (split of a literal,
+            # folded call) unrolls like a literal array — per-element
+            # provenance lets fallible closure bodies fold too
+            pk, pv = self.py_value(arg)
+            if (
+                pk
+                and isinstance(pv, list)
+                and all(
+                    x is None or isinstance(x, (str, int, float, bool))
+                    for x in pv
+                )
+            ):
+                argnode = Arr([Lit(x) for x in pv])
         shape = self.infer_shape(arg)
 
         if isinstance(argnode, Arr):
@@ -2648,12 +2794,20 @@ class Compiler:
     ) -> Column:
         """Run a closure body in a forked env with params bound;
         return its value. Side effects are discarded (VRL map_*
-        closures are pure over their input)."""
+        closures are pure over their input). A binding may carry an
+        optional third element: the param's compile-time-known python
+        value (literal-array unrolling), letting fallible calls in the
+        body constant-fold per element."""
         env = self.env.fork()
-        for p, (c, sh) in bindings.items():
+        for p, b in bindings.items():
+            c, sh = b[0], b[1]
+            pv = b[2] if len(b) > 2 else _MISSING
             env.bind[p] = c
             env.shape[p] = sh
-            env.py.pop(p, None)
+            if pv is not _MISSING:
+                env.py[p] = pv
+            else:
+                env.py.pop(p, None)
             env.nodes.pop(p, None)
         saved = self.env
         self.env = env
@@ -2722,11 +2876,14 @@ class Compiler:
         if name == "map_values":
             outs = []
             for item in argnode.items:
+                pk, pv = self.py_value(item)
                 outs.append(
                     self._closure_body(
                         body,
                         {params[0]: (
-                            self.compile(item), self.infer_shape(item)
+                            self.compile(item),
+                            self.infer_shape(item),
+                            pv if pk else _MISSING,
                         )},
                     )
                 )
@@ -2885,6 +3042,22 @@ class Compiler:
                     return old
             self.env.deleted.add(key)
             return F.lit(None)
+        if isinstance(t, Bin):
+            # `del(value.ttl)` parses as a getfield chain rooted at a
+            # Var (expression position) — unroll it into a VarPath so
+            # closure-local deletes work (rfcs/8381 delete-a-field)
+            segs: list = []
+            cur: Any = t
+            while (
+                isinstance(cur, Bin)
+                and cur.op == "getfield"
+                and isinstance(cur.right, Lit)
+                and isinstance(cur.right.value, str)
+            ):
+                segs.append(cur.right.value)
+                cur = cur.left
+            if isinstance(cur, Var) and segs:
+                t = VarPath(cur.name, list(reversed(segs)))
         if isinstance(t, VarPath) and all(
             isinstance(s, str) for s in t.segments
         ):
@@ -3117,10 +3290,64 @@ class Compiler:
                     raw, F.lit(0.0) if expr.op == "/" else F.lit(0)
                 )
         else:
-            val = self.compile(expr)
+            try:
+                val = self.compile(expr)
+            except VrlCompileError:
+                # push/append/merge over a statically-null collection:
+                # the reference errors at runtime ("expected array/
+                # object, got null") and the ok target receives the
+                # return kind's DEFAULT value (assignment.rs) — [] for
+                # array-returning calls, {} for merge. This is what
+                # lets `.a, err = push(.a, x); .a = push(.a, y)` start
+                # from an empty collection (issues/11287).
+                cname = (
+                    _FN_ALIASES.get(expr.name, expr.name)
+                    if isinstance(expr, Call)
+                    else None
+                )
+                if cname not in ("push", "append", "merge") or not expr.args:
+                    raise
+                # external paths type as any (type_def.rs: Kind::any)
+                # — only take the error branch when the operand could
+                # be null/missing, never for a statically-known array
+                td = self.infer_tdef(expr.args[0]) or {"any": True}
+                if not set(td) <= {"null", "any"}:
+                    raise
+                default_node: Any = (
+                    Obj([]) if cname == "merge" else Arr([])
+                )
+                ok_val = self.compile(default_node)
+                self.assign_target(
+                    node.ok,
+                    ok_val,
+                    self.infer_shape(default_node),
+                    pynode=default_node,
+                )
+                want = "object" if cname == "merge" else "array"
+                msg = (
+                    f'function call error for "{cname}": '
+                    f"expected {want}, got null"
+                )
+                if not (
+                    isinstance(node.err, Var) and node.err.name == "_"
+                ):
+                    self.assign_target(node.err, F.lit(msg), None)
+                return ok_val
             err = F.when(val.isNull(), F.lit("error")).otherwise(
                 F.lit(None)
             )
+            pk, pv = self.py_value(expr)
+            if pk and pv is not None:
+                # the fallible expression constant-folded to a real
+                # value: err is STATICALLY null, so `if err != null`
+                # executes only the success branch (blog_remap
+                # examples); a folded object re-literalizes so the
+                # root-assign gets per-field provenance and key
+                # omission
+                err, err_node = F.lit(None), Lit(None)
+                if isinstance(pv, (dict, list)):
+                    expr = _node_of_py(pv)
+                    val = self.compile(expr)
         self.assign_target(
             node.ok, val, self.infer_shape(expr), pynode=expr
         )
@@ -3148,6 +3375,51 @@ _CLF_SHAPE = (
         "protocol": None, "status": None, "size": None,
     },
 )
+
+
+def _node_of_py(v) -> Any:
+    """Re-literalize a constant-folded python value as an AST node so
+    downstream assignment/shape machinery sees a literal."""
+    if isinstance(v, dict):
+        return Obj([(k, _node_of_py(x)) for k, x in v.items()])
+    if isinstance(v, list):
+        return Arr([_node_of_py(x) for x in v])
+    return Lit(v)
+
+
+def _py_parse_common_log(s: str) -> dict | None:
+    """Compile-time twin of _parse_common_log_col for constant
+    inputs: same regex, same RFC3339-UTC timestamp rendering, but
+    with the reference's key-OMISSION for unmatched '-' groups
+    (parse_common_log.rs skips them; a struct column can only null
+    them). None = no match (the fold must not swallow the error)."""
+    import datetime as _dt
+
+    m = re.match(_CLF_RE, s)
+    if m is None:
+        return None
+    host, _ident, user, ts_raw, method, path, proto, status, size = (
+        m.groups()
+    )
+    try:
+        ts = _dt.datetime.strptime(
+            ts_raw, "%d/%b/%Y:%H:%M:%S %z"
+        ).astimezone(_dt.timezone.utc)
+    except ValueError:
+        return None
+    out: dict[str, Any] = {"host": host}
+    if user != "-":
+        out["user"] = user
+    out.update(
+        timestamp=ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+        message=f"{method} {path} {proto}",
+        method=method,
+        path=path,
+        protocol=proto,
+        status=int(status),
+        size=int(size),
+    )
+    return out
 
 
 def _parse_common_log_col(col: Column) -> Column:
@@ -3321,6 +3593,10 @@ def eval_vrl(spark, source: str, event: dict | None = None):
         env.shape["." + k] = _shape_of_py(v)
         env.py["." + k] = v
         env.top.add(k)
+    # the REPL/corpus event IS the whole input: an absent field is
+    # value-null at runtime (its static TYPE stays external-any —
+    # the reference never closes external objects)
+    env.event_closed = True
     comp = Compiler(env, probe_spark=spark)
     confs = {
         "spark.sql.ansi.enabled": "false",
@@ -3335,9 +3611,18 @@ def eval_vrl(spark, source: str, event: dict | None = None):
         spark.conf.set(k, v)
     try:
         val_col = None
+        elem_cols = None
         aborted = False
-        for s in stmts:
+        for i, s in enumerate(stmts):
             try:
+                if i == len(stmts) - 1 and isinstance(s, Arr):
+                    # VRL arrays are heterogeneous; a mixed final
+                    # array would coerce to array<string> as ONE
+                    # Spark column. Evaluate the literal's elements
+                    # as separate columns so each keeps its native
+                    # type (the corpus `[.a1, .a2, .a3]` pattern)
+                    elem_cols = [comp.compile(e) for e in s.items]
+                    break
                 out = comp.exec_stmt(s)
             except VrlStaticAbort:
                 # static program exit: the result is the event state
@@ -3350,6 +3635,10 @@ def eval_vrl(spark, source: str, event: dict | None = None):
             comp.env.bind["." + n].alias(f"f_{i}")
             for i, n in enumerate(names)
         ]
+        if elem_cols is not None:
+            sel.extend(
+                c.alias(f"_val_{i}") for i, c in enumerate(elem_cols)
+            )
         sel.append(
             (val_col if val_col is not None else F.lit(None)).alias("_val")
         )
@@ -3363,6 +3652,10 @@ def eval_vrl(spark, source: str, event: dict | None = None):
     ev = {n: _to_py(row[f"f_{i}"]) for i, n in enumerate(names)}
     if aborted:
         return ev, ev
+    if elem_cols is not None:
+        return [
+            _to_py(row[f"_val_{i}"]) for i in range(len(elem_cols))
+        ], ev
     return _to_py(row["_val"]), ev
 
 
