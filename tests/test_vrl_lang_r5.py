@@ -98,3 +98,52 @@ def test_constant_parse_common_log_skips_error_branch(spark):
     assert got["total_bytes"] == 99
     assert got["timestamp"] == "2021-02-03T23:13:55Z"
     assert got["user"] == "alice"
+
+
+def test_push_built_array_variable_keeps_native_element_types(spark):
+    # rfcs/8381 for_each-accumulation pattern: the accumulator is
+    # heterogeneous (VRL arrays mix types), so the compiler tracks
+    # per-element columns (Env.elems) and eval_vrl materializes each
+    # element natively instead of coercing the array to strings
+    got, _ = eval_vrl(
+        spark,
+        "keys = []\nvalues = []\n"
+        "for_each(.) -> |key, value| {\n"
+        "  keys = push(keys, key)\n"
+        "  values = push(values, value)\n"
+        "}\n[keys, values]",
+        {"a": "x", "b": True, "c": [1, 2], "d": {"k": "v"}},
+    )
+    assert got == [["a", "b", "c", "d"], ["x", True, [1, 2], {"k": "v"}]]
+
+
+def test_del_returns_value_and_set_builds_per_iteration_structs(spark):
+    # del() RETURNS the deleted value (remove.rs), and set!(., [key],
+    # value) over the event builds a distinct struct per unrolled
+    # for_each iteration — each pushed element keeps its own fields
+    got, _ = eval_vrl(
+        spark,
+        "data = del(.data)\nmetrics = []\n"
+        "for_each(object!(data)) -> |key, value| {\n"
+        "  metric = set!(., [key], value)\n"
+        "  metrics = push(metrics, metric)\n"
+        "}\nmetrics",
+        {"data": {"acceleration": 10, "velocity": 20},
+         "id": "booster", "timestamp": 123456},
+    )
+    assert got == [
+        {"id": "booster", "timestamp": 123456, "acceleration": 10},
+        {"id": "booster", "timestamp": 123456, "velocity": 20},
+    ]
+
+
+def test_element_lists_invalidated_by_dynamic_branch(spark):
+    # an accumulator pushed under a NON-constant condition loses its
+    # element list (branch merge can't know the element count); the
+    # program still runs via the single-column array path
+    got, _ = eval_vrl(
+        spark,
+        "xs = [1]\nif .flag == 1 { xs = push(xs, 2) }\nxs",
+        {"flag": 1},
+    )
+    assert got == [1, 2]

@@ -84,14 +84,13 @@ def test_vrl_program(spark, case):
 def test_vrl_program_floor():
     """Enough whole reference programs must compile, run, and match;
     the skip escape hatch can't hollow the gate out."""
-    # round 5 second pass: del() on closure-variable getfield chains,
-    # fallible-assignment type defaults for push/append/merge over
-    # statically-null collections (assignment.rs ok-target defaults),
-    # per-element evaluation of heterogeneous final arrays, the
-    # `??` static-error channel (length(null) etc.), constant folding
-    # of split/parse_key_value/parse_common_log/to_string with
-    # py-provenance threading into unrolled closures — measured count
-    # 155/164 (round 5 first pass: 147, round 4: 133, round 3: 113);
-    # the floor keeps headroom for environment variance without
-    # letting skips hollow the gate
-    assert len(EXECUTED) >= 152, f"only {len(EXECUTED)} programs passed"
+    # round 5 third pass: per-element (Column, shape) tracking for
+    # push/append-built array VARIABLES (Env.elems) so a final
+    # heterogeneous accumulator — the rfcs/8381 for_each patterns —
+    # materializes each element as its own natively-typed column
+    # instead of degrading to array<string>, plus del()-return
+    # provenance and set() constant folding — measured count 157/164
+    # (second pass: 155, first pass: 147, round 4: 133, round 3:
+    # 113); the floor keeps headroom for environment variance
+    # without letting skips hollow the gate
+    assert len(EXECUTED) >= 154, f"only {len(EXECUTED)} programs passed"

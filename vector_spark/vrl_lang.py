@@ -810,6 +810,13 @@ class Env:
         # path was never touched by the program — external data,
         # which the reference types as {"any": true}.
         self.tdef: dict[str, Any] = {}
+        # per-element (Column, shape) lists for array VARIABLES whose
+        # element count is statically known (array literals and
+        # push/append chains): VRL arrays are heterogeneous and Spark
+        # arrays are not, so a mixed array bound as ONE column
+        # degrades to array<string>; the element list lets eval_vrl
+        # materialize each element as its own natively-typed column
+        self.elems: dict[str, list[tuple[Column, Any]]] = {}
         # True once the program replaced the whole event ('. = {...}')
         # — from then on a missing top-level field is known-absent
         # (query -> null), not external-any
@@ -827,6 +834,7 @@ class Env:
         e.shape = dict(self.shape)
         e.py = dict(self.py)
         e.nodes = dict(self.nodes)
+        e.elems = {k: list(v) for k, v in self.elems.items()}
         e.top = set(self.top)
         e.tdef = dict(self.tdef)
         e.root_known = self.root_known
@@ -1030,6 +1038,11 @@ class Compiler:
         # an `abort` there is data-dependent and stays out of the
         # compile subset; at depth 0 it is a static program exit
         self._branch_depth = 0
+        # del() RETURNS the deleted value; the pre-delete py value /
+        # shape is stashed per call site so `x = del(.a)` keeps
+        # constant provenance (py_value is pure and runs after the
+        # mutation already popped the env entries)
+        self._del_returns: dict[int, tuple[bool, Any, Any]] = {}
 
     # ---- helpers ----
 
@@ -1205,6 +1218,10 @@ class Compiler:
                         return _shape_of_py(json.loads(pv))
                     except Exception:
                         return None
+            if node.name == "del":
+                rec = self._del_returns.get(id(node))
+                if rec is not None:
+                    return rec[2]
             if node.name == "compact" and node.args:
                 sh = self.infer_shape(node.args[0])
                 if sh and sh[0] == "obj":
@@ -1458,6 +1475,33 @@ class Compiler:
             known, v = self.py_value(node.args[0])
             if known and isinstance(v, str):  # identity on strings
                 return True, v
+        if name == "del":
+            rec = self._del_returns.get(id(node))
+            if rec is not None and rec[0]:
+                return True, rec[1]
+        if name == "set" and len(node.args) == 3:
+            kb, base = self.py_value(node.args[0])
+            kk, keys = self.py_value(node.args[1])
+            kv, val = self.py_value(node.args[2])
+            if (
+                kb and kk and kv
+                and isinstance(base, dict)
+                and isinstance(keys, list)
+                and keys
+                and all(isinstance(k, str) for k in keys)
+            ):
+                import copy as _copy
+
+                out = _copy.deepcopy(base)
+                cur = out
+                for k in keys[:-1]:
+                    nxt = cur.get(k)
+                    if not isinstance(nxt, dict):
+                        nxt = {}
+                        cur[k] = nxt
+                    cur = nxt
+                cur[keys[-1]] = val
+                return True, out
         if name == "parse_common_log" and node.args and not node.kwargs:
             known, v = self.py_value(node.args[0])
             if known and isinstance(v, str):
@@ -1721,6 +1765,71 @@ class Compiler:
                     sh = None
         return out
 
+    _MUTATING_FNS = frozenset(
+        {"del", "set_metadata_field", "remove_metadata_field"}
+    )
+
+    def _pure_node(self, node) -> bool:
+        """True when re-compiling the node is side-effect free (no
+        env mutation, no closure execution) — the guard that lets
+        `_elems_of_node` compile element expressions a second time."""
+        if isinstance(node, (Lit, TsLit, Regex, Var, Path, VarPath)):
+            return True
+        if isinstance(node, Arr):
+            return all(self._pure_node(i) for i in node.items)
+        if isinstance(node, Obj):
+            return all(self._pure_node(v) for _, v in node.pairs)
+        if isinstance(node, Un):
+            return self._pure_node(node.operand)
+        if isinstance(node, Bin):
+            return self._pure_node(node.left) and self._pure_node(node.right)
+        if isinstance(node, Call):
+            name = _FN_ALIASES.get(node.name, node.name).rstrip("!")
+            if name in self._MUTATING_FNS or node.closure is not None:
+                return False
+            return all(
+                self._pure_node(a)
+                for a in list(node.args) + list(node.kwargs.values())
+            )
+        return False
+
+    def _elems_of_node(self, node) -> list[tuple[Column, Any]] | None:
+        """Per-element (Column, shape) list of an array-valued
+        expression with statically-known element count: array
+        literals, variables that already carry an element list, and
+        push/append chains over them. None when unknown. VRL arrays
+        are heterogeneous (lib/vrl/compiler/src/value/kind.rs); Spark
+        arrays are not — the element list preserves native per-element
+        types where a single array Column would coerce to strings."""
+        if isinstance(node, Arr):
+            if not all(self._pure_node(i) for i in node.items):
+                return None
+            return [
+                (self.compile(i), self.infer_shape(i)) for i in node.items
+            ]
+        if isinstance(node, Var):
+            cur = self.env.elems.get(node.name)
+            return list(cur) if cur is not None else None
+        if isinstance(node, Call) and not node.kwargs:
+            name = _FN_ALIASES.get(node.name, node.name).rstrip("!")
+            if name == "push" and len(node.args) == 2:
+                base = self._elems_of_node(node.args[0])
+                if base is None or not self._pure_node(node.args[1]):
+                    return None
+                return base + [
+                    (
+                        self.compile(node.args[1]),
+                        self.infer_shape(node.args[1]),
+                    )
+                ]
+            if name == "append" and len(node.args) == 2:
+                base = self._elems_of_node(node.args[0])
+                tail = self._elems_of_node(node.args[1])
+                if base is None or tail is None:
+                    return None
+                return base + tail
+        return None
+
     def assign_target(self, target, col: Column, shape=None, pynode=None):
         sparse = getattr(self.env, "sparse_cols", None)
         if sparse is not None and isinstance(target, Path) and target.segments:
@@ -1743,6 +1852,13 @@ class Compiler:
                 self.env.nodes[target.name] = pynode
             else:
                 self.env.nodes.pop(target.name, None)
+            el = (
+                self._elems_of_node(pynode) if pynode is not None else None
+            )
+            if el is not None:
+                self.env.elems[target.name] = el
+            else:
+                self.env.elems.pop(target.name, None)
             return
         if isinstance(target, VarPath):
             if any(isinstance(s, tuple) for s in target.segments):
@@ -1771,6 +1887,7 @@ class Compiler:
                 )
             self.env.py.pop(target.name, None)
             self.env.nodes.pop(target.name, None)
+            self.env.elems.pop(target.name, None)
             return
         if isinstance(target, Path):
             segs = target.segments
@@ -2833,6 +2950,7 @@ class Compiler:
                 self.env.shape.get(p),
                 self.env.py.get(p),
                 self.env.nodes.get(p),
+                self.env.elems.get(p),
             )
             for p in bindings
         }
@@ -2844,6 +2962,7 @@ class Compiler:
             else:
                 self.env.py.pop(p, None)
             self.env.nodes.pop(p, None)
+            self.env.elems.pop(p, None)
         val = None
         self._branch_depth += 1
         try:
@@ -2851,7 +2970,7 @@ class Compiler:
                 val = self.exec_stmt(s)
         finally:
             self._branch_depth -= 1
-        for p, (b, sh, pv, nd) in saved.items():
+        for p, (b, sh, pv, nd, el) in saved.items():
             if b is None:
                 self.env.bind.pop(p, None)
             else:
@@ -2868,6 +2987,10 @@ class Compiler:
                 self.env.nodes.pop(p, None)
             else:
                 self.env.nodes[p] = nd
+            if el is None:
+                self.env.elems.pop(p, None)
+            else:
+                self.env.elems[p] = el
         return val
 
     def _closure_over_literal_array(
@@ -3016,6 +3139,14 @@ class Compiler:
         t = node.args[0]
         if isinstance(t, Path):
             key = self._event_key(t)
+            # stash the pre-delete constant/shape: del() RETURNS the
+            # deleted value, and the assignment's provenance pass runs
+            # after the env entries are popped
+            self._del_returns[id(node)] = (
+                key in self.env.py,
+                self.env.py.get(key),
+                self.env.shape.get(key),
+            )
             if key in self.env.bind:
                 old = self.env.bind.pop(key)
                 self.env.shape.pop(key, None)
@@ -3135,6 +3266,17 @@ class Compiler:
             k: then_env.nodes[k]
             for k in set(then_env.nodes) & set(else_env.nodes)
             if then_env.nodes[k] is else_env.nodes.get(k)
+        }
+        # element lists survive a merge only when neither branch
+        # touched them (same Column objects, element-wise)
+        self.env.elems = {
+            k: then_env.elems[k]
+            for k in set(then_env.elems) & set(else_env.elems)
+            if len(then_env.elems[k]) == len(else_env.elems[k])
+            and all(
+                a[0] is b[0]
+                for a, b in zip(then_env.elems[k], else_env.elems[k])
+            )
         }
         self.env.top = then_env.top | else_env.top
         self.env.tdef = self._union_branch_tdefs(then_env, else_env)
@@ -3611,8 +3753,24 @@ def eval_vrl(spark, source: str, event: dict | None = None):
         spark.conf.set(k, v)
     try:
         val_col = None
-        elem_cols = None
+        val_spec = None  # nested lists of leaf indices into leaf_cols
+        leaf_cols: list[Column] = []
         aborted = False
+
+        def _leaf(c: Column) -> int:
+            leaf_cols.append(c)
+            return len(leaf_cols) - 1
+
+        def _split_item(item):
+            # an element-tracked array variable splits into its
+            # per-element columns (each keeps its native type);
+            # anything else is one leaf column
+            if isinstance(item, Var):
+                el = comp.env.elems.get(item.name)
+                if el is not None:
+                    return [_leaf(c) for c, _sh in el]
+            return _leaf(comp.compile(item))
+
         for i, s in enumerate(stmts):
             try:
                 if i == len(stmts) - 1 and isinstance(s, Arr):
@@ -3621,7 +3779,19 @@ def eval_vrl(spark, source: str, event: dict | None = None):
                     # Spark column. Evaluate the literal's elements
                     # as separate columns so each keeps its native
                     # type (the corpus `[.a1, .a2, .a3]` pattern)
-                    elem_cols = [comp.compile(e) for e in s.items]
+                    val_spec = [_split_item(e) for e in s.items]
+                    break
+                if (
+                    i == len(stmts) - 1
+                    and isinstance(s, Var)
+                    and s.name in comp.env.elems
+                ):
+                    # final expression is a push-built array variable
+                    # (the for_each-accumulation corpus pattern):
+                    # same per-element split
+                    val_spec = [
+                        _leaf(c) for c, _sh in comp.env.elems[s.name]
+                    ]
                     break
                 out = comp.exec_stmt(s)
             except VrlStaticAbort:
@@ -3635,9 +3805,9 @@ def eval_vrl(spark, source: str, event: dict | None = None):
             comp.env.bind["." + n].alias(f"f_{i}")
             for i, n in enumerate(names)
         ]
-        if elem_cols is not None:
+        if val_spec is not None:
             sel.extend(
-                c.alias(f"_val_{i}") for i, c in enumerate(elem_cols)
+                c.alias(f"_val_{i}") for i, c in enumerate(leaf_cols)
             )
         sel.append(
             (val_col if val_col is not None else F.lit(None)).alias("_val")
@@ -3652,10 +3822,14 @@ def eval_vrl(spark, source: str, event: dict | None = None):
     ev = {n: _to_py(row[f"f_{i}"]) for i, n in enumerate(names)}
     if aborted:
         return ev, ev
-    if elem_cols is not None:
-        return [
-            _to_py(row[f"_val_{i}"]) for i in range(len(elem_cols))
-        ], ev
+    if val_spec is not None:
+
+        def _build(spec):
+            if isinstance(spec, list):
+                return [_build(x) for x in spec]
+            return _to_py(row[f"_val_{spec}"])
+
+        return _build(val_spec), ev
     return _to_py(row["_val"]), ev
 
 
