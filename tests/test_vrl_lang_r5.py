@@ -147,3 +147,20 @@ def test_element_lists_invalidated_by_dynamic_branch(spark):
         {"flag": 1},
     )
     assert got == [1, 2]
+
+
+def test_null_comparison_against_missing_path_folds_static(spark):
+    # issues/12948: under a closed event, `.platform == "Apache2"`
+    # with .platform absent folds to static false, so the guarded
+    # branch (whose body is out of the compile subset when taken
+    # statically-null) never compiles at all
+    src = (
+        'if .platform == "Apache2" || .platform == "Nginx" {\n'
+        "  apache2 = del(.apache2)\n"
+        "  if is_null(apache2) { apache2 = {} }\n"
+        "  .http = merge(object!(apache2), {})\n"
+        "}"
+    )
+    got, ev = eval_vrl(spark, src, {})
+    assert got is None
+    assert "http" not in ev

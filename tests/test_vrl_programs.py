@@ -89,8 +89,9 @@ def test_vrl_program_floor():
     # heterogeneous accumulator — the rfcs/8381 for_each patterns —
     # materializes each element as its own natively-typed column
     # instead of degrading to array<string>, plus del()-return
-    # provenance and set() constant folding — measured count 157/164
-    # (second pass: 155, first pass: 147, round 4: 133, round 3:
-    # 113); the floor keeps headroom for environment variance
-    # without letting skips hollow the gate
-    assert len(EXECUTED) >= 154, f"only {len(EXECUTED)} programs passed"
+    # provenance and set() constant folding, and static ==/!= against
+    # a provably runtime-null side (closed-event missing path) —
+    # measured count 158/164 (second pass: 155, first pass: 147,
+    # round 4: 133, round 3: 113); the floor keeps headroom for
+    # environment variance without letting skips hollow the gate
+    assert len(EXECUTED) >= 155, f"only {len(EXECUTED)} programs passed"

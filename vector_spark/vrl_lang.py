@@ -1359,6 +1359,16 @@ class Compiler:
                 if kl and kr:
                     eq = _strict_eq(lv, rv)
                     return True, (eq if node.op == "==" else not eq)
+                # one side a known constant, the other provably null
+                # at runtime (closed-event missing path): the
+                # comparison decides statically — null equals only
+                # null (value.rs PartialEq)
+                if kl != kr:
+                    known_v = lv if kl else rv
+                    other = node.right if kl else node.left
+                    if self._runtime_null(other):
+                        eq = known_v is None
+                        return True, (eq if node.op == "==" else not eq)
                 return False, None
             if node.op == "*":
                 kl, lv = self.py_value(node.left)
