@@ -404,14 +404,15 @@ def parse_aws_vpc_flow_log(
     # doesn't always fire across 14+ references)
     out = df.withColumn("_toks", F.split(F.col(line_col), " "))
     toks = F.col("_toks")
-    out = out.withColumn(
-        "_parse_error", F.size(toks) != F.lit(len(fields))
-    )
+    # ONE withColumns projection over the materialized token column
+    # (a per-field withColumn chain re-runs the analyzer per field)
+    cols: dict[str, Column] = {
+        "_parse_error": F.size(toks) != F.lit(len(fields))
+    }
     for i, name in enumerate(fields):
         raw = F.nullif(F.element_at(toks, i + 1), F.lit("-"))
-        col = raw.cast("long") if name in _VPC_INT_FIELDS else raw
-        out = out.withColumn(name, col)
-    return out.drop("_toks")
+        cols[name] = raw.cast("long") if name in _VPC_INT_FIELDS else raw
+    return out.withColumns(cols).drop("_toks")
 
 
 # ---------------------------------------------------------------------------
@@ -454,11 +455,15 @@ def parse_aws_alb_log(df: DataFrame, line_col: str = "line") -> DataFrame:
     classification columns, which ride behind `request_creation_time`
     era fields in the reference too)."""
     g = _groups(F.col(line_col), ALB_PATTERN, len(_ALB_FIELDS))
-    out = df
+    # ONE withColumns projection: a 24-field chain of withColumn would
+    # run the analyzer once per field over a growing plan (quadratic
+    # driver-side work for wide formats)
+    cols: dict[str, Column] = {}
     for i, (name, _, is_int) in enumerate(_ALB_FIELDS):
         raw = F.nullif(_gi(g, i + 1), F.lit("-"))
-        out = out.withColumn(name, raw.cast("long") if is_int else raw)
-    return out.withColumn("_parse_error", g.isNull())
+        cols[name] = raw.cast("long") if is_int else raw
+    cols["_parse_error"] = g.isNull()
+    return df.withColumns(cols)
 
 
 # ---------------------------------------------------------------------------
