@@ -84,14 +84,14 @@ def test_vrl_program(spark, case):
 def test_vrl_program_floor():
     """Enough whole reference programs must compile, run, and match;
     the skip escape hatch can't hollow the gate out."""
-    # round 5 third pass: per-element (Column, shape) tracking for
-    # push/append-built array VARIABLES (Env.elems) so a final
-    # heterogeneous accumulator — the rfcs/8381 for_each patterns —
-    # materializes each element as its own natively-typed column
-    # instead of degrading to array<string>, plus del()-return
-    # provenance and set() constant folding, and static ==/!= against
-    # a provably runtime-null side (closed-event missing path) —
-    # measured count 158/164 (second pass: 155, first pass: 147,
-    # round 4: 133, round 3: 113); the floor keeps headroom for
+    # round 5 fourth pass: static type-flow for type_def() over
+    # abort-bearing blocks (never = lattice bottom, branch-merged
+    # variable scopes), span-bearing diagnostics for fallible calls on
+    # provably-null arguments, py-folded slice with runtime-kind
+    # dispatch, typed-argument fallibility for upcase/push/slice under
+    # `??` (progressive type checking), and a VRL-sound `&&` fold
+    # (non-boolean right errors instead of folding truthy) —
+    # measured count 161/164 (third pass: 158, second: 155, first:
+    # 147, round 4: 133, round 3: 113); the floor keeps headroom for
     # environment variance without letting skips hollow the gate
-    assert len(EXECUTED) >= 155, f"only {len(EXECUTED)} programs passed"
+    assert len(EXECUTED) >= 158, f"only {len(EXECUTED)} programs passed"

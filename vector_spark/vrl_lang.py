@@ -876,6 +876,12 @@ def _tdef_union(a: dict | None, b: dict | None) -> dict | None:
     (querying an absent field yields null). None = unknown wins."""
     if a is None or b is None:
         return None
+    # `never` is the lattice bottom (type_def.rs Kind::never — an
+    # aborting branch): it is the union IDENTITY, not a member kind
+    if a == {"never": True}:
+        return dict(b)
+    if b == {"never": True}:
+        return dict(a)
     if a.get("any") or b.get("any"):
         return {"any": True}
     out: dict[str, Any] = {}
@@ -908,6 +914,27 @@ def _shape_step(sh, seg):
     if sh[0] == "arr" and isinstance(seg, int):
         return sh[1]
     return None
+
+
+def _contains_abort(node) -> bool:
+    """True when an AST subtree contains an `abort` anywhere —
+    type_def() over such a block must be answered by static
+    type-flow alone (evaluating it would exit the program)."""
+    if isinstance(node, Abort):
+        return True
+    if isinstance(node, (list, tuple)):
+        return any(_contains_abort(x) for x in node)
+    if isinstance(node, dict):
+        return any(_contains_abort(v) for v in node.values())
+    if isinstance(
+        node,
+        (Block, If, Assign, MultiAssign, Bin, Un, Call, Arr, Obj),
+    ):
+        return any(
+            _contains_abort(getattr(node, f))
+            for f in node.__dataclass_fields__
+        )
+    return False
 
 
 # VRL functions whose registry impls take Python-native (non-Column)
@@ -1294,6 +1321,16 @@ class Compiler:
             if known and isinstance(v, (int, float)):
                 return True, -v
             return False, None
+        if isinstance(node, Bin) and node.op == "??":
+            # error-coalescing folds when the branch is decidable: a
+            # provably-erroring left takes the fallback; a left that
+            # folds to a concrete value cannot have errored
+            if self._expr_static_error(node.left):
+                return self.py_value(node.right)
+            known, v = self.py_value(node.left)
+            if known:
+                return True, v
+            return False, None
         if isinstance(node, Arr):
             out = []
             for item in node.items:
@@ -1390,7 +1427,16 @@ class Compiler:
                 if node.op == "&&":
                     if not truthy:
                         return True, False
-                    return self.py_value(node.right)
+                    kr, rv = self.py_value(node.right)
+                    # op.rs: AND demands boolean operands (null is
+                    # falsy) — a known non-boolean right ERRORS at
+                    # runtime, so it must not fold to a value
+                    # (true && "foo" ?? "nope" takes the fallback)
+                    if kr and isinstance(rv, bool):
+                        return True, rv
+                    if kr and rv is None:
+                        return True, False
+                    return False, None
                 if truthy:
                     return True, lv
                 return self.py_value(node.right)
@@ -1424,6 +1470,36 @@ class Compiler:
                     return True, av + [bv]
                 if isinstance(bv, list):
                     return True, av + bv
+        if name == "slice" and node.args:
+            # slice.rs: arrays and strings, negative indices count
+            # from the end (Python slicing semantics match)
+            ka, av = self.py_value(node.args[0])
+            start_n = (
+                node.args[1] if len(node.args) > 1
+                else node.kwargs.get("start")
+            )
+            end_n = (
+                node.args[2] if len(node.args) > 2
+                else node.kwargs.get("end")
+            )
+            ks, sv = (
+                self.py_value(start_n) if start_n is not None
+                else (True, 0)
+            )
+            ke, ev = (
+                self.py_value(end_n) if end_n is not None
+                else (True, None)
+            )
+            if (
+                ka and ks and ke
+                and isinstance(av, (list, str))
+                and isinstance(sv, int) and not isinstance(sv, bool)
+                and (
+                    ev is None
+                    or (isinstance(ev, int) and not isinstance(ev, bool))
+                )
+            ):
+                return True, (av[sv:] if ev is None else av[sv:ev])
         if (
             name == "split"
             and len(node.args) == 2
@@ -1479,6 +1555,10 @@ class Compiler:
                 }
         if name == "type_def" and node.args:
             td = self.infer_tdef(node.args[0])
+            if td is None and isinstance(node.args[0], Block):
+                td = self._tdef_block_static(
+                    node.args[0].stmts, dict(self.env.tdef)
+                )
             if td is not None:
                 return True, td
         if name == "to_string" and len(node.args) == 1:
@@ -1622,6 +1702,12 @@ class Compiler:
                 fields[k] = ft
             return {"object": fields}
         if isinstance(node, Block):
+            if _contains_abort(node):
+                # static type-flow: abort = never, assignments update
+                # a scratch scope, unreachable tails drop
+                return self._tdef_block_static(
+                    node.stmts, dict(self.env.tdef)
+                )
             return self.infer_tdef(node.stmts[-1]) if node.stmts else None
         if isinstance(node, If):
             t = (
@@ -1702,6 +1788,72 @@ class Compiler:
         raise VrlCompileError(
             f"argument must be a literal for this function: {node}"
         )
+
+    # ---- static type-flow for type_def() over abort-bearing blocks ----
+
+    def _tdef_block_static(self, stmts, scope: dict):
+        """Static type-flow of a statement block for type_def()
+        (type_def.rs): `abort` types as `never` (the lattice bottom),
+        a sequence is never from its first never statement on (the
+        rest is unreachable), and variable assignments update a
+        scratch scope so the final expression sees branch-merged
+        types. The reference checker does NO reachability or
+        constant-condition pruning — `if false {abort} else {x = 3}`
+        still contributes BOTH branch exits to x's type
+        (vrl/tests expressions/abort/abort_typedef.vrl)."""
+        last: Any = {"null": True}
+        for s in stmts:
+            last = self._tdef_node_static(s, scope)
+            if last is None:
+                return None
+            if last == {"never": True}:
+                return {"never": True}
+        return last
+
+    def _tdef_node_static(self, node, scope: dict):
+        if isinstance(node, Abort):
+            return {"never": True}
+        if isinstance(node, Block):
+            inner = scope if node.paren else dict(scope)
+            return self._tdef_block_static(node.stmts, inner)
+        if isinstance(node, Assign) and isinstance(node.target, Var):
+            t = self._tdef_node_static(node.expr, scope)
+            if t is not None:
+                scope[node.target.name] = t
+            return t
+        if isinstance(node, If):
+            ts, es = dict(scope), dict(scope)
+            t = (
+                self._tdef_block_static(node.then, ts)
+                if node.then
+                else {"null": True}
+            )
+            e = (
+                self._tdef_block_static(node.orelse, es)
+                if node.orelse
+                else {"null": True}
+            )
+            # merge variable types from BOTH branch exits (an
+            # aborting branch still contributes its entry state)
+            for k in set(ts) | set(es):
+                a, b = ts.get(k), es.get(k)
+                scope[k] = _tdef_union(a, b) if (a and b) else (a or b)
+            if t is None or e is None:
+                return None
+            return _tdef_union(t, e)
+        if isinstance(node, Bin) and node.op == "|":
+            lt = self._tdef_node_static(node.left, scope)
+            rt = self._tdef_node_static(node.right, scope)
+            if lt is None or rt is None:
+                return None
+            if rt == {"never": True}:
+                return lt
+            if lt == {"never": True}:
+                return rt
+            return self.infer_tdef(node)
+        if isinstance(node, Var):
+            return scope.get(node.name) or self.infer_tdef(node)
+        return self.infer_tdef(node)
 
     # ---- structured update helpers ----
 
@@ -2158,6 +2310,31 @@ class Compiler:
             return key not in self.env.bind and key not in self.env.tdef
         return False
 
+    def _static_fallible_call_error(self, expr) -> str | None:
+        """The reference's diagnostic string for a fallible call whose
+        argument PROVABLY has the wrong kind at runtime — e.g.
+        `upcase(.thing)` under a closed event with no `.thing`
+        (vrl/tests expressions/query/function_call_error.vrl). Walks
+        through any query applied to the call result (the call errors
+        before the query runs). Returns None when not provable."""
+        node = expr
+        while isinstance(node, Bin) and node.op in (
+            "getfield", "index", "coalfield"
+        ):
+            node = node.left
+        if not isinstance(node, Call) or node.infallible:
+            return None
+        name = _FN_ALIASES.get(node.name, node.name)
+        if name in ("upcase", "downcase") and node.args and (
+            self._runtime_null(node.args[0])
+        ):
+            s, e = node.span or (0, 0)
+            return (
+                f'function call error for "{name}" at ({s}:{e}): '
+                f"expected string, got null"
+            )
+        return None
+
     def _expr_static_error(self, node) -> bool:
         """True when an expression subtree PROVABLY errors at runtime
         — e.g. length() of a statically-null operand (length.rs only
@@ -2180,6 +2357,23 @@ class Compiler:
                 and self._runtime_null(node.args[0])
             ):
                 return True
+            # typed-argument fallibility on a statically-known value
+            # (progressive type checking, vrl/tests internal/
+            # progressive_type_checking.vrl): upcase/downcase demand
+            # a string, push/append an array, slice array-or-string.
+            # `!` forms abort instead of erroring — out of scope here.
+            if not node.infallible and node.args:
+                expect = {
+                    "upcase": str, "downcase": str,
+                    "push": list, "append": list,
+                    "slice": (list, str),
+                }.get(name)
+                if expect is not None:
+                    known, v = self.py_value(node.args[0])
+                    if known and (
+                        isinstance(v, bool) or not isinstance(v, expect)
+                    ):
+                        return True
             return any(
                 self._expr_static_error(a) for a in node.args
             ) or any(
@@ -2220,6 +2414,15 @@ class Compiler:
             # Spark's null-propagating expressions can't carry
             if self._expr_static_error(node.left):
                 return self.compile(node.right)
+            # a left that folds to a concrete value cannot error —
+            # the fallback is dead, and compiling the fold keeps the
+            # value's native type (progressive_type_checking: the
+            # string-unification escape below would stringify it)
+            pk, pv = self.py_value(node.left)
+            if pk:
+                if isinstance(pv, (dict, list)):
+                    return self.compile(_node_of_py(pv))
+                return _py_to_col(pv)
             # constant fold: a literal-argument fallible call decides
             # the branch at compile time (parse_json("...") ?? x)
             if (
@@ -2417,6 +2620,13 @@ class Compiler:
         name = _FN_ALIASES.get(node.name, node.name)
         if node.closure is not None:
             return self.compile_closure_call(node)
+        if name == "slice":
+            # slice.rs dispatches on the VALUE's runtime kind (array
+            # vs string); the native registry kernel is string-typed,
+            # so a statically-known collection folds here instead
+            known, v = self.py_value(node)
+            if known:
+                return _py_to_col(v)
         if name in (
             "set_metadata_field",
             "get_metadata_field",
@@ -2546,8 +2756,17 @@ class Compiler:
                 return out
         if name == "type_def" and node.args:
             td = self.infer_tdef(node.args[0])
+            if td is None and isinstance(node.args[0], Block):
+                # abort-bearing blocks are answered by static
+                # type-flow — evaluating them would exit the program
+                td = self._tdef_block_static(
+                    node.args[0].stmts, dict(self.env.tdef)
+                )
             # the argument still evaluates (type_def(del(.a)) deletes)
-            if not isinstance(node.args[0], (Lit, Var, Path)):
+            # — unless it contains abort, which must not execute
+            if not isinstance(
+                node.args[0], (Lit, Var, Path)
+            ) and not _contains_abort(node.args[0]):
                 self.compile(node.args[0])
             if td is None:
                 raise VrlCompileError("type_def: type not inferable")
@@ -3442,6 +3661,16 @@ class Compiler:
                     raw, F.lit(0.0) if expr.op == "/" else F.lit(0)
                 )
         else:
+            msg = self._static_fallible_call_error(expr)
+            if msg is not None:
+                # the call provably errors: ok gets null, err the
+                # reference's span-bearing diagnostic (remap.rs)
+                self.assign_target(node.ok, F.lit(None), None)
+                if not (isinstance(node.err, Var) and node.err.name == "_"):
+                    self.assign_target(
+                        node.err, F.lit(msg), None, pynode=Lit(msg)
+                    )
+                return F.lit(None)
             try:
                 val = self.compile(expr)
             except VrlCompileError:
