@@ -84,14 +84,15 @@ def test_vrl_program(spark, case):
 def test_vrl_program_floor():
     """Enough whole reference programs must compile, run, and match;
     the skip escape hatch can't hollow the gate out."""
-    # round 5 fourth pass: static type-flow for type_def() over
-    # abort-bearing blocks (never = lattice bottom, branch-merged
-    # variable scopes), span-bearing diagnostics for fallible calls on
-    # provably-null arguments, py-folded slice with runtime-kind
-    # dispatch, typed-argument fallibility for upcase/push/slice under
-    # `??` (progressive type checking), and a VRL-sound `&&` fold
-    # (non-boolean right errors instead of folding truthy) —
-    # measured count 161/164 (third pass: 158, second: 155, first:
-    # 147, round 4: 133, round 3: 113); the floor keeps headroom for
-    # environment variance without letting skips hollow the gate
-    assert len(EXECUTED) >= 158, f"only {len(EXECUTED)} programs passed"
+    # round 5 fifth pass: deep compile-time py provenance through
+    # nested path/variable assignments plus a constant fold of
+    # unnest() root-clone semantics (coalesce segments resolved
+    # against the known value) — measured count 162/164 (fourth pass:
+    # 161 via type_def static type-flow, span diagnostics, slice
+    # runtime-kind dispatch, typed fallibility under ??; third: 158,
+    # second: 155, first: 147, round 4: 133, round 3: 113). The two
+    # remaining programs need per-event heterogeneous struct shapes /
+    # closure interpretation — the interpreter tier's documented
+    # domain. The floor keeps headroom for environment variance
+    # without letting skips hollow the gate.
+    assert len(EXECUTED) >= 160, f"only {len(EXECUTED)} programs passed"

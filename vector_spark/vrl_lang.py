@@ -937,6 +937,72 @@ def _contains_abort(node) -> bool:
     return False
 
 
+def _py_set_deep(cur, segs: list, val):
+    """Deep-set a compile-time python value along path segments,
+    mirroring _set_in/_fresh_container: string segs create object
+    fields, int segs pad the array with null up to the index
+    (assignment.rs array padding). Callers pre-reject negative and
+    coalesce segments."""
+    seg = segs[0]
+    if isinstance(seg, str):
+        d = dict(cur) if isinstance(cur, dict) else {}
+        d[seg] = (
+            val if len(segs) == 1
+            else _py_set_deep(d.get(seg), segs[1:], val)
+        )
+        return d
+    lst = list(cur) if isinstance(cur, list) else []
+    while len(lst) <= seg:
+        lst.append(None)
+    lst[seg] = (
+        val if len(segs) == 1
+        else _py_set_deep(lst[seg], segs[1:], val)
+    )
+    return lst
+
+
+def _py_resolve_segs(root, segs: list):
+    """Resolve `(a | b)` coalesce segments against a KNOWN python
+    value (first existing alternative wins, query/mod.rs); returns the
+    concrete segment list, or None when an alternative set has no
+    existing member or a segment is un-walkable."""
+    out = []
+    cur = root
+    for seg in segs:
+        if isinstance(seg, tuple) and seg and seg[0] == "|":
+            pick = None
+            if isinstance(cur, dict):
+                for alt in seg[1]:
+                    if alt in cur:
+                        pick = alt
+                        break
+            if pick is None:
+                return None
+            seg = pick
+        out.append(seg)
+        if isinstance(cur, dict) and isinstance(seg, str):
+            cur = cur.get(seg)
+        elif isinstance(cur, list) and isinstance(seg, int):
+            cur = cur[seg] if -len(cur) <= seg < len(cur) else None
+        else:
+            cur = None
+    return out
+
+
+def _py_query_value(root, segs: list):
+    """Query a KNOWN python value along concrete segments — VRL query
+    semantics: anything absent or kind-mismatched yields null."""
+    cur = root
+    for seg in segs:
+        if isinstance(cur, dict) and isinstance(seg, str):
+            cur = cur.get(seg)
+        elif isinstance(cur, list) and isinstance(seg, int):
+            cur = cur[seg] if -len(cur) <= seg < len(cur) else None
+        else:
+            return None
+    return cur
+
+
 # VRL functions whose registry impls take Python-native (non-Column)
 # arguments in given positions / keywords
 _NATIVE_ARGS = {
@@ -1363,9 +1429,22 @@ class Compiler:
                         return False, None
                     out[f] = self.env.py["." + f]
                 return True, out
-            key = self._event_key(node)
-            if key in self.env.py:
-                return True, self.env.py[key]
+            if not any(isinstance(s, tuple) for s in node.segments):
+                key = self._event_key(node)
+                if key in self.env.py:
+                    return True, self.env.py[key]
+            head_seg = node.segments[0]
+            if not isinstance(head_seg, tuple):
+                head = "." + str(head_seg)
+                if head in self.env.py and len(node.segments) > 1:
+                    # the field's WHOLE value is known: a deep query
+                    # resolves by walking it (missing/kind-mismatched
+                    # segments yield null — VRL query semantics)
+                    root = self.env.py[head]
+                    rsegs = _py_resolve_segs(root, node.segments[1:])
+                    if rsegs is None:
+                        return True, None
+                    return True, _py_query_value(root, rsegs)
             return False, None
         if isinstance(node, Un) and node.op == "!":
             known, v = self.py_value(node.operand)
@@ -1528,6 +1607,69 @@ class Compiler:
             kb, bv = self.py_value(node.args[1])
             if ka and isinstance(av, list) and kb:
                 return True, any(_strict_eq(x, bv) for x in av)
+        if name == "contains" and len(node.args) >= 2:
+            ka, av = self.py_value(node.args[0])
+            kb, bv = self.py_value(node.args[1])
+            cs_node = node.kwargs.get("case_sensitive")
+            kc, cv = (
+                self.py_value(cs_node) if cs_node is not None
+                else (True, True)
+            )
+            if ka and kb and kc and isinstance(av, str) and isinstance(
+                bv, str
+            ):
+                return True, (
+                    bv in av if cv else bv.lower() in av.lower()
+                )
+        if name == "unnest" and len(node.args) == 1:
+            # unnest.rs: one clone of the ROOT per element of the
+            # array at the path; folds when the root value is fully
+            # known at compile time (diagnostics/unnest_typedefs.vrl)
+            arg = node.args[0]
+            kr, root, segs = False, None, None
+            if isinstance(arg, Path) and arg.segments:
+                kr, root = self.py_value(Path([]))
+                segs = arg.segments
+            elif isinstance(arg, VarPath):
+                kr, root = self.py_value(Var(arg.name))
+                segs = arg.segments
+            elif isinstance(arg, Bin):
+                # variable queries parse as getfield/index/coalfield
+                # chains over Var — unwind to (root var, segments)
+                segs, n = [], arg
+                while isinstance(n, Bin) and n.op in (
+                    "getfield", "index", "coalfield"
+                ):
+                    segs.insert(
+                        0,
+                        ("|", n.right.value)
+                        if n.op == "coalfield"
+                        else n.right.value,
+                    )
+                    n = n.left
+                if isinstance(n, Var):
+                    kr, root = self.py_value(n)
+                else:
+                    segs = None
+            if kr and segs:
+                rsegs = _py_resolve_segs(root, segs)
+                arr = (
+                    _py_query_value(root, rsegs)
+                    if rsegs is not None else None
+                )
+                if isinstance(arr, list):
+                    import copy as _copy
+
+                    out = []
+                    for item in arr:
+                        out.append(
+                            _py_set_deep(
+                                _copy.deepcopy(root),
+                                rsegs,
+                                _copy.deepcopy(item),
+                            )
+                        )
+                    return True, out
         if name == "encode_json" and node.args:
             known, v = self.py_value(node.args[0])
             if known:
@@ -2047,7 +2189,21 @@ class Compiler:
                 self.env.shape[target.name] = self._shape_set(
                     self.env.shape.get(target.name), target.segments, shape
                 )
-            self.env.py.pop(target.name, None)
+            # deep py provenance (same rule as event paths)
+            if known and (
+                base is None or target.name in self.env.py
+            ) and all(
+                isinstance(s, str) or (isinstance(s, int) and s >= 0)
+                for s in target.segments
+            ):
+                self.env.py[target.name] = _py_set_deep(
+                    self.env.py.get(target.name)
+                    if base is not None else None,
+                    target.segments,
+                    pv,
+                )
+            else:
+                self.env.py.pop(target.name, None)
             self.env.nodes.pop(target.name, None)
             self.env.elems.pop(target.name, None)
             return
@@ -2115,7 +2271,20 @@ class Compiler:
                 )
             self.env.deleted.discard(head)
             self.env.top.add(str(segs[0]))
-            self.env.py.pop(head, None)
+            # deep py provenance: a known value written into a base
+            # whose py state is itself known (or fresh) keeps the
+            # whole field constant-foldable (unnest/typedef corpus)
+            if known and (base is None or head in self.env.py) and all(
+                isinstance(s, str) or (isinstance(s, int) and s >= 0)
+                for s in segs[1:]
+            ):
+                self.env.py[head] = _py_set_deep(
+                    self.env.py.get(head) if base is not None else None,
+                    segs[1:],
+                    pv,
+                )
+            else:
+                self.env.py.pop(head, None)
             self.env.tdef[head] = None  # assigned through, unknown
             return
         raise VrlCompileError(f"bad assignment target {target!r}")
@@ -2627,6 +2796,17 @@ class Compiler:
             known, v = self.py_value(node)
             if known:
                 return _py_to_col(v)
+        if name == "unnest":
+            # cardinality-per-ROOT-clone semantics only fold for
+            # statically-known roots; the DataFrame-level explode
+            # lives in vrl.py/pipeline, the dynamic per-event form in
+            # vrl_interp (unnest.rs)
+            known, v = self.py_value(node)
+            if known:
+                return _py_to_col(v)
+            raise VrlCompileError(
+                "unnest: dynamic collection (out of scope; use vrl_interp)"
+            )
         if name in (
             "set_metadata_field",
             "get_metadata_field",
