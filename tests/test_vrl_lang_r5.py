@@ -164,3 +164,100 @@ def test_null_comparison_against_missing_path_folds_static(spark):
     got, ev = eval_vrl(spark, src, {})
     assert got is None
     assert "http" not in ev
+
+
+# ---- round-5 fifth pass: deep constant provenance + unnest fold ----
+
+
+def test_py_set_deep_pads_arrays_with_null():
+    # mirrors _set_in/_fresh_container (assignment.rs array padding)
+    from vector_spark.vrl_lang import _py_set_deep
+
+    out = _py_set_deep(None, ["nork", 2, "ning"], "x")
+    assert out == {"nork": [None, None, {"ning": "x"}]}
+    # setting inside an existing structure copies, never mutates
+    base = {"a": [1, 2]}
+    out = _py_set_deep(base, ["a", 3], 9)
+    assert out == {"a": [1, 2, None, 9]}
+    assert base == {"a": [1, 2]}
+
+
+def test_py_resolve_and_query_coalesce_segments():
+    from vector_spark.vrl_lang import _py_query_value, _py_resolve_segs
+
+    root = {"nork": [None, None, {"ning": {"nonk": "banana"}}]}
+    segs = ["nork", 2, ("|", ["ning", "nong"]), "nonk"]
+    rsegs = _py_resolve_segs(root, segs)
+    assert rsegs == ["nork", 2, "ning", "nonk"]
+    assert _py_query_value(root, rsegs) == "banana"
+    # no existing alternative -> unresolvable (query yields null)
+    assert _py_resolve_segs(root, ["nork", 2, ("|", ["zap", "zip"])]) is None
+    # kind-mismatched walk yields null, not an error
+    assert _py_query_value(root, ["nork", "oops"]) is None
+
+
+def test_deep_assignment_keeps_py_provenance(spark):
+    # .a.b[1].c = literal keeps the whole field constant-foldable, so
+    # a later query folds instead of compiling a getItem chain
+    got, _ = eval_vrl(
+        spark,
+        '.a.b[1].c = "deep"\n.a.b[1].c',
+        {},
+    )
+    assert got == "deep"
+
+
+def test_unnest_folds_root_clones(spark):
+    got, _ = eval_vrl(
+        spark,
+        '.xs = ["p", "q"]\n.out = unnest(.xs)\n.out[1].xs',
+        {},
+    )
+    assert got == "q"
+
+
+def test_typedef_abort_block_is_never(spark):
+    got, _ = eval_vrl(spark, "type_def({abort})", {})
+    assert got == {"never": True}
+
+
+def test_typedef_branch_merged_variable_types(spark):
+    src = (
+        "type_def({\n"
+        '   x = "string"\n'
+        "   if false {\n"
+        "      abort\n"
+        "   } else {\n"
+        "      x = 3\n"
+        "   }\n"
+        "   x\n"
+        "})"
+    )
+    got, _ = eval_vrl(spark, src, {})
+    assert got == {"bytes": True, "integer": True}
+
+
+def test_fallible_call_error_has_span(spark):
+    got, _ = eval_vrl(spark, "_, err = upcase(.thing).thing\nerr", {})
+    assert got == (
+        'function call error for "upcase" at (10:24): '
+        "expected string, got null"
+    )
+
+
+def test_slice_runtime_kind_dispatch_under_coalesce(spark):
+    # slice on a float errors (slice.rs wants array/string): ?? takes
+    # the fallback and KEEPS its native type
+    got, _ = eval_vrl(
+        spark, "x = slice(.n, 1) ?? .n\nx", {"n": 10.5}
+    )
+    assert got == 10.5
+    got, _ = eval_vrl(
+        spark, 'slice!(.xs, 1)', {"xs": ["a", "b", "c"]}
+    )
+    assert got == ["b", "c"]
+
+
+def test_and_with_non_boolean_right_errors(spark):
+    got, _ = eval_vrl(spark, 'true && "foo" ?? "nope"', {})
+    assert got == "nope"
