@@ -388,6 +388,11 @@ def main() -> int:
             "queries_all_secs", "soak", "soak_local4", "host_probe", "cpu_secs"
         )
     }
+    if flagship_only:
+        # scaling legs read this line: cpu_secs lets the artifact
+        # separate real scaling loss (cpu grows with cores) from host
+        # weather (wall grows, cpu flat)
+        compact["cpu_secs"] = result.get("cpu_secs")
     compact["queries"] = {
         n: round(s, 2) for n, s in result["queries"].items()
     }
