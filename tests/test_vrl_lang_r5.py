@@ -13,6 +13,8 @@ Reference semantics cited per test:
 
 from __future__ import annotations
 
+import json
+
 from vector_spark.vrl_lang import eval_vrl
 
 
@@ -261,3 +263,87 @@ def test_slice_runtime_kind_dispatch_under_coalesce(spark):
 def test_and_with_non_boolean_right_errors(spark):
     got, _ = eval_vrl(spark, 'true && "foo" ?? "nope"', {})
     assert got == "nope"
+
+
+# ---- round-5 sixth pass: whole-program constant folding through the
+# CloudWatch parser, root-array provenance, and closure-body folds ----
+
+
+def test_parse_aws_cloudwatch_constant_fold(spark):
+    # a literal envelope folds at compile time with snake_case keys
+    # and RFC3339-UTC millisecond timestamps
+    # (parse_aws_cloudwatch_log_subscription_message.rs)
+    env = (
+        '{"messageType":"DATA_MESSAGE","owner":"111","logGroup":"/g",'
+        '"logStream":"s","subscriptionFilters":["Dest"],'
+        '"logEvents":[{"id":"1","timestamp":1600110569039,'
+        '"message":"m1"}]}'
+    )
+    src = (
+        "parsed = parse_aws_cloudwatch_log_subscription_message!"
+        f"({json.dumps(env)})\nparsed.log_events[0].timestamp"
+    )
+    got, _ = eval_vrl(spark, src, {})
+    assert got == "2020-09-14T19:09:29.039Z"
+
+
+def test_merge_operator_constant_fold(spark):
+    # `|` on two known objects folds right-biased, keeping
+    # heterogeneous field types as struct fields
+    got, _ = eval_vrl(
+        spark, 'a = {"x": 1, "y": "old"}\na | {"y": 2}', {}
+    )
+    assert got == {"x": 1, "y": 2}
+
+
+def test_varpath_del_keeps_py_provenance(spark):
+    # del(var.field) returns the deleted value AND the variable's
+    # remaining dict stays compile-time known
+    src = (
+        'v = {"keep": 1, "drop": {"deep": true}}\n'
+        "taken = del(v.drop)\n"
+        "[v, taken]"
+    )
+    got, _ = eval_vrl(spark, src, {})
+    assert got == [{"keep": 1}, {"deep": True}]
+
+
+def test_root_array_assign_and_map_values_fold(spark):
+    # `. = <known array>` is the multi-event expansion shape; a
+    # map_values over it folds per element with del/merge provenance
+    src = (
+        '. = [{"a": 1, "t": "x"}, {"a": 2, "t": "y"}]\n'
+        ". = map_values(.) -> |value| {\n"
+        "  tag = del(value.t)\n"
+        '  value |= {"tag": tag}\n'
+        "}\n"
+        "."
+    )
+    got, _ = eval_vrl(spark, src, {})
+    assert got == [{"a": 1, "tag": "x"}, {"a": 2, "tag": "y"}]
+
+
+def test_unnest_static_typedef_flows_to_closure_arg(spark):
+    # the closure argument's type_def reports the static lattice type
+    # (array_unknown_exact element kinds), not the literal's shape
+    env = (
+        '{"messageType":"DATA_MESSAGE","owner":"111","logGroup":"/g",'
+        '"logStream":"s","subscriptionFilters":["Dest"],'
+        '"logEvents":[{"id":"1","timestamp":1600110569039,'
+        '"message":"m1"}]}'
+    )
+    src = (
+        "parsed = parse_aws_cloudwatch_log_subscription_message!"
+        f"({json.dumps(env)})\n"
+        ". = unnest(parsed.log_events)\n"
+        "types = map_values(.) -> |value| { type_def(value) }\n"
+        "types[0].object.log_events"
+    )
+    got, _ = eval_vrl(spark, src, {})
+    assert got == {
+        "object": {
+            "id": {"bytes": True},
+            "message": {"bytes": True},
+            "timestamp": {"timestamp": True},
+        }
+    }

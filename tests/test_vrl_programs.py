@@ -84,15 +84,16 @@ def test_vrl_program(spark, case):
 def test_vrl_program_floor():
     """Enough whole reference programs must compile, run, and match;
     the skip escape hatch can't hollow the gate out."""
-    # round 5 fifth pass: deep compile-time py provenance through
-    # nested path/variable assignments plus a constant fold of
-    # unnest() root-clone semantics (coalesce segments resolved
-    # against the known value) — measured count 162/164 (fourth pass:
-    # 161 via type_def static type-flow, span diagnostics, slice
-    # runtime-kind dispatch, typed fallibility under ??; third: 158,
-    # second: 155, first: 147, round 4: 133, round 3: 113). The two
-    # remaining programs need per-event heterogeneous struct shapes /
-    # closure interpretation — the interpreter tier's documented
-    # domain. The floor keeps headroom for environment variance
-    # without letting skips hollow the gate.
-    assert len(EXECUTED) >= 160, f"only {len(EXECUTED)} programs passed"
+    # round 5 sixth pass: whole-program constant folding through the
+    # CloudWatch subscription parser, root-array provenance
+    # (`. = unnest(...)` multi-event shape), static unnest/map_values
+    # type-flow, and per-element closure folding with del/merge py
+    # provenance — measured count 163/164 (fifth pass: 162 via deep
+    # constant provenance + unnest fold; fourth: 161, third: 158,
+    # second: 155, first: 147, round 4: 133, round 3: 113). The one
+    # remaining program (rfcs 8381) maps per-EVENT data into
+    # heterogeneous struct shapes — not expressible as a static
+    # Spark schema; the interpreter tier's documented domain. The
+    # floor keeps headroom for environment variance without letting
+    # skips hollow the gate.
+    assert len(EXECUTED) >= 161, f"only {len(EXECUTED)} programs passed"

@@ -1136,6 +1136,12 @@ class Compiler:
         # constant provenance (py_value is pure and runs after the
         # mutation already popped the env entries)
         self._del_returns: dict[int, tuple[bool, Any, Any]] = {}
+        # closure calls whose per-element bodies all constant-folded
+        # (same stash pattern: compile runs before provenance)
+        self._closure_py: dict[int, Any] = {}
+        # (known, value) of the most recent closure body's final
+        # statement, set by _closure_body
+        self._body_py: tuple[bool, Any] = (False, None)
 
     # ---- helpers ----
 
@@ -1174,6 +1180,9 @@ class Compiler:
 
     def lookup_path(self, path: Path) -> Column:
         if not path.segments:
+            if "." in self.env.py:
+                # root replaced by a known array (multi-event shape)
+                return _py_to_col(self.env.py["."])
             return self.event_struct()
         segs = path.segments
 
@@ -1376,6 +1385,44 @@ class Compiler:
             return a if a == b else None
         return None
 
+    def _unnest_tdef(self, arg) -> dict | None:
+        """Static type of unnest(arg) when arg is a variable query
+        with string segments — mirrors the interpreter's type_def.rs
+        flow (root with the path replaced by the element kind)."""
+        from .vrl_interp import td_at, td_element, td_set
+
+        segs: list | None = None
+        base_td = None
+        if isinstance(arg, VarPath):
+            base_td = self.env.tdef.get(arg.name)
+            segs = list(arg.segments)
+        else:
+            s: list = []
+            n: Any = arg
+            while isinstance(n, Bin) and n.op in ("getfield", "index"):
+                if not isinstance(n.right, Lit):
+                    return None
+                s.insert(0, n.right.value)
+                n = n.left
+            if isinstance(n, Var) and s:
+                base_td = self.env.tdef.get(n.name)
+                segs = s
+        if base_td is None or segs is None:
+            return None
+        try:
+            arr_td = td_at(base_td, segs)
+        except Exception:
+            return None
+        if not isinstance(arr_td, dict):
+            return None
+        elem = arr_td.get("array_unknown_exact")
+        if elem is None:
+            if "array" not in arr_td:
+                return None
+            elem = td_element(arr_td)
+        new_root = td_set(base_td, segs, elem) if segs else elem
+        return {"array": {}, "array_unknown_exact": new_root}
+
     def py_value(self, node):
         """Best-effort compile-time constant: (known, value)."""
         if isinstance(node, Lit):
@@ -1421,6 +1468,10 @@ class Compiler:
             return False, None
         if isinstance(node, Path):
             if not node.segments:
+                # root replaced wholesale by a known value (the
+                # `. = unnest(...)` multi-event corpus shape)
+                if "." in self.env.py:
+                    return True, self.env.py["."]
                 # whole-event constant: known only when EVERY live top
                 # field has a known compile-time value
                 out = {}
@@ -1497,6 +1548,16 @@ class Compiler:
                     rv, bool
                 ):
                     return True, lv * rv
+                return False, None
+            if node.op == "|":
+                # object merge (op.rs Merge): both sides known
+                # objects fold to the right-biased shallow union
+                kl, lv = self.py_value(node.left)
+                kr, rv = self.py_value(node.right)
+                if kl and kr and isinstance(lv, dict) and isinstance(
+                    rv, dict
+                ):
+                    return True, {**lv, **rv}
                 return False, None
             if node.op in ("&&", "||"):
                 kl, lv = self.py_value(node.left)
@@ -1740,6 +1801,22 @@ class Compiler:
                 parsed = _py_parse_common_log(v)
                 if parsed is not None:  # only a SUCCESSFUL parse folds
                     return True, parsed
+        if (
+            name == "parse_aws_cloudwatch_log_subscription_message"
+            and node.args
+            and not node.kwargs
+        ):
+            known, v = self.py_value(node.args[0])
+            if known and isinstance(v, str):
+                parsed = _py_parse_aws_cloudwatch(v)
+                if parsed is not None:
+                    return True, parsed
+        if id(node) in self._closure_py:
+            # closure call whose per-element bodies all constant-
+            # folded (stashed by _closure_over_literal_array — the
+            # compile pass runs before the assignment's provenance
+            # pass, same ordering contract as _del_returns)
+            return True, self._closure_py[id(node)]
         if name.startswith("is_") and node.args:
             return self._py_is(name, node.args[0])
         return False, None
@@ -1803,6 +1880,10 @@ class Compiler:
             return self.env.tdef.get(node.name)
         if isinstance(node, Path):
             if not node.segments:
+                # root replaced wholesale (`. = unnest(...)`): the
+                # assignment recorded the root's own tdef
+                if "." in self.env.tdef:
+                    return self.env.tdef["."]
                 # type_def(.) — whole-event object tdef, buildable
                 # once the program owns the event shape
                 if not self.env.root_known:
@@ -1907,6 +1988,19 @@ class Compiler:
             if name in ("now", "to_timestamp", "parse_timestamp",
                         "from_unix_timestamp"):
                 return {"timestamp": True}
+            if name == "parse_aws_cloudwatch_log_subscription_message":
+                # exact static output shape — shared with the
+                # interpreter's type-def lattice (type_def.rs)
+                from .vrl_interp import _FN_TDEF
+
+                return _FN_TDEF[name]
+            if name == "unnest" and node.args:
+                # type_def.rs: unnest(path) -> array whose element is
+                # the root with the path replaced by the array's
+                # element kind (closure_arg_kind corpus)
+                td = self._unnest_tdef(node.args[0])
+                if td is not None:
+                    return td
             if name in (
                 "sha1", "sha2", "sha3", "md5", "upcase", "downcase",
                 "to_string", "encode_json", "join", "truncate",
@@ -2221,6 +2315,21 @@ class Compiler:
                     self.env.tdef.pop("." + t, None)
                 self.env.top = set()
                 self.env.root_known = True
+                self.env.py.pop(".", None)
+                self.env.tdef.pop(".", None)
+                if known and isinstance(pv, list) and (
+                    self._spark is not None
+                ):
+                    # root replaced by a known ARRAY (`. = unnest(..)`
+                    # / folded map over it): multi-event expansion —
+                    # carried as whole-root provenance, read back by
+                    # lookup_path/py_value root branches. Eval/REPL
+                    # mode only: a production remap (compile_vrl)
+                    # must emit N EVENTS, which is the interpreter
+                    # tier's explode — falling through raises there.
+                    self.env.py["."] = pv
+                    self.env.tdef["."] = tdef
+                    return
                 if pynode is not None and isinstance(pynode, Obj):
                     for k, v in pynode.pairs:
                         self.assign_target(
@@ -2247,6 +2356,9 @@ class Compiler:
                     )
                 return
             head = "." + str(segs[0])
+            # a field write invalidates whole-root array provenance
+            self.env.py.pop(".", None)
+            self.env.tdef.pop(".", None)
             if len(segs) == 1:
                 self.env.bind[head] = col
                 self.env.shape[head] = shape
@@ -2568,6 +2680,13 @@ class Compiler:
         return False
 
     def compile_bin(self, node: Bin) -> Column:
+        if node.op == "|":
+            # merge of two compile-time-known objects stays a typed
+            # literal (heterogeneous field values survive as struct
+            # fields instead of string-unifying)
+            known, v = self.py_value(node)
+            if known:
+                return _py_to_col(v)
         if node.op in ("getfield", "index"):
             # constant fold BEFORE compiling the base: indexing a
             # known collection keeps heterogeneous elements typed
@@ -2789,10 +2908,14 @@ class Compiler:
         name = _FN_ALIASES.get(node.name, node.name)
         if node.closure is not None:
             return self.compile_closure_call(node)
-        if name == "slice":
+        if name in (
+            "slice", "parse_aws_cloudwatch_log_subscription_message"
+        ):
             # slice.rs dispatches on the VALUE's runtime kind (array
             # vs string); the native registry kernel is string-typed,
-            # so a statically-known collection folds here instead
+            # so a statically-known collection folds here instead.
+            # The CloudWatch parser's registry entry is DataFrame-
+            # level — the Column tier only exists as this fold.
             known, v = self.py_value(node)
             if known:
                 return _py_to_col(v)
@@ -3278,25 +3401,30 @@ class Compiler:
         argnode = arg
         if isinstance(arg, Var) and arg.name in self.env.nodes:
             argnode = self.env.nodes[arg.name]
+        elem_td = None
         if not isinstance(argnode, (Arr, Obj)):
-            # a compile-time-known scalar list (split of a literal,
-            # folded call) unrolls like a literal array — per-element
-            # provenance lets fallible closure bodies fold too
+            # a compile-time-known list (split of a literal, folded
+            # call, folded unnest) unrolls like a literal array —
+            # per-element provenance lets fallible closure bodies
+            # fold too; the element's static tdef rides along so
+            # type_def(param) reports the lattice type, not the
+            # literal's (closure_arg_kind)
             pk, pv = self.py_value(arg)
-            if (
-                pk
-                and isinstance(pv, list)
-                and all(
-                    x is None or isinstance(x, (str, int, float, bool))
-                    for x in pv
-                )
+            if pk and isinstance(pv, list) and all(
+                x is None or isinstance(x, (str, int, float, bool,
+                                            dict, list))
+                for x in pv
             ):
-                argnode = Arr([Lit(x) for x in pv])
+                argnode = Arr([_node_of_py(x) for x in pv])
+                atd = self.infer_tdef(arg)
+                if isinstance(atd, dict):
+                    elem_td = atd.get("array_unknown_exact")
         shape = self.infer_shape(arg)
 
         if isinstance(argnode, Arr):
             return self._closure_over_literal_array(
-                name, params, body, argnode
+                name, params, body, argnode,
+                elem_td=elem_td, callnode=node,
             )
         if isinstance(argnode, Obj) or (
             isinstance(arg, Path) and not arg.segments
@@ -3328,24 +3456,51 @@ class Compiler:
         for p, b in bindings.items():
             c, sh = b[0], b[1]
             pv = b[2] if len(b) > 2 else _MISSING
+            td = b[3] if len(b) > 3 else None
             env.bind[p] = c
             env.shape[p] = sh
             if pv is not _MISSING:
                 env.py[p] = pv
             else:
                 env.py.pop(p, None)
+            if td is not None:
+                env.tdef[p] = td
+            else:
+                env.tdef.pop(p, None)
             env.nodes.pop(p, None)
         saved = self.env
         self.env = env
         self._branch_depth += 1
+        self._body_py = (False, None)
         try:
             val = None
             for s in body:
                 val = self.exec_stmt(s)
+            self._body_py = self._final_stmt_py(body)
         finally:
             self._branch_depth -= 1
             self.env = saved
         return val if val is not None else F.lit(None)
+
+    def _final_stmt_py(self, body: list) -> tuple[bool, Any]:
+        """Compile-time value of a closure body's final statement
+        (its return value), read from post-exec provenance: an
+        assignment returns its target's new value."""
+        if not body:
+            return False, None
+        last = body[-1]
+        if isinstance(last, Assign):
+            t = last.target
+            if isinstance(t, Var):
+                if t.name in self.env.py:
+                    return True, self.env.py[t.name]
+                return False, None
+            return self.py_value(self._target_expr(t)) if isinstance(
+                t, VarPath
+            ) else self.py_value(t)
+        if isinstance(last, MultiAssign):
+            return False, None
+        return self.py_value(last)
 
     def _exec_body_shared(
         self, body: list, bindings: dict[str, tuple[Column, Any, Any]]
@@ -3403,10 +3558,13 @@ class Compiler:
         return val
 
     def _closure_over_literal_array(
-        self, name: str, params: list, body: list, argnode: Arr
+        self, name: str, params: list, body: list, argnode: Arr,
+        elem_td: dict | None = None, callnode: Call | None = None,
     ) -> Column:
         if name == "map_values":
             outs = []
+            pys: list = []
+            all_known = bool(argnode.items)
             for item in argnode.items:
                 pk, pv = self.py_value(item)
                 outs.append(
@@ -3416,9 +3574,23 @@ class Compiler:
                             self.compile(item),
                             self.infer_shape(item),
                             pv if pk else _MISSING,
+                            elem_td,
                         )},
                     )
                 )
+                bk, bv = self._body_py
+                if bk:
+                    pys.append(bv)
+                else:
+                    all_known = False
+            if all_known:
+                # every element's body folded: the whole map is a
+                # compile-time value — stash it for the enclosing
+                # assignment's provenance pass and emit the literal
+                # (keeps heterogeneous-but-congruent structs typed)
+                if callnode is not None:
+                    self._closure_py[id(callnode)] = pys
+                return _py_to_col(pys)
             return F.array(*outs) if outs else F.array()
         if name == "for_each":
             for idx, item in enumerate(argnode.items):
@@ -3610,7 +3782,36 @@ class Compiler:
             self.env.shape[t.name] = self._shape_drop(
                 self.env.shape.get(t.name), t.segments
             )
-            self.env.py.pop(t.name, None)
+            # py provenance survives a known-value delete: stash the
+            # deleted value (del RETURNS it) and drop the key from
+            # the variable's known dict (closure_arg_kind corpus)
+            if t.name in self.env.py:
+                root = self.env.py[t.name]
+                rsegs = _py_resolve_segs(root, list(t.segments))
+                if rsegs is not None and isinstance(root, dict):
+                    import copy as _copy
+
+                    self._del_returns[id(node)] = (
+                        True,
+                        _py_query_value(root, rsegs),
+                        self.env.shape.get(t.name),
+                    )
+                    pruned = _copy.deepcopy(root)
+                    cur: Any = pruned
+                    ok = True
+                    for s in rsegs[:-1]:
+                        try:
+                            cur = cur[s]
+                        except Exception:
+                            ok = False
+                            break
+                    if ok and isinstance(cur, dict):
+                        cur.pop(rsegs[-1], None)
+                        self.env.py[t.name] = pruned
+                    else:
+                        self.env.py.pop(t.name, None)
+                else:
+                    self.env.py.pop(t.name, None)
             self.env.nodes.pop(t.name, None)
             return old
         raise VrlCompileError("del() takes an event path or variable path")
@@ -3981,6 +4182,48 @@ def _py_parse_common_log(s: str) -> dict | None:
         size=int(size),
     )
     return out
+
+
+def _render_ts_ms(epoch_ms: int) -> str:
+    """RFC3339-UTC rendering of an epoch-millis timestamp, matching
+    _to_py's datetime serialization (trailing-zero-trimmed fraction)."""
+    import datetime as _dt
+
+    ts = _dt.datetime.fromtimestamp(
+        epoch_ms / 1000.0, _dt.timezone.utc
+    )
+    s = ts.strftime("%Y-%m-%dT%H:%M:%S")
+    if ts.microsecond:
+        s += ("%.6f" % (ts.microsecond / 1e6))[1:].rstrip("0")
+    return s + "Z"
+
+
+def _py_parse_aws_cloudwatch(s: str) -> dict | None:
+    """Compile-time twin of the CloudWatch subscription-message parser
+    (parse_aws_cloudwatch_log_subscription_message.rs): strict JSON
+    envelope -> snake_case keys, epoch-millis timestamps rendered
+    RFC3339-UTC. None = parse failure (the fold must not swallow the
+    error channel); value tdefs come from the static _FN_TDEF table,
+    so string-rendered timestamps still type as timestamp."""
+    try:
+        d = json.loads(s)
+        return {
+            "owner": d["owner"],
+            "message_type": d["messageType"],
+            "log_group": d["logGroup"],
+            "log_stream": d["logStream"],
+            "subscription_filters": list(d["subscriptionFilters"]),
+            "log_events": [
+                {
+                    "id": e["id"],
+                    "message": e["message"],
+                    "timestamp": _render_ts_ms(e["timestamp"]),
+                }
+                for e in d["logEvents"]
+            ],
+        }
+    except (ValueError, KeyError, TypeError):
+        return None
 
 
 def _parse_common_log_col(col: Column) -> Column:
