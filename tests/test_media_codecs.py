@@ -213,3 +213,120 @@ def test_spark_real_decode_unsupported_mime_raises(spark):
     mp4_like = synthetic_media(spark, 3).filter("kind = 'video'")  # video/mp4
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         extract_features(mp4_like, decode="real").collect()
+
+
+# ---- MP4 / ISO BMFF container (ISO/IEC 14496-12) ----
+
+
+def test_mp4_rawvideo_roundtrip():
+    import numpy as np
+
+    from vector_spark.dataops.media_codecs import (
+        decode_mp4_rawvideo,
+        encode_mp4_rawvideo,
+        parse_mp4,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (6, 5, 7, 3), dtype=np.uint8)
+    buf = encode_mp4_rawvideo(frames, fps=3)
+    dec, fps = decode_mp4_rawvideo(buf)
+    assert (dec == frames).all()
+    assert fps == 3
+    meta = parse_mp4(buf)
+    assert meta["brand"] == "isom"
+    assert meta["duration_ms"] == 2000  # 6 frames @ 3 fps
+    (t,) = meta["tracks"]
+    assert t["handler"] == "vide" and t["codec"] == "raw "
+    assert (t["width"], t["height"]) == (7, 5)
+    assert t["sample_count"] == 6
+    # sample table: contiguous byte ranges inside mdat, 1/fps spacing
+    sizes = {s["size"] for s in t["samples"]}
+    assert sizes == {5 * 7 * 3}
+    offs = [s["offset"] for s in t["samples"]]
+    assert offs == sorted(offs)
+    assert [s["ts_ms"] for s in t["samples"]] == [
+        0, 333, 666, 1000, 1333, 1666
+    ]
+
+
+def test_mp4_compressed_codec_is_honest_seam():
+    import numpy as np
+    import pytest
+
+    from vector_spark.dataops.media_codecs import (
+        decode_mp4_rawvideo,
+        encode_mp4_rawvideo,
+        parse_mp4,
+    )
+
+    frames = np.zeros((2, 4, 4, 3), dtype=np.uint8)
+    buf = bytearray(encode_mp4_rawvideo(frames, fps=2))
+    # flip the stsd fourcc to avc1: container still parses, but the
+    # bitstream decode must raise at the marked seam
+    idx = bytes(buf).find(b"raw ", bytes(buf).find(b"stsd"))
+    buf[idx : idx + 4] = b"avc1"
+    meta = parse_mp4(bytes(buf))
+    assert meta["tracks"][0]["codec"] == "avc1"
+    assert meta["tracks"][0]["sample_count"] == 2  # sample map intact
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_mp4_rawvideo(bytes(buf))
+
+
+def test_mp4_video_features_deterministic():
+    import numpy as np
+
+    from vector_spark.dataops.media_codecs import video_features
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (4, 8, 8, 3), dtype=np.uint8)
+    f1 = video_features(frames)
+    f2 = video_features(frames.copy())
+    assert f1 == f2 and len(f1) == 8
+    # temporal-difference energy occupies the last slot
+    static = video_features(np.repeat(frames[:1], 4, axis=0))
+    assert static[-1] == 0.0
+
+
+def test_mp4_multichunk_sample_expansion():
+    """stsc chunk-run expansion with uneven chunks and co64 offsets."""
+    import struct
+
+    from vector_spark.dataops.media_codecs import parse_mp4
+
+    def box(tag, payload):
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    def full(tag, payload):
+        return box(tag, b"\x00\x00\x00\x00" + payload)
+
+    # 5 samples: chunk1 has 2, chunks 2..3 have at most 2 then 1
+    stts = full(b"stts", struct.pack(">III", 1, 5, 10))
+    stsc = full(
+        b"stsc",
+        struct.pack(">I", 2)
+        + struct.pack(">III", 1, 2, 1)
+        + struct.pack(">III", 2, 2, 1),
+    )
+    stsz = full(
+        b"stsz",
+        struct.pack(">II", 0, 5) + struct.pack(">5I", 10, 20, 30, 40, 50),
+    )
+    co64 = full(
+        b"co64", struct.pack(">I", 3) + struct.pack(">3Q", 100, 200, 300)
+    )
+    mdhd = full(
+        b"mdhd", struct.pack(">IIIIHH", 0, 0, 1000, 50, 0x55C4, 0)
+    )
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 13)
+    stbl = box(b"stbl", stts + stsc + stsz + co64)
+    mdia = box(b"mdia", mdhd + hdlr + box(b"minf", stbl))
+    moov = box(b"moov", box(b"trak", mdia))
+    meta = parse_mp4(moov)
+    (t,) = meta["tracks"]
+    got = [(s["offset"], s["size"], s["ts_ms"]) for s in t["samples"]]
+    assert got == [
+        (100, 10, 0), (110, 20, 10),   # chunk 1 @100
+        (200, 30, 20), (230, 40, 30),  # chunk 2 @200
+        (300, 50, 40),                 # chunk 3 @300
+    ]

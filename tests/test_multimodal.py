@@ -64,3 +64,26 @@ def test_resize_real_seam_raises(spark):
 
     with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
         resize_images(synthetic_media(spark, 3), 64, 64, decode="real").collect()
+
+
+def test_real_video_features_and_frame_table(spark):
+    from vector_spark.dataops.multimodal import (
+        extract_features,
+        frame_sample_container,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 12, real_payloads=True)
+    vids = media.filter("kind = 'video'")
+    # real decode path: raw-RGB24 MP4 containers decode end-to-end
+    feats = extract_features(vids, decode="real").collect()
+    assert feats and all(len(r["feature"]) == 8 for r in feats)
+    # container-driven frame table: true timestamps and byte ranges
+    table = frame_sample_container(media, every_ms=500).toPandas()
+    assert set(table.codec.unique()) == {"raw "}
+    assert (table.n_bytes == 8 * 8 * 3).all()
+    # fps=2 -> one sample every 500 ms, all kept at every_ms=500
+    per = table.groupby("media_id").size()
+    vrows = vids.toPandas()
+    n_frames = {r.media_id: 2 + r.media_id % 4 for r in vrows.itertuples()}
+    assert {m: int(c) for m, c in per.items()} == n_frames

@@ -306,3 +306,298 @@ def audio_features(samples: np.ndarray, rate: int, dim: int = 8) -> list[float]:
     denom = total if total > 0 else 1.0
     feats.extend(float(b.sum() / denom) for b in bands)
     return [round(f, 6) for f in feats[:dim]]
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF (ISO/IEC 14496-12)
+#
+# The CONTAINER layer needs nothing beyond stdlib struct: box framing,
+# movie/track headers, and the sample tables (stsd/stts/stsc/stsz/
+# stco) that map every sample to a byte range and a timestamp. Only
+# the compressed-bitstream decode (avc1/hev1/...) genuinely needs a
+# codec library — that stays the marked seam. A 'raw ' (uncompressed
+# RGB24) video track round-trips completely, which exercises the
+# whole container path end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def _full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(tag, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+_UNITY_MATRIX = struct.pack(
+    ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def encode_mp4_rawvideo(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 -> a minimal valid MP4 with one 'raw '
+    (uncompressed RGB24) video track: ftyp + mdat + moov, one chunk,
+    constant sample size, constant frame duration. Box layout per
+    ISO/IEC 14496-12; every offset in stco is exact."""
+    n, h, w, c = frames.shape
+    if c != 3:
+        raise ValueError("raw video requires 3 channels")
+    sample_size = h * w * 3
+    media = frames.astype(np.uint8).tobytes()
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = _box(b"mdat", media)
+    mdat_payload_off = len(ftyp) + 8  # first sample's absolute offset
+
+    timescale = 1000
+    duration = n * timescale // fps
+
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">hH", 0x0100, 0)  # volume, reserved
+        + b"\x00" * 8
+        + _UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    tkhd = _full(
+        b"tkhd", 0, 7,  # enabled | in_movie | in_preview
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)  # layer, group, volume, rsv
+        + _UNITY_MATRIX
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
+    )
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, fps, n, 0x55C4, 0),  # 'und'
+    )
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"raw video\x00",
+    )
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(
+        b"dref", 0, 0,
+        struct.pack(">I", 1) + _full(b"url ", 0, 1, b""),
+    )
+    dinf = _box(b"dinf", dref)
+    entry = _box(
+        b"raw ",
+        b"\x00" * 6 + struct.pack(">H", 1)          # data_reference_index
+        + b"\x00" * 16                                # pre_defined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)                        # frame_count
+        + b"\x00" * 32                                # compressorname
+        + struct.pack(">Hh", 24, -1),                 # depth, pre_defined
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">III", sample_size, n, 0))
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, mdat_payload_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (tag, payload_start, payload_end) for each box in
+    [start, end) — size==1 reads a 64-bit largesize, size==0 extends
+    to the end of the enclosing box."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", buf, pos)[0]
+        tag = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"malformed box {tag!r} at {pos}")
+        yield tag, body, pos + size
+        pos += size
+
+
+def parse_mp4(buf: bytes) -> dict:
+    """ISO BMFF container metadata: movie duration plus, per track,
+    the handler/codec/dimensions and the full sample map (absolute
+    byte offset, size, timestamp in ms) derived from
+    stts + stsc + stsz + stco/co64. No bitstream decode."""
+    out: dict = {"brand": None, "duration_ms": None, "tracks": []}
+    containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+    track: dict | None = None
+
+    def walk(start: int, end: int) -> None:
+        nonlocal track
+        for tag, a, b in _walk_boxes(buf, start, end):
+            if tag == b"ftyp":
+                out["brand"] = buf[a : a + 4].decode("ascii", "replace")
+            elif tag == b"mvhd":
+                v = buf[a]
+                if v == 1:
+                    ts, dur = struct.unpack_from(">IQ", buf, a + 4 + 16)
+                else:
+                    ts, dur = struct.unpack_from(">II", buf, a + 4 + 8)
+                out["duration_ms"] = int(dur * 1000 // max(ts, 1))
+            elif tag == b"trak":
+                track = {
+                    "handler": None, "codec": None, "width": None,
+                    "height": None, "timescale": None,
+                    "duration_ms": None, "samples": [],
+                    "_stts": [], "_stsc": [], "_stsz": (0, []),
+                    "_stco": [],
+                }
+                walk(a, b)
+                _finish_track(track)
+                out["tracks"].append(track)
+                track = None
+                continue
+            elif tag in containers:
+                walk(a, b)
+                continue
+            elif track is not None:
+                _track_leaf(buf, tag, a, b, track)
+
+    walk(0, len(buf))
+    return out
+
+
+def _track_leaf(buf: bytes, tag: bytes, a: int, b: int, t: dict) -> None:
+    if tag == b"mdhd":
+        v = buf[a]
+        if v == 1:
+            ts, dur = struct.unpack_from(">IQ", buf, a + 4 + 16)
+        else:
+            ts, dur = struct.unpack_from(">II", buf, a + 4 + 8)
+        t["timescale"] = ts
+        t["duration_ms"] = int(dur * 1000 // max(ts, 1))
+    elif tag == b"hdlr":
+        t["handler"] = buf[a + 8 : a + 12].decode("ascii", "replace")
+    elif tag == b"stsd":
+        count = struct.unpack_from(">I", buf, a + 4)[0]
+        if count >= 1:
+            t["codec"] = buf[a + 12 : a + 16].decode("ascii", "replace")
+            if t.get("handler") in (None, "vide"):
+                # VisualSampleEntry width/height at fixed offsets
+                ea = a + 16  # entry payload
+                try:
+                    w, h = struct.unpack_from(">HH", buf, ea + 24)
+                    if 0 < w <= 16384 and 0 < h <= 16384:
+                        t["width"], t["height"] = w, h
+                except struct.error:
+                    pass
+    elif tag == b"stts":
+        n = struct.unpack_from(">I", buf, a + 4)[0]
+        t["_stts"] = [
+            struct.unpack_from(">II", buf, a + 8 + 8 * i) for i in range(n)
+        ]
+    elif tag == b"stsc":
+        n = struct.unpack_from(">I", buf, a + 4)[0]
+        t["_stsc"] = [
+            struct.unpack_from(">III", buf, a + 8 + 12 * i) for i in range(n)
+        ]
+    elif tag == b"stsz":
+        const, n = struct.unpack_from(">II", buf, a + 4)
+        sizes = [] if const else [
+            struct.unpack_from(">I", buf, a + 12 + 4 * i)[0]
+            for i in range(n)
+        ]
+        t["_stsz"] = (const, n, sizes)
+    elif tag == b"stco":
+        n = struct.unpack_from(">I", buf, a + 4)[0]
+        t["_stco"] = [
+            struct.unpack_from(">I", buf, a + 8 + 4 * i)[0] for i in range(n)
+        ]
+    elif tag == b"co64":
+        n = struct.unpack_from(">I", buf, a + 4)[0]
+        t["_stco"] = [
+            struct.unpack_from(">Q", buf, a + 8 + 8 * i)[0] for i in range(n)
+        ]
+
+
+def _finish_track(t: dict) -> None:
+    """Expand stts/stsc/stsz/stco into per-sample (offset, size,
+    ts_ms) — the standard chunk-run expansion."""
+    const, n_sizes, sizes = t.pop("_stsz", (0, 0, []))
+    stts = t.pop("_stts", [])
+    stsc = t.pop("_stsc", [])
+    stco = t.pop("_stco", [])
+    n_samples = n_sizes if not const else sum(c for c, _ in stts)
+    if const:
+        sizes = [const] * n_samples
+    # per-sample decode timestamps from stts run-lengths
+    ts_ms, clock = [], 0
+    scale = max(t.get("timescale") or 1, 1)
+    for count, delta in stts:
+        for _ in range(count):
+            ts_ms.append(clock * 1000 // scale)
+            clock += delta
+    # chunk-run expansion: stsc rows are (first_chunk, samples_per_
+    # chunk, desc_idx) with the run extending to the next row
+    samples = []
+    si = 0
+    for ri, (first, per, _desc) in enumerate(stsc):
+        last = stsc[ri + 1][0] - 1 if ri + 1 < len(stsc) else len(stco)
+        for chunk in range(first, last + 1):
+            off = stco[chunk - 1]
+            for _ in range(per):
+                if si >= len(sizes):
+                    break
+                samples.append({
+                    "offset": off,
+                    "size": sizes[si],
+                    "ts_ms": ts_ms[si] if si < len(ts_ms) else None,
+                })
+                off += sizes[si]
+                si += 1
+    t["samples"] = samples
+    t["sample_count"] = len(samples)
+
+
+def decode_mp4_rawvideo(buf: bytes) -> tuple[np.ndarray, int]:
+    """MP4 with a 'raw ' RGB24 video track -> ((n, h, w, 3) uint8,
+    fps). Compressed codecs (avc1/hev1/...) raise at the marked
+    codec seam — the container metadata above still parses for them."""
+    meta = parse_mp4(buf)
+    vids = [t for t in meta["tracks"] if t["handler"] == "vide"]
+    if not vids:
+        raise ValueError("no video track")
+    t = vids[0]
+    if t["codec"] != "raw ":
+        raise NotImplementedError(
+            f"bitstream decode for codec {t['codec']!r} requires "
+            "ffmpeg; plug the codec in here — container parsing and "
+            "sample extraction are already correct"
+        )
+    w, h = t["width"], t["height"]
+    frames = np.stack([
+        np.frombuffer(
+            buf[s["offset"] : s["offset"] + s["size"]], dtype=np.uint8
+        ).reshape(h, w, 3)
+        for s in t["samples"]
+    ])
+    n = len(t["samples"])
+    dur_s = (t["duration_ms"] or 0) / 1000.0
+    fps = int(round(n / dur_s)) if dur_s > 0 else 0
+    return frames, fps
+
+
+def video_features(frames: np.ndarray, dim: int = 8) -> list[float]:
+    """Real video descriptor: image features of the mean frame plus
+    temporal-difference energy folded into the last slot."""
+    mean_frame = frames.astype(np.float64).mean(axis=0).astype(np.uint8)
+    feats = image_features(mean_frame, dim)
+    if len(frames) > 1:
+        diff = np.abs(np.diff(frames.astype(np.float64), axis=0)) / 255.0
+        feats[-1] = round(float(diff.mean()), 6)
+    return feats

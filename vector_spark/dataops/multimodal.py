@@ -7,12 +7,13 @@ streams batches through Python once.
 
 Decode tiers:
 * `decode=real` — REAL kernels for the formats pure numpy/stdlib can
-  handle (dataops/media_codecs.py): PPM and 24-bit BMP images, WAV
-  PCM16 audio; actual pixel/sample decode, nearest-neighbor resize,
+  handle (dataops/media_codecs.py): PPM / 24-bit BMP / baseline PNG
+  images, WAV PCM16 audio, MP4 container parsing with raw-RGB24
+  video decode; actual pixel/sample decode, nearest-neighbor resize,
   statistical/spectral feature vectors. Formats that genuinely need a
-  codec library (PNG/JPEG/MP4 — no PIL/ffmpeg in this container)
-  raise NotImplementedError at the exact seam where the library would
-  plug in.
+  codec library (JPEG pixels, compressed MP4 bitstreams — no
+  PIL/ffmpeg in this container) raise NotImplementedError at the
+  exact seam where the library would plug in.
 * `decode=fake` — deterministic per-row features derived from the
   raw bytes; exercises the identical Spark-side plumbing (schema,
   batch shape, partitioning) without caring about payload format.
@@ -89,6 +90,11 @@ def _real_feature(payload: bytes, mime: str | None, dim: int) -> list[float]:
     if mime == "audio/wav":
         samples, rate = mc.decode_wav_pcm16(bytes(payload))
         return mc.audio_features(samples, rate, dim)
+    if mime == "video/mp4":
+        # container parsing is real (ISO BMFF sample tables); only
+        # compressed bitstreams raise inside decode_mp4_rawvideo
+        frames, _fps = mc.decode_mp4_rawvideo(bytes(payload))
+        return mc.video_features(frames, dim)
     raise NotImplementedError(
         f"real decode for {mime!r} requires PIL/ffmpeg; plug the codec "
         "in here — batch plumbing is already correct"
@@ -210,13 +216,66 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def frame_sample_container(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling from the REAL container: parse each MP4's
+    sample tables (ISO BMFF stts/stsc/stsz/stco) and emit one row per
+    kept sample with its true timestamp and byte range — the shape a
+    downstream bitstream decoder consumes. Arrow-batched mapInPandas;
+    no bitstream decode happens here, so this works for compressed
+    codecs too."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("byte_offset", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("codec", T.StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vector_spark.dataops import media_codecs as mc
+
+        for pdf in batches:
+            rows = []
+            for mid, payload, kind in zip(
+                pdf["media_id"], pdf["payload"], pdf["kind"]
+            ):
+                if kind != "video":
+                    continue
+                meta = mc.parse_mp4(bytes(payload))
+                vids = [
+                    t for t in meta["tracks"] if t["handler"] == "vide"
+                ]
+                if not vids:
+                    continue
+                t = vids[0]
+                next_keep = 0
+                for s in t["samples"]:
+                    if s["ts_ms"] is None or s["ts_ms"] < next_keep:
+                        continue
+                    rows.append((
+                        mid, s["ts_ms"], s["offset"], s["size"],
+                        t["codec"],
+                    ))
+                    next_keep += every_ms
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_ts_ms", "byte_offset",
+                    "n_bytes", "codec",
+                ],
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
 def synthetic_media(spark, n: int = 64, real_payloads: bool = False) -> DataFrame:
     """Deterministic media table for tests. With real_payloads=True
-    the images are actual PPM gradients and the audio actual WAV sine
-    tones (decodable by the `decode=real` kernels); video remains an
-    opaque payload (container parsing needs ffmpeg)."""
+    the images are actual PPM/PNG gradients, the audio actual WAV
+    sine tones, and the video actual raw-RGB24 MP4 containers — all
+    decodable by the `decode=real` kernels."""
     rows = []
     for i in range(n):
+        dur_override = None
         kind = ["image", "audio", "video"][i % 3]
         if real_payloads and kind == "image":
             import numpy as np
@@ -248,6 +307,24 @@ def synthetic_media(spark, n: int = 64, real_payloads: bool = False) -> DataFram
             )
             payload = encode_wav_pcm16(samples, rate)
             mime, width, height = "audio/wav", None, None
+        elif real_payloads and kind == "video":
+            import numpy as np
+
+            from vector_spark.dataops.media_codecs import encode_mp4_rawvideo
+
+            w = h = 8
+            n_frames = 2 + i % 4
+            yy, xx = np.mgrid[0:h, 0:w]
+            frames = np.stack([
+                np.stack(
+                    [(xx * 255 // (w - 1)), (yy * 255 // (h - 1)),
+                     np.full((h, w), (i + f * 16) % 256)], axis=2
+                ).astype(np.uint8)
+                for f in range(n_frames)
+            ])
+            payload = encode_mp4_rawvideo(frames, fps=2)
+            mime, width, height = "video/mp4", w, h
+            dur_override = n_frames * 500  # matches the container
         else:
             payload = (f"media-{i}-" + "x" * (i % 17)).encode()
             mime = {"image": "image/png", "audio": "audio/wav",
@@ -256,7 +333,9 @@ def synthetic_media(spark, n: int = 64, real_payloads: bool = False) -> DataFram
         meta = {
             "width": width,
             "height": height,
-            "duration_ms": 1000 * (1 + i % 5) if kind != "image" else None,
+            "duration_ms": dur_override or (
+                1000 * (1 + i % 5) if kind != "image" else None
+            ),
             "mime": mime,
         }
         rows.append((i, kind, payload, meta))
