@@ -192,26 +192,34 @@ def test_spark_real_decode_end_to_end(spark):
     resized = resize_images(
         media.filter("kind = 'image'"), 4, 4, decode="real"
     ).collect()
-    from vector_spark.dataops.media_codecs import decode_png, decode_ppm
+    from vector_spark.dataops.media_codecs import (
+        decode_jpeg_baseline,
+        decode_png,
+        decode_ppm,
+    )
 
+    decoders = {
+        "image/png": decode_png,  # PNG round-trips as PNG
+        "image/x-portable-pixmap": decode_ppm,
+        "image/jpeg": decode_jpeg_baseline,  # JPEG round-trips as JPEG
+    }
     mimes = set()
     for r in resized:
         mimes.add(r["meta"]["mime"])
-        if r["meta"]["mime"] == "image/png":  # PNG round-trips as PNG
-            arr = decode_png(bytes(r["payload"]))
-        else:
-            arr = decode_ppm(bytes(r["payload"]))
+        arr = decoders[r["meta"]["mime"]](bytes(r["payload"]))
         assert arr.shape == (4, 4, 3)
         assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
-    # synthetic real payloads alternate PNG / PPM — both paths ran
-    assert mimes == {"image/png", "image/x-portable-pixmap"}
+    # synthetic real payloads rotate PNG / PPM / JPEG — all three ran
+    assert mimes == set(decoders)
 
 
 def test_spark_real_decode_unsupported_mime_raises(spark):
     from vector_spark.dataops.multimodal import extract_features, synthetic_media
 
-    mp4_like = synthetic_media(spark, 3).filter("kind = 'video'")  # video/mp4
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
+    # corrupt payloads with a video/mp4 mime: the real container
+    # parser must reject them (the fake tier stays payload-agnostic)
+    mp4_like = synthetic_media(spark, 3).filter("kind = 'video'")
+    with pytest.raises(Exception, match="malformed|decode"):
         extract_features(mp4_like, decode="real").collect()
 
 
@@ -330,3 +338,121 @@ def test_mp4_multichunk_sample_expansion():
         (200, 30, 20), (230, 40, 30),  # chunk 2 @200
         (300, 50, 40),                 # chunk 3 @300
     ]
+
+
+# ---- JPEG (baseline sequential DCT, ITU-T T.81) ----
+
+
+def _jpeg_gradient(h, w):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [xx * 255 // max(w - 1, 1), yy * 255 // max(h - 1, 1),
+         ((xx + yy) * 255 // max(w + h - 2, 1))], axis=2
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_444_lossy_bounded():
+    import numpy as np
+
+    from vector_spark.dataops.media_codecs import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    arr = _jpeg_gradient(24, 40)
+    buf = encode_jpeg_baseline(arr, quality=95)
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    dec = decode_jpeg_baseline(buf)
+    assert dec.shape == arr.shape
+    err = np.abs(dec.astype(int) - arr.astype(int))
+    assert err.max() <= 8, err.max()  # smooth content at q95
+
+
+def test_jpeg_roundtrip_420_subsampled():
+    import numpy as np
+
+    from vector_spark.dataops.media_codecs import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    # dims NOT multiples of 16: exercises MCU padding + crop
+    arr = _jpeg_gradient(21, 35)
+    buf = encode_jpeg_baseline(arr, quality=95, subsample=True)
+    dec = decode_jpeg_baseline(buf)
+    assert dec.shape == arr.shape
+    err = np.abs(dec.astype(int) - arr.astype(int))
+    assert err.mean() < 6, err.mean()  # chroma decimation is lossier
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    import numpy as np
+
+    from vector_spark.dataops.media_codecs import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    arr = _jpeg_gradient(40, 56)
+    base = decode_jpeg_baseline(encode_jpeg_baseline(arr, 92))
+    for ri in (1, 3):
+        buf = encode_jpeg_baseline(arr, 92, restart_interval=ri)
+        assert b"\xff\xdd" in buf  # DRI present
+        assert (decode_jpeg_baseline(buf) == base).all()
+
+
+def test_jpeg_flat_image_near_exact():
+    import numpy as np
+
+    from vector_spark.dataops.media_codecs import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    flat = np.full((16, 16, 3), 130, np.uint8)
+    dec = decode_jpeg_baseline(encode_jpeg_baseline(flat, 90))
+    assert np.abs(dec.astype(int) - 130).max() <= 1
+
+
+def test_jpeg_quality_trades_size_for_error():
+    import numpy as np
+
+    from vector_spark.dataops.media_codecs import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    hi = encode_jpeg_baseline(arr, quality=95)
+    lo = encode_jpeg_baseline(arr, quality=20)
+    assert len(lo) < len(hi)
+    err_hi = np.abs(decode_jpeg_baseline(hi).astype(int) - arr).mean()
+    err_lo = np.abs(decode_jpeg_baseline(lo).astype(int) - arr).mean()
+    assert err_hi < err_lo
+
+
+def test_jpeg_progressive_is_honest_seam():
+    import pytest
+
+    from vector_spark.dataops.media_codecs import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    buf = bytearray(encode_jpeg_baseline(_jpeg_gradient(16, 16), 90))
+    idx = bytes(buf).find(b"\xff\xc0")  # SOF0 -> SOF2 (progressive)
+    buf[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_baseline(bytes(buf))
+
+
+def test_jpeg_not_a_jpeg_rejected():
+    import pytest
+
+    from vector_spark.dataops.media_codecs import decode_jpeg_baseline
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_baseline(b"\x89PNG\r\n\x1a\n")

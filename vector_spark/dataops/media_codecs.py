@@ -7,14 +7,20 @@ formats need nothing beyond numpy and the stdlib:
 * BMP (24-bit, BI_RGB) — fixed 54-byte header, bottom-up padded rows
 * PNG (8-bit, non-interlaced, gray/RGB/RGBA) — stdlib zlib inflate +
   per-scanline unfiltering (all five filters), zlib/CRC32 encode
+* JPEG (baseline sequential SOF0, T.81) — canonical Huffman entropy
+  layer, einsum 8x8 DCT, JFIF YCbCr, 4:4:4 / 4:2:0, restart markers
 * WAV (PCM16)        — stdlib `wave` module framing + numpy samples
+* MP4 (ISO BMFF container) — box framing, movie/track headers, full
+  sample tables; 'raw ' RGB24 tracks decode end-to-end
 
 plus real kernels over the decoded arrays: nearest-neighbor resize
 (numpy index sampling — no per-pixel Python), image feature vectors
-(per-channel statistics + coarse luminance grid), and audio feature
-vectors (RMS / zero-crossing rate / FFT band energies). These are the
-`decode=real` path of dataops/multimodal.py; formats that genuinely
-need a codec library (JPEG/MP4) still fail at the marked seam.
+(per-channel statistics + coarse luminance grid), audio feature
+vectors (RMS / zero-crossing rate / FFT band energies), and video
+features (mean-frame stats + temporal-difference energy). These are
+the `decode=real` path of dataops/multimodal.py; what genuinely
+needs a codec library (progressive JPEG, compressed MP4 bitstreams
+like avc1/hev1) still fails at the marked seam.
 
 Everything here is deterministic: the same payload always yields the
 same features, so results are testable byte-for-byte.
@@ -601,3 +607,583 @@ def video_features(frames: np.ndarray, dim: int = 8) -> list[float]:
         diff = np.abs(np.diff(frames.astype(np.float64), axis=0)) / 255.0
         feats[-1] = round(float(diff.mean()), 6)
     return feats
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, ITU-T T.81 / ISO 10918-1)
+#
+# Baseline JPEG needs no codec library either: the entropy layer is
+# canonical Huffman over (run, size) symbols, the transform is an
+# 8x8 DCT — one einsum over all blocks — and the color model is
+# JFIF YCbCr. The encoder writes its tables into the stream (DQT/
+# DHT), the decoder reads whatever tables the stream carries, so the
+# pair is not tautological. Scope: baseline sequential (SOF0), 8-bit,
+# interleaved scan, 4:4:4 and 4:2:0; progressive (SOF2) raises at
+# the marked seam. The Huffman bit loop is per-symbol Python — a
+# correctness kernel; a vectorized library plugs in at the same call
+# sites if throughput ever matters here.
+# ---------------------------------------------------------------------------
+
+# Annex K.1 quantization tables (luminance, chrominance)
+_JPEG_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32).reshape(8, 8)
+_JPEG_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32).reshape(8, 8)
+
+# Annex K.3 typical Huffman tables: (bits[1..16], huffval)
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+         list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+         list(range(12)))
+_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal 8x8 DCT-II basis: blocks @ _DCT_B gives per-row DCT
+_DCT_B = np.array([
+    [np.sqrt((1.0 if k == 0 else 2.0) / 8.0)
+     * np.cos((2 * n + 1) * k * np.pi / 16.0) for k in range(8)]
+    for n in range(8)
+])
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman per T.81 C.2: symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, appended bits) for a DC diff / AC coefficient
+    (T.81 F.1.2.1): negative values use the one's-complement bits."""
+    if v == 0:
+        return 0, 0
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (B.1.1.5)
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def marker(self, second: int) -> None:
+        """Byte-align with 1-bits and emit a raw marker (RSTn) —
+        markers bypass byte stuffing."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out.append(0xFF)
+        self.out.append(second)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.out)
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    a = arr.astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    return np.stack([
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ], axis=-1)
+
+
+def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H,W multiples of 8 -> (n, 8, 8) in raster order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def _deblockify(blocks: np.ndarray, h8: int, w8: int) -> np.ndarray:
+    return (
+        blocks.reshape(h8 // 8, w8 // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(h8, w8)
+    )
+
+
+def _scale_q(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-compatible quality scaling of a base table."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (table * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int32)
+
+
+def _encode_plane_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    blocks = _blockify(plane) - 128.0
+    coef = np.einsum("ni,bij,jk->bnk", _DCT_B.T, blocks, _DCT_B)
+    quant = np.round(coef / qtab).astype(np.int32)
+    return quant.reshape(-1, 64)[:, _ZIGZAG]
+
+
+def encode_jpeg_baseline(
+    arr: np.ndarray, quality: int = 90, subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline sequential JFIF JPEG (SOF0),
+    Annex K tables scaled by `quality`; 4:4:4 by default, 4:2:0 with
+    subsample=True; restart_interval > 0 emits DRI + RSTn markers
+    every N MCUs."""
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("JPEG encoder requires RGB")
+    ycc = _rgb_to_ycbcr(arr)
+    qy, qc = _scale_q(_JPEG_QL, quality), _scale_q(_JPEG_QC, quality)
+    # component sampling factors (Hi, Vi)
+    samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+
+    comp_zz = []
+    for ci in range(3):
+        hi, vi = samp[ci]
+        plane = ycc[..., ci]
+        if (hi, vi) != (hmax, vmax):
+            # box-average downsample by (vmax//vi, hmax//hi)
+            fy, fx = vmax // vi, hmax // hi
+            ph = -(-h // fy) * fy
+            pw = -(-w // fx) * fx
+            p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+            plane = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th = mcus_y * 8 * vi
+        tw = mcus_x * 8 * hi
+        p = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        zz = _encode_plane_blocks(p, qy if ci == 0 else qc)
+        comp_zz.append(zz.reshape(th // 8, tw // 8, 64))
+
+    dc_tabs = [_huff_codes(*_DC_L), _huff_codes(*_DC_C)]
+    ac_tabs = [_huff_codes(*_AC_L), _huff_codes(*_AC_C)]
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.marker(0xD0 + (mcu_i // restart_interval - 1) % 8)
+                pred = [0, 0, 0]
+            mcu_i += 1
+            for ci in range(3):
+                hi, vi = samp[ci]
+                dct, act = dc_tabs[min(ci, 1)], ac_tabs[min(ci, 1)]
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk = comp_zz[ci][my * vi + by, mx * hi + bx]
+                        diff = int(blk[0]) - pred[ci]
+                        pred[ci] = int(blk[0])
+                        size, bits = _magnitude(diff)
+                        code, ln = dct[size]
+                        bw.put(code, ln)
+                        if size:
+                            bw.put(bits, size)
+                        run = 0
+                        last_nz = int(np.max(np.nonzero(blk)[0])) if np.any(
+                            blk[1:]
+                        ) else 0
+                        for k in range(1, 64):
+                            v = int(blk[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = act[0xF0]  # ZRL
+                                bw.put(code, ln)
+                                run -= 16
+                            size, bits = _magnitude(v)
+                            code, ln = act[(run << 4) | size]
+                            bw.put(code, ln)
+                            bw.put(bits, size)
+                            run = 0
+                        if last_nz < 63:
+                            code, ln = act[0x00]  # EOB
+                            bw.put(code, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dqt(tid: int, tab: np.ndarray) -> bytes:
+        return seg(
+            0xFFDB,
+            bytes([tid]) + bytes(int(x) for x in tab.reshape(-1)[_ZIGZAG]),
+        )
+
+    def dht(cls: int, tid: int, bits, vals) -> bytes:
+        return seg(
+            0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"".join(
+            struct.pack(
+                ">BBB", i + 1, (samp[i][0] << 4) | samp[i][1],
+                0 if i == 0 else 1,
+            )
+            for i in range(3)
+        ),
+    )
+    sos = seg(
+        0xFFDA,
+        bytes([3])
+        + b"".join(
+            struct.pack(">BB", i + 1, (min(i, 1) << 4) | min(i, 1))
+            for i in range(3)
+        )
+        + bytes([0, 63, 0]),
+    )
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval else b""
+    )
+    return (
+        b"\xff\xd8" + app0 + dqt(0, qy) + dqt(1, qc)
+        + sof
+        + dht(0, 0, *_DC_L) + dht(1, 0, *_AC_L)
+        + dht(0, 1, *_DC_C) + dht(1, 1, *_AC_C)
+        + dri + sos + entropy + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, stops at markers,
+    resets DC prediction at RSTn (T.81 B.1.1.5 / F.2.2.5)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.buf):
+                self.acc = (self.acc << 8) | 0xFF  # pad past the end
+                self.nbits += 8
+                continue
+            b = self.buf[self.pos]
+            if b == 0xFF:
+                nxt = self.buf[self.pos + 1] if self.pos + 1 < len(
+                    self.buf
+                ) else 0xD9
+                if nxt == 0x00:  # stuffed
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # RSTn handled by caller
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                else:  # real marker: pad without consuming
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def restart(self) -> None:
+        """Align to byte and consume an RSTn marker."""
+        self.nbits = 0
+        self.acc = 0
+        while self.pos + 1 < len(self.buf):
+            if self.buf[self.pos] == 0xFF and 0xD0 <= self.buf[
+                self.pos + 1
+            ] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+class _HuffDecode:
+    """Canonical Huffman decode tables (T.81 F.2.2.3)."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for ln in range(1, 17):
+            if bits[ln - 1]:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += bits[ln - 1]
+                k += bits[ln - 1]
+                self.maxcode[ln] = code - 1
+            code <<= 1
+        self.vals = vals
+
+    def decode(self, br: _BitReader) -> int:
+        code = br.bits(1)
+        ln = 1
+        while code > self.maxcode[ln]:
+            if ln >= 16:
+                raise ValueError("corrupt JPEG Huffman stream")
+            code = (code << 1) | br.bits(1)
+            ln += 1
+        return self.vals[self.valptr[ln] + code - self.mincode[ln]]
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size` received bits to a signed
+    coefficient."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_baseline(buf: bytes) -> np.ndarray:
+    """Baseline sequential JPEG (SOF0) -> (h, w, 3) uint8 RGB (or
+    (h, w, 1) for grayscale streams). Reads DQT/DHT from the stream,
+    supports interleaved scans, restart intervals, and any sampling
+    factors (4:4:4 / 4:2:2 / 4:2:0). Progressive (SOF2), arithmetic
+    coding, and 12-bit precision raise with the feature named."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _HuffDecode] = {}
+    ac_tabs: dict[int, _HuffDecode] = {}
+    sof = None
+    restart_interval = 0
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = buf[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", buf, pos + 2)
+        body = buf[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                n = 64 * (2 if pq else 1)
+                raw = body[i + 1 : i + 1 + n]
+                vals = (
+                    np.frombuffer(raw, ">u2") if pq
+                    else np.frombuffer(raw, np.uint8)
+                ).astype(np.int32)
+                tab = np.zeros(64, np.int32)
+                tab[_ZIGZAG] = vals
+                qtabs[tq] = tab.reshape(8, 8)
+                i += 1 + n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                (dc_tabs if cls == 0 else ac_tabs)[tid] = _HuffDecode(
+                    bits, vals
+                )
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for ci in range(nc):
+                cid, sf, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
+                comps.append({
+                    "id": cid, "h": sf >> 4, "v": sf & 0xF, "tq": tq,
+                })
+            sof = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "unsupported JPEG mode (progressive/arithmetic/"
+                "hierarchical) — plug libjpeg in at this seam"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = {}
+            for si in range(ns):
+                cid, tabs = struct.unpack_from(">BB", body, 1 + 2 * si)
+                scan[cid] = (tabs >> 4, tabs & 0xF)
+            return _decode_scan(
+                buf, pos + 2 + seglen, sof, scan, qtabs, dc_tabs,
+                ac_tabs, restart_interval,
+            )
+        pos += 2 + seglen
+    raise ValueError("JPEG has no scan")
+
+
+def _decode_scan(
+    buf, pos, sof, scan, qtabs, dc_tabs, ac_tabs, restart_interval
+) -> np.ndarray:
+    fh, fw, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]  # blocks across
+        c["bh"] = mcus_y * c["v"]
+        c["zz"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
+        c["dct"], c["act"] = scan[c["id"]]
+    br = _BitReader(buf, pos)
+    pred = [0] * len(comps)
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                br.restart()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dct = dc_tabs[c["dct"]]
+                act = ac_tabs[c["act"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = c["zz"][
+                            (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
+                        ]
+                        size = dct.decode(br)
+                        diff = _extend(br.bits(size), size)
+                        pred[ci] += diff
+                        blk[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = act.decode(br)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            blk[k] = _extend(br.bits(size), size)
+                            k += 1
+            mcu_i += 1
+    # dequantize + IDCT per component (one einsum over all blocks)
+    planes = []
+    for c in comps:
+        coef = np.zeros((len(c["zz"]), 64), np.float64)
+        coef[:, _ZIGZAG] = c["zz"] * qtabs[c["tq"]].reshape(-1)[_ZIGZAG]
+        blocks = coef.reshape(-1, 8, 8)
+        spatial = np.einsum("in,bnk,kj->bij", _DCT_B, blocks, _DCT_B.T)
+        plane = _deblockify(spatial + 128.0, c["bh"] * 8, c["bw"] * 8)
+        # upsample to full MCU grid resolution
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1 or fx > 1:
+            plane = plane.repeat(fy, axis=0).repeat(fx, axis=1)
+        planes.append(plane[:fh, :fw])
+    if len(planes) == 1:
+        return np.clip(planes[0], 0, 255).astype(np.uint8)[..., None]
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -87,6 +87,11 @@ def _real_feature(payload: bytes, mime: str | None, dim: int) -> list[float]:
         elif arr.shape[2] != 3:  # gray / gray+alpha -> replicate luma
             arr = np.repeat(arr[:, :, :1], 3, axis=2)
         return mc.image_features(arr, dim)
+    if mime == "image/jpeg":
+        arr = mc.decode_jpeg_baseline(bytes(payload))
+        if arr.shape[2] == 1:
+            arr = np.repeat(arr, 3, axis=2)
+        return mc.image_features(arr, dim)
     if mime == "audio/wav":
         samples, rate = mc.decode_wav_pcm16(bytes(payload))
         return mc.audio_features(samples, rate, dim)
@@ -163,6 +168,13 @@ def resize_images(
             return mc.encode_png(
                 mc.resize_nearest(arr, width, height)
             ), "image/png"
+        elif mime == "image/jpeg":
+            arr = mc.decode_jpeg_baseline(bytes(payload))
+            if arr.shape[2] == 1:
+                arr = np.repeat(arr, 3, axis=2)
+            return mc.encode_jpeg_baseline(
+                mc.resize_nearest(arr, width, height)
+            ), "image/jpeg"
         else:
             raise NotImplementedError(
                 f"real resize for {mime!r} requires PIL; plug the codec "
@@ -289,10 +301,20 @@ def synthetic_media(spark, n: int = 64, real_payloads: bool = False) -> DataFram
                  (yy * 255 // max(h - 1, 1)),
                  np.full((h, w), i % 256)], axis=2
             ).astype(np.uint8)
-            if i % 2 == 0:  # alternate real formats: PNG and PPM
+            # rotate real formats: PNG, PPM, baseline JPEG (image
+            # rows land on i % 3 == 0, so rotate on i // 3)
+            fmt = (i // 3) % 3
+            if fmt == 0:
                 payload, mime = encode_png(arr), "image/png"
-            else:
+            elif fmt == 1:
                 payload, mime = encode_ppm(arr), "image/x-portable-pixmap"
+            else:
+                from vector_spark.dataops.media_codecs import (
+                    encode_jpeg_baseline,
+                )
+
+                payload = encode_jpeg_baseline(arr, quality=92)
+                mime = "image/jpeg"
             width, height = w, h
         elif real_payloads and kind == "audio":
             import numpy as np
