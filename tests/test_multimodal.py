@@ -87,3 +87,31 @@ def test_real_video_features_and_frame_table(spark):
     vrows = vids.toPandas()
     n_frames = {r.media_id: 2 + r.media_id % 4 for r in vrows.itertuples()}
     assert {m: int(c) for m, c in per.items()} == n_frames
+
+
+def test_probe_media_from_payload_bytes(spark):
+    from vector_spark.dataops.multimodal import probe_media, synthetic_media
+
+    media = synthetic_media(spark, 18, real_payloads=True)
+    probed = probe_media(media).toPandas().set_index("media_id")
+    assert probed.probe_error.isna().all()
+    # formats sniffed from magic bytes, not the meta struct
+    assert set(probed.format.unique()) >= {"png", "ppm", "wav", "mp4"}
+    vids = probed[probed.kind == "video"]
+    assert (vids.codec == "raw").all()
+    assert (vids.n_samples == vids.index.map(lambda i: 2 + i % 4)).all()
+    assert (vids.duration_ms == vids.n_samples * 500).all()
+    wavs = probed[probed.kind == "audio"]
+    assert (wavs.sample_rate == 8000).all()
+    assert (wavs.duration_ms == 100).all()  # 100 ms tones
+
+
+def test_probe_media_poison_pill_rows_not_failures(spark):
+    from vector_spark.dataops.multimodal import probe_media, synthetic_media
+
+    # fake payloads are garbage bytes: every row must come back as a
+    # probe_error, and the job must not fail
+    media = synthetic_media(spark, 9, real_payloads=False)
+    probed = probe_media(media).toPandas()
+    assert len(probed) == 9
+    assert probed.probe_error.notna().all()

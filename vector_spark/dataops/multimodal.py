@@ -72,8 +72,9 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def _real_feature(payload: bytes, mime: str | None, dim: int) -> list[float]:
-    """Dispatch to the numpy kernels by mime. JPEG/MP4 fail at this
-    seam — the one place a codec library would plug in."""
+    """Dispatch to the numpy kernels by mime. Unlisted mimes (and
+    compressed MP4 bitstreams inside decode_mp4_rawvideo) fail at
+    this seam — the one place a codec library would plug in."""
     from vector_spark.dataops import media_codecs as mc
 
     if mime == "image/x-portable-pixmap":
@@ -278,6 +279,112 @@ def frame_sample_container(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
 
     return df.mapInPandas(run, out_schema)
+
+
+PROBE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("format", T.StringType()),      # sniffed container
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),     # frames / pcm samples
+    T.StructField("codec", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("probe_error", T.StringType()),
+])
+
+
+def probe_media(df: DataFrame) -> DataFrame:
+    """Container-metadata extraction from the PAYLOAD bytes (not the
+    caller's meta struct): sniff the format from magic bytes, then
+    parse the container's own headers — the step a real ingestion
+    pipeline runs before routing media. Arrow-batched mapInPandas;
+    a malformed payload yields a probe_error row, never a task
+    failure (poison-pill discipline: one bad file must not kill a
+    100 TB scan)."""
+
+    def probe_one(payload: bytes) -> dict:
+        from vector_spark.dataops import media_codecs as mc
+
+        out: dict = {
+            "format": None, "width": None, "height": None,
+            "duration_ms": None, "sample_rate": None,
+            "n_samples": None, "codec": None, "probe_error": None,
+        }
+        b = bytes(payload)
+        try:
+            if b.startswith(b"\x89PNG"):
+                arr = mc.decode_png(b)
+                out.update(format="png", codec="png",
+                           width=arr.shape[1], height=arr.shape[0])
+            elif b.startswith(b"\xff\xd8"):
+                arr = mc.decode_jpeg_baseline(b)
+                out.update(format="jpeg", codec="jpeg-baseline",
+                           width=arr.shape[1], height=arr.shape[0])
+            elif b.startswith(b"P6"):
+                arr = mc.decode_ppm(b)
+                out.update(format="ppm", codec="rgb24",
+                           width=arr.shape[1], height=arr.shape[0])
+            elif b.startswith(b"BM"):
+                arr = mc.decode_bmp24(b)
+                out.update(format="bmp", codec="rgb24",
+                           width=arr.shape[1], height=arr.shape[0])
+            elif b.startswith(b"RIFF") and b[8:12] == b"WAVE":
+                samples, rate = mc.decode_wav_pcm16(b)
+                out.update(
+                    format="wav", codec="pcm_s16le", sample_rate=rate,
+                    n_samples=len(samples),
+                    duration_ms=len(samples) * 1000 // max(rate, 1),
+                )
+            elif len(b) > 12 and b[4:8] == b"ftyp":
+                meta = mc.parse_mp4(b)
+                out.update(format="mp4", duration_ms=meta["duration_ms"])
+                vids = [
+                    t for t in meta["tracks"] if t["handler"] == "vide"
+                ]
+                if vids:
+                    t = vids[0]
+                    out.update(
+                        codec=(t["codec"] or "").strip() or None,
+                        width=t["width"], height=t["height"],
+                        n_samples=t["sample_count"],
+                    )
+            else:
+                out["probe_error"] = "unknown format"
+        except Exception as e:  # malformed payload -> error row
+            out["probe_error"] = f"{type(e).__name__}: {e}"[:200]
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            probed = [probe_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "kind": pdf["kind"].values,
+                "format": [r["format"] for r in probed],
+                "width": pd.array(
+                    [r["width"] for r in probed], dtype="Int32"
+                ),
+                "height": pd.array(
+                    [r["height"] for r in probed], dtype="Int32"
+                ),
+                "duration_ms": pd.array(
+                    [r["duration_ms"] for r in probed], dtype="Int64"
+                ),
+                "sample_rate": pd.array(
+                    [r["sample_rate"] for r in probed], dtype="Int32"
+                ),
+                "n_samples": pd.array(
+                    [r["n_samples"] for r in probed], dtype="Int64"
+                ),
+                "codec": [r["codec"] for r in probed],
+                "n_bytes": pdf["payload"].map(len).astype("int64").values,
+                "probe_error": [r["probe_error"] for r in probed],
+            })
+
+    return df.mapInPandas(run, PROBE_SCHEMA)
 
 
 def synthetic_media(spark, n: int = 64, real_payloads: bool = False) -> DataFrame:
