@@ -132,6 +132,26 @@ def q_route_unmatched(spark, sf_dir):
     )
 
 
+def q_media_probe(spark, sf_dir):
+    """Multimodal container probing under the hard gate
+    (dataops/multimodal.py probe_media over media_codecs.py): a
+    deterministic media corpus — real PNG/PPM/baseline-JPEG images,
+    WAV PCM16 tones, raw-RGB24 MP4 containers, all built by the
+    stdlib codecs — is probed from PAYLOAD BYTES ONLY (magic-byte
+    sniff + container-header parse; no use of the meta struct).
+    Every output value is constructively known from the corpus
+    parameters (synthetic_media's arithmetic), so the DuckDB oracle
+    pins them as literals derived from that same arithmetic — the
+    Spark side must recover them from the real encoded bytes."""
+    from vector_spark.dataops.multimodal import probe_media, synthetic_media
+
+    media = synthetic_media(spark, 24, real_payloads=True)
+    return probe_media(media).select(
+        "media_id", "kind", "format", "width", "height",
+        "duration_ms", "sample_rate", "n_samples", "codec",
+    )
+
+
 def q_stream_route_counts(spark, sf_dir):
     """Driver-stamped STREAMING evidence (src/topology/: the same
     topology runs batch or stream): the flagship parse -> route spec
@@ -1547,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in round 5 (must be inside the driver's 50-row window)
         "stream_route_counts": q_stream_route_counts,
+        "media_probe": q_media_probe,
         # -- no driver row in r03 (registry past the 50-entry window)
         "q3_revenue": q_q3_revenue,
         "events_tumbling": q_events_tumbling,
@@ -1670,6 +1691,46 @@ LEFT JOIN ({TOOL_DIM_SQL}) t ON p.tool = t.tool
     # streaming twin: the SAME oracle — per-sink routed-row counts
     # must be identical whether the topology runs batch or stream
     o["stream_route_counts"] = o["route_counts"]
+
+    # media_probe: every probed value is constructively known from
+    # synthetic_media's corpus arithmetic (media_id i: images at
+    # i%3==0 are 8x8 and rotate png/ppm/jpeg on i//3; audios are
+    # 100 ms 8 kHz WAV tones; videos are raw-RGB24 MP4s with
+    # 2 + i%4 frames at 2 fps) — the oracle pins those literals;
+    # the Spark side must recover them by parsing the real encoded
+    # containers byte-by-byte
+    rows = []
+    for i in range(24):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            fmt = ["png", "ppm", "jpeg"][(i // 3) % 3]
+            codec = {"png": "png", "ppm": "rgb24",
+                     "jpeg": "jpeg-baseline"}[fmt]
+            rows.append(
+                f"({i}, 'image', '{fmt}', 8, 8, NULL, NULL, NULL, "
+                f"'{codec}')"
+            )
+        elif kind == "audio":
+            rows.append(
+                f"({i}, 'audio', 'wav', NULL, NULL, 100, 8000, 800, "
+                f"'pcm_s16le')"
+            )
+        else:
+            n_frames = 2 + i % 4
+            rows.append(
+                f"({i}, 'video', 'mp4', 8, 8, {n_frames * 500}, NULL, "
+                f"{n_frames}, 'raw')"
+            )
+    o["media_probe"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, kind, format, "
+        "CAST(width AS INT) AS width, CAST(height AS INT) AS height, "
+        "CAST(duration_ms AS BIGINT) AS duration_ms, "
+        "CAST(sample_rate AS INT) AS sample_rate, "
+        "CAST(n_samples AS BIGINT) AS n_samples, codec "
+        "FROM (VALUES " + ", ".join(rows) + ") AS t(media_id, kind, "
+        "format, width, height, duration_ms, sample_rate, n_samples, "
+        "codec)"
+    )
 
     o["route_assistant_tool"] = _with_routed(
         "SELECT conv_id, turn_idx, text, tool FROM routed WHERE _route = 'assistant_tool'"
