@@ -212,6 +212,57 @@ def q_stream_route_counts(spark, sf_dir):
     return spark.createDataFrame(rows, "sink string, rows bigint")
 
 
+def q_stream_agg_hourly(spark, sf_dir):
+    """Driver-stamped STATEFUL-streaming evidence (stream_route_counts
+    covers the stateless path): an event-time windowed aggregate with
+    a watermark runs under Trigger.AvailableNow in UPDATE mode to a
+    memory sink, so every micro-batch emits its running per-window
+    partials. Those partials are monotone non-decreasing, so
+    max(partial) per (window, level) equals the final total REGARDLESS
+    of how the file source happened to batch (append mode's finalized
+    set would depend on where the watermark landed at the last batch —
+    not oracle-comparable; update-mode-plus-max is). Value-exact
+    against the plain batch GROUP BY oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    from vector_spark.functions import parse_transcripts
+    from vector_spark.streaming.runner import file_transcripts_stream
+
+    base = tempfile.mkdtemp(prefix="vs_stream_agg_")
+    src = os.path.join(base, "in")
+    load_transcripts(spark, sf_dir).coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    parsed = parse_transcripts(file_transcripts_stream(spark, src))
+    # watermarks need TIMESTAMP (with-tz); the table carries NTZ —
+    # the session zone is UTC, so the cast is value-preserving
+    parsed = parsed.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        parsed.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "level")
+        .agg(F.count(F.lit(1)).alias("turns"))
+    )
+    name = "stream_agg_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option(
+            "checkpointLocation", os.path.join(base, "ck")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(F.col("w.start").alias("hour"), "level")
+        .agg(F.max("turns").alias("turns"))
+    )
+
+
 def q_aggregate_hourly(spark, sf_dir):
     routed = build_flagship(spark, sf_dir)
     return flagship_aggregate(routed)
@@ -1568,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 5 (must be inside the driver's 50-row window)
         "stream_route_counts": q_stream_route_counts,
         "media_probe": q_media_probe,
+        "stream_agg_hourly": q_stream_agg_hourly,
         # -- no driver row in r03 (registry past the 50-entry window)
         "q3_revenue": q_q3_revenue,
         "events_tumbling": q_events_tumbling,
@@ -1691,6 +1743,14 @@ LEFT JOIN ({TOOL_DIM_SQL}) t ON p.tool = t.tool
     # streaming twin: the SAME oracle — per-sink routed-row counts
     # must be identical whether the topology runs batch or stream
     o["stream_route_counts"] = o["route_counts"]
+
+    # stateful-streaming twin: final per-window totals from the
+    # update-mode stream equal the plain batch GROUP BY
+    o["stream_agg_hourly"] = _with(
+        "SELECT date_trunc('hour', ts) AS hour, level, "
+        "CAST(count(*) AS BIGINT) AS turns FROM parsed "
+        "GROUP BY 1, 2"
+    )
 
     # media_probe: every probed value is constructively known from
     # synthetic_media's corpus arithmetic (media_id i: images at
