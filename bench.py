@@ -88,8 +88,10 @@ HEADLINE = [
     "emb_kmeans_scale",
     "emb_semdedup_scale",
     # round 5: streaming runner under the bench (spec_runner,
-    # Trigger.AvailableNow over the same parquet)
+    # Trigger.AvailableNow over the same parquet) — stateless route
+    # counts + the stateful event-time windowed aggregate
     "stream_route_counts",
+    "stream_agg_hourly",
 ]
 
 

@@ -154,14 +154,16 @@ def test_png_unsupported_features_raise():
         return (struct.pack(">I", len(data)) + tag + data
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
-    palette = (b"\x89PNG\r\n\x1a\n"
-               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)))
+    bogus_ctype = (b"\x89PNG\r\n\x1a\n"
+                   + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 7, 0, 0, 0)))
     with pytest.raises(ValueError, match="color type"):
-        decode_png(palette)
-    interlaced = (b"\x89PNG\r\n\x1a\n"
-                  + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)))
-    with pytest.raises(ValueError, match="interlac"):
-        decode_png(interlaced)
+        decode_png(bogus_ctype)
+    # palette stream without a PLTE chunk is malformed
+    no_plte = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"\x00\x00")))
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(no_plte)
     # corrupt: truncated scanline data
     good = encode_png(_gradient(3, 3))
     sixteen = good.replace(
@@ -456,3 +458,69 @@ def test_jpeg_not_a_jpeg_rejected():
 
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_baseline(b"\x89PNG\r\n\x1a\n")
+
+
+def test_png_palette_decode_with_trns():
+    import struct
+    import zlib
+
+    from vector_spark.dataops.media_codecs import decode_png
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    # 3x2 palette image: indices pick red/green/blue
+    pal = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255])
+    idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    buf = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", pal)
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    out = decode_png(buf)
+    assert out.shape == (2, 3, 3)
+    assert tuple(out[0, 0]) == (255, 0, 0)
+    assert tuple(out[1, 0]) == (0, 0, 255)
+    # tRNS adds per-palette-entry alpha (shorter than the palette:
+    # missing entries default to opaque)
+    buf_a = (b"\x89PNG\r\n\x1a\n"
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+             + chunk(b"PLTE", pal)
+             + chunk(b"tRNS", bytes([128, 0]))
+             + chunk(b"IDAT", zlib.compress(raw))
+             + chunk(b"IEND", b""))
+    out_a = decode_png(buf_a)
+    assert out_a.shape == (2, 3, 4)
+    assert out_a[0, 0, 3] == 128 and out_a[0, 1, 3] == 0
+    assert out_a[0, 2, 3] == 255  # beyond tRNS -> opaque
+
+
+def test_png_adam7_interlaced_decode():
+    import struct
+    import zlib
+
+    from vector_spark.dataops.media_codecs import _ADAM7, decode_png
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    rng = np.random.RandomState(3)
+    for (h, w) in ((9, 11), (8, 8), (3, 5), (1, 1), (2, 10)):
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        # forward Adam7 interlacer: emit each pass as filter-0 lines
+        raw = bytearray()
+        for x0, y0, xs, ys in _ADAM7:
+            sub = img[y0::ys, x0::xs]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            for y in range(ph):
+                raw += b"\x00" + sub[y].tobytes()
+        buf = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+        assert np.array_equal(decode_png(buf), img), (h, w)

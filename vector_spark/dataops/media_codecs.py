@@ -5,8 +5,9 @@ formats need nothing beyond numpy and the stdlib:
 
 * PPM (P6)           — header + raw RGB24 rows (image decode/encode)
 * BMP (24-bit, BI_RGB) — fixed 54-byte header, bottom-up padded rows
-* PNG (8-bit, non-interlaced, gray/RGB/RGBA) — stdlib zlib inflate +
-  per-scanline unfiltering (all five filters), zlib/CRC32 encode
+* PNG (8-bit, gray/RGB/RGBA/palette+tRNS, non-interlaced AND
+  Adam7) — stdlib zlib inflate + per-scanline unfiltering (all five
+  filters), zlib/CRC32 encode
 * JPEG (baseline sequential SOF0, T.81) — canonical Huffman entropy
   layer, einsum 8x8 DCT, JFIF YCbCr, 4:4:4 / 4:2:0, restart markers
 * WAV (PCM16)        — stdlib `wave` module framing + numpy samples
@@ -114,7 +115,7 @@ def encode_bmp24(arr: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# PNG (8-bit, non-interlaced) — stdlib zlib + struct, no PIL
+# PNG (8-bit, incl. palette and Adam7) — stdlib zlib + struct, no PIL
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -147,16 +148,25 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def decode_png(buf: bytes) -> np.ndarray:
     """Baseline PNG -> (h, w, channels) uint8 (grayscale decodes to
-    (h, w, 1)). Supports the common web baseline: bit depth 8,
-    non-interlaced, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-    6 (RGBA); all five scanline filters (None/Sub/Up/Average/Paeth).
-    Palette (3), 16-bit and Adam7 interlacing stay out of scope —
-    they raise with the feature named."""
+    (h, w, 1)). Supports the common web baseline at bit depth 8:
+    color types 0 (gray), 2 (RGB), 3 (palette, incl. tRNS alpha),
+    4 (gray+alpha), 6 (RGBA); all five scanline filters
+    (None/Sub/Up/Average/Paeth); both non-interlaced and Adam7
+    interlaced layouts. 16-bit stays out of scope — it raises with
+    the feature named."""
     if not buf.startswith(_PNG_SIG):
         raise ValueError("not a PNG (bad signature)")
     pos, ihdr, idats = len(_PNG_SIG), None, []
+    plte, trns = None, None
     while pos + 8 <= len(buf):
         (length,) = struct.unpack_from(">I", buf, pos)
         tag = buf[pos + 4 : pos + 8]
@@ -164,6 +174,10 @@ def decode_png(buf: bytes) -> np.ndarray:
         pos += 12 + length  # length + tag + data + crc
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(data, np.uint8)
         elif tag == b"IDAT":
             idats.append(data)
         elif tag == b"IEND":
@@ -173,14 +187,52 @@ def decode_png(buf: bytes) -> np.ndarray:
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if depth != 8:
         raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
-    if interlace:
-        raise ValueError("unsupported PNG: Adam7 interlacing")
     if comp or filt:
         raise ValueError("unsupported PNG compression/filter method")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
-        raise ValueError(f"unsupported PNG color type {ctype} (palette?)")
+        raise ValueError(f"unsupported PNG color type {ctype}")
     raw = zlib.decompress(b"".join(idats))
+    if interlace == 1:
+        # Adam7: seven independently-filtered sub-images scattered
+        # onto the pixel grid
+        out2d = np.zeros((h, w * channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = max(0, -(-(w - x0) // xs))
+            ph = max(0, -(-(h - y0) // ys))
+            if pw == 0 or ph == 0:
+                continue
+            span = ph * (pw * channels + 1)
+            sub = _png_unfilter(raw[off : off + span], pw, ph, channels)
+            off += span
+            cols = np.arange(x0, w, xs)
+            sub3 = sub.reshape(ph, pw, channels)
+            rows = np.arange(y0, h, ys)
+            grid = out2d.reshape(h, w, channels)
+            grid[np.ix_(rows, cols)] = sub3
+        out = out2d
+    elif interlace == 0:
+        out = _png_unfilter(raw, w, h, channels)
+    else:
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    img = out.reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = img[:, :, 0]
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(256, 255, np.uint8)
+            alpha[: len(trns)] = trns
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    return img
+
+
+def _png_unfilter(raw, w: int, h: int, channels: int) -> np.ndarray:
+    """Invert the five PNG scanline filters over a (filter byte +
+    scanline) stream -> (h, w*channels) uint8."""
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline data size mismatch")
@@ -231,7 +283,7 @@ def decode_png(buf: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = recon
         prev = recon
-    return out.reshape(h, w, channels)
+    return out
 
 
 # ---------------------------------------------------------------------------
