@@ -263,6 +263,89 @@ def q_stream_agg_hourly(spark, sf_dir):
     )
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Driver-stamped CUSTOM-STATEFUL-streaming evidence: the
+    applyInPandasWithState reduce kernel (streaming/stateful.py,
+    src/transforms/reduce/mod.rs) sessionizes under
+    Trigger.AvailableNow. The source parquet is sliced into 6 files
+    by turn_idx range with ascending mtimes and maxFilesPerTrigger=1,
+    so every conversation's turns arrive across SIX micro-batches in
+    turn order — the per-key accumulator carry-over between batches
+    is load-bearing, not incidental. ends_when(role='assistant')
+    flushes a session; conversations whose tail has no terminator
+    stay in state and never emit, so the oracle keeps only sessions
+    containing an assistant turn (every emitted session has exactly
+    one — the terminator). Sum-strategy contract: a session whose
+    every latency is null sums to 0, not NULL (stateful.py:197), so
+    the oracle coalesces."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from vector_spark.streaming.stateful import streaming_reduce
+
+    base = tempfile.mkdtemp(prefix="vs_stream_sess_")
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+    t = load_transcripts(spark, sf_dir)
+    hi = int(t.agg(F.max("turn_idx")).first()[0])
+    n_slices = 6
+    step = hi // n_slices + 1
+    for i in range(n_slices):
+        tmp_i = os.path.join(base, f"slice{i}")
+        (
+            t.filter(
+                (F.col("turn_idx") >= i * step)
+                & (F.col("turn_idx") < (i + 1) * step)
+            )
+            .coalesce(1)
+            .write.parquet(tmp_i)
+        )
+        part = next(
+            f for f in os.listdir(tmp_i) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copyfile(os.path.join(tmp_i, part), dst)
+        # distinct ascending mtimes: the file source orders batches
+        # by modification time, making replay order deterministic
+        os.utime(dst, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+    stream = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    parsed = parse_transcripts(stream).withColumn(
+        "_ends", F.col("role") == F.lit("assistant")
+    )
+    sess = streaming_reduce(
+        parsed.select("conv_id", "turn_idx", "latency_ms", "_ends"),
+        key=["conv_id"],
+        strategies={"latency_ms": "sum"},
+        ts_col="turn_idx",
+        ends_col="_ends",
+    )
+    name = "stream_sess_" + uuid.uuid4().hex[:8]
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("conv_id").orderBy("ts_first")
+    return spark.table(name).select(
+        "conv_id",
+        (F.row_number().over(w) - 1).cast("int").alias("session"),
+        F.col("n").alias("turns"),
+        F.col("latency_ms").cast("bigint").alias("latency_sum"),
+    )
+
+
 def q_aggregate_hourly(spark, sf_dir):
     routed = build_flagship(spark, sf_dir)
     return flagship_aggregate(routed)
@@ -1620,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_route_counts": q_stream_route_counts,
         "media_probe": q_media_probe,
         "stream_agg_hourly": q_stream_agg_hourly,
+        "stream_sessionize": q_stream_sessionize,
         # -- no driver row in r03 (registry past the 50-entry window)
         "q3_revenue": q_q3_revenue,
         "events_tumbling": q_events_tumbling,
@@ -1750,6 +1834,28 @@ LEFT JOIN ({TOOL_DIM_SQL}) t ON p.tool = t.tool
         "SELECT date_trunc('hour', ts) AS hour, level, "
         "CAST(count(*) AS BIGINT) AS turns FROM parsed "
         "GROUP BY 1, 2"
+    )
+
+    # custom-stateful-streaming twin: sessions flushed by
+    # ends_when(role='assistant') across six micro-batches equal the
+    # batch window-function sessionization restricted to TERMINATED
+    # sessions (the pending tail group never emits under NoTimeout);
+    # coalesce(sum,0) pins the kernel's all-null-sums-to-zero contract
+    o["stream_sessionize"] = _with(
+        """
+SELECT conv_id, session, CAST(count(*) AS BIGINT) AS turns,
+       CAST(coalesce(sum(latency_ms), 0) AS BIGINT) AS latency_sum
+FROM (
+  SELECT conv_id, role, latency_ms,
+    CAST(coalesce(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+      AS session
+  FROM parsed
+)
+GROUP BY conv_id, session
+HAVING sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) >= 1
+"""
     )
 
     # media_probe: every probed value is constructively known from

@@ -184,6 +184,49 @@ def test_streaming_reduce_e2e(spark, tmp_path):
     assert got["c1"].n == 2 and got["c1"].ts_first == 1 and got["c1"].ts_last == 2
 
 
+def test_streaming_reduce_null_skip(spark, tmp_path):
+    """NULL numeric events are SKIPPED by sum/max/min, matching SQL
+    aggregate semantics: pandas hands nulls to the kernel as NaN,
+    which is truthy — regression for the NaN-poisoned-sum bug
+    (an all-null group still sums to 0 per the pinned contract)."""
+    from pyspark.sql import functions as F
+    from vector_spark.streaming.stateful import streaming_reduce
+
+    src_path = str(tmp_path / "in")
+    pdf = spark.createDataFrame(
+        [("c1", 1, 10), ("c1", 2, None), ("c1", 3, 5), ("c1", 4, None),
+         ("c2", 1, None), ("c2", 2, None)],
+        "conv_id string, ts long, latency long",
+    )
+    pdf.write.parquet(src_path)
+    stream = (
+        spark.readStream.schema(pdf.schema).parquet(src_path)
+        .withColumn("is_end", F.col("ts") == 4)
+        .withColumn("is_end", F.col("is_end") | (F.col("ts") == 2))
+    )
+    reduced = streaming_reduce(
+        stream, key=["conv_id"],
+        strategies={"latency": "sum"},
+        ts_col="ts", ends_col="is_end",
+    )
+    out_path = str(tmp_path / "out")
+    q = (
+        reduced.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.conv_id, r.ts_first): r
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert got[("c1", 1)].latency == 10.0  # 10 + NULL -> 10, not NaN
+    assert got[("c1", 3)].latency == 5.0
+    assert got[("c2", 1)].latency == 0.0  # all-null group sums to 0
+
+
 def test_streaming_crash_replay_epoch(spark, transcripts_dir, tmp_path):
     """Crash window between sink write and checkpoint commit: delete
     the commit marker after a successful run (parquet already on

@@ -186,6 +186,11 @@ def _reduce_acc_add(acc: dict, row: dict, strategies: dict, ts_col: str) -> dict
     acc["ts_last"] = ts
     for fld, strat in strategies.items():
         v = row.get(fld)
+        # pandas delivers SQL NULL as NaN/NaT for numeric/ts dtypes;
+        # normalize to None so null events are SKIPPED by sum/max/min
+        # (NaN is truthy, so `(v or 0)` would poison the sum)
+        if (isinstance(v, float) and v != v) or v is pd.NaT:
+            v = None
         cur = acc["f"].get(fld)
         if strat == "discard":
             if cur is None:
