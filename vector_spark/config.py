@@ -30,6 +30,7 @@ from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
@@ -419,12 +420,19 @@ def build_source_frames(
     cfg: dict,
     sf_dir: str | None = None,
     source_frames: dict[str, DataFrame] | None = None,
+    listeners: dict | None = None,
 ) -> dict[str, DataFrame]:
     """DataFrames for each `[sources.*]` entry. demo_logs uses the
     deterministic generators (needs sf_dir); `file` reads text lines
-    and applies `decoding.codec`; anything else must be supplied via
+    and applies `decoding.codec`; `socket`/`http` take a drained
+    sources_net listener via `listeners[name]` and apply the config's
+    `framing` + `decoding` blocks; anything else must be supplied via
     `source_frames` (the adapter pattern for push sources)."""
-    from vector_spark.sources import decode_frame, demo_logs_batch
+    from vector_spark.sources import (
+        apply_framing,
+        decode_frame,
+        demo_logs_batch,
+    )
 
     frames = dict(source_frames or {})
     for name, comp in (cfg.get("sources") or {}).items():
@@ -459,6 +467,38 @@ def build_source_frames(
             df = spark.createDataFrame([(ln,) for ln in lines], "line string")
             codec = (comp.get("decoding") or {}).get("codec", "bytes")
             frames[name] = decode_frame(df, codec)
+        elif t in ("socket", "http", "syslog"):
+            lst = (listeners or {}).get(name)
+            if lst is None:
+                raise ValueError(
+                    f"source {name}: type {t!r} needs a drained "
+                    "sources_net listener via `listeners` (the bounded "
+                    "ingress edge; at cluster scale, land to a "
+                    "directory and use a `file` source instead)"
+                )
+            raw = lst.to_df(spark)
+            dec = comp.get("decoding") or {}
+            if "frame" in raw.columns:  # udp: datagram IS the frame
+                framed = raw.withColumn(
+                    "frame", F.col("frame").cast("string")
+                )
+            else:
+                default = (
+                    "octet_counting" if t == "syslog"
+                    else "newline_delimited"
+                )
+                framed = apply_framing(
+                    raw, comp.get("framing") or default
+                )
+            if t == "syslog":
+                from vector_spark.sources import parse_syslog
+
+                frames[name] = parse_syslog(framed, line_col="frame")
+            else:
+                frames[name] = decode_frame(
+                    framed, dec.get("codec", "bytes"), line_col="frame",
+                    **_decode_kw(spark, dec, None),
+                )
         elif t == "exec":
             from vector_spark.sources import exec_source
 
@@ -523,9 +563,11 @@ def run_config(
     config: str | dict,
     sf_dir: str | None = None,
     source_frames: dict[str, DataFrame] | None = None,
+    listeners: dict | None = None,
 ) -> dict[str, Any]:
     """Load + run a reference-style config end-to-end; returns the
-    per-sink results exactly like run_pipeline."""
+    per-sink results exactly like run_pipeline. `listeners` supplies
+    drained sources_net listeners for socket/http/syslog sources."""
     from vector_spark.pipeline import PipelineContext, run_pipeline
 
     base_dir = None
@@ -536,7 +578,9 @@ def run_config(
     else:
         cfg = config
     spec = spec_from_config(cfg, base_dir=base_dir)
-    frames = build_source_frames(spark, cfg, sf_dir, source_frames)
+    frames = build_source_frames(
+        spark, cfg, sf_dir, source_frames, listeners=listeners
+    )
     ctx = PipelineContext(spark)
     _load_ctx_enrichment(ctx, spark, cfg, base_dir)
     return run_pipeline(ctx, spec, frames)

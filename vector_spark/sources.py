@@ -786,6 +786,58 @@ def exec_source(
 # framing decoders (lib/codecs/src/decoding/framing/)
 # ---------------------------------------------------------------------------
 
+def apply_framing(
+    df: DataFrame,
+    framing: dict | str | None,
+    content_col: str = "content",
+    frame_col: str = "frame",
+) -> DataFrame:
+    """Unified framing dispatch (lib/codecs/src/decoding/framing/
+    mod.rs FramingConfig): map a config `framing` block — `{method:
+    newline_delimited | character_delimited | octet_counting |
+    length_delimited | bytes, ...}` — onto the frame_* decoders, so
+    socket/http/file configs can carry the reference spelling. The
+    string framings cast binary buffers to UTF-8 first;
+    length_delimited keeps bytes. `bytes` = the whole buffer is one
+    frame."""
+    method = framing if isinstance(framing, str) else (
+        (framing or {}).get("method", "newline_delimited")
+    )
+    opts = framing if isinstance(framing, dict) else {}
+    col = F.col(content_col)
+    if method == "bytes":
+        return df.withColumn(frame_col, col)
+    if method == "length_delimited":
+        out = frame_length_delimited(df, content_col=content_col)
+    else:
+        df = df.withColumn(content_col, col.cast("string"))
+        if method == "newline_delimited":
+            out = frame_character_delimited(
+                df, "\n", content_col=content_col,
+                max_length=opts.get("max_length"),
+            )
+        elif method == "character_delimited":
+            delim = opts.get("delimiter")
+            if isinstance(delim, dict):  # toml table spelling
+                delim = delim.get("delimiter")
+            if delim is None:
+                raise ValueError("character_delimited needs `delimiter`")
+            out = frame_character_delimited(
+                df, str(delim), content_col=content_col,
+                max_length=opts.get("max_length"),
+            )
+        elif method == "octet_counting":
+            out = frame_octet_counting(
+                df, content_col=content_col,
+                max_length=opts.get("max_length"),
+            )
+        else:
+            raise ValueError(f"unknown framing method {method!r}")
+    if frame_col != "frame":
+        out = out.withColumnRenamed("frame", frame_col)
+    return out
+
+
 def frame_character_delimited(
     df: DataFrame,
     delimiter: str,
