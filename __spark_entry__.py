@@ -1860,18 +1860,21 @@ HAVING sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) >= 1
 
     # media_probe: every probed value is constructively known from
     # synthetic_media's corpus arithmetic (media_id i: images at
-    # i%3==0 are 8x8 and rotate png/ppm/jpeg on i//3; audios are
-    # 100 ms 8 kHz WAV tones; videos are raw-RGB24 MP4s with
-    # 2 + i%4 frames at 2 fps) — the oracle pins those literals;
-    # the Spark side must recover them by parsing the real encoded
-    # containers byte-by-byte
+    # i%3==0 are 8x8 and rotate png/ppm/jpeg/progressive-jpeg on
+    # i//3; audios are 100 ms 8 kHz WAV tones; videos are raw-RGB24
+    # MP4s with 2 + i%4 frames at 2 fps) — the oracle pins those
+    # literals; the Spark side must recover them by parsing the real
+    # encoded containers byte-by-byte (the i//3%4==3 rows force the
+    # multi-scan SOF2 decode path through the hard gate)
     rows = []
     for i in range(24):
         kind = ["image", "audio", "video"][i % 3]
         if kind == "image":
-            fmt = ["png", "ppm", "jpeg"][(i // 3) % 3]
+            fmt = ["png", "ppm", "jpeg", "jpegp"][(i // 3) % 4]
             codec = {"png": "png", "ppm": "rgb24",
-                     "jpeg": "jpeg-baseline"}[fmt]
+                     "jpeg": "jpeg-baseline",
+                     "jpegp": "jpeg-progressive"}[fmt]
+            fmt = "jpeg" if fmt == "jpegp" else fmt
             rows.append(
                 f"({i}, 'image', '{fmt}', 8, 8, NULL, NULL, NULL, "
                 f"'{codec}')"

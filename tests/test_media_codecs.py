@@ -436,7 +436,73 @@ def test_jpeg_quality_trades_size_for_error():
     assert err_hi < err_lo
 
 
-def test_jpeg_progressive_is_honest_seam():
+def test_jpeg_progressive_matches_baseline_decode_exactly():
+    import numpy as np
+
+    from vector_spark.dataops.media_codecs import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    # same quantized coefficients -> progressive decode must be
+    # byte-identical to baseline decode, not merely close
+    for q in (95, 50):
+        arr = _jpeg_gradient(24, 40)
+        prog = encode_jpeg_progressive(arr, quality=q)
+        assert b"\xff\xc2" in prog  # SOF2
+        assert prog.count(b"\xff\xda") == 10  # the 10-scan script
+        base = decode_jpeg_baseline(encode_jpeg_baseline(arr, quality=q))
+        got = decode_jpeg_baseline(prog)
+        assert got.shape == base.shape
+        assert (got == base).all()
+
+
+def test_jpeg_progressive_420_odd_dims():
+    import numpy as np
+
+    from vector_spark.dataops.media_codecs import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    # non-multiple-of-16 dims: interleaved DC covers MCU padding,
+    # non-interleaved AC scans skip it; crop must hide the difference
+    arr = _jpeg_gradient(21, 35)
+    base = decode_jpeg_baseline(
+        encode_jpeg_baseline(arr, quality=90, subsample=True)
+    )
+    got = decode_jpeg_baseline(
+        encode_jpeg_progressive(arr, quality=90, subsample=True)
+    )
+    assert (got == base).all()
+
+
+def test_jpeg_progressive_eob_runs_and_noise():
+    import numpy as np
+
+    from vector_spark.dataops.media_codecs import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    # flat-with-speckles maximises cross-block EOB runs with buffered
+    # correction bits; dense noise maximises ZRL + refinement symbols
+    flat = np.full((48, 64, 3), 120, np.uint8)
+    flat[5, 7] = (250, 10, 10)
+    flat[40, 60] = (0, 255, 0)
+    rng = np.random.default_rng(17)
+    noise = rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+    for arr in (flat, noise):
+        for q in (90, 25):
+            base = decode_jpeg_baseline(encode_jpeg_baseline(arr, quality=q))
+            got = decode_jpeg_baseline(encode_jpeg_progressive(arr, quality=q))
+            assert (got == base).all(), (arr.shape, q)
+
+
+def test_jpeg_progressive_bad_scan_script_rejected():
     import pytest
 
     from vector_spark.dataops.media_codecs import (
@@ -444,10 +510,12 @@ def test_jpeg_progressive_is_honest_seam():
         encode_jpeg_baseline,
     )
 
+    # SOF0 flipped to SOF2 leaves a baseline scan header (Ss=0,
+    # Se=63), which is malformed for progressive: DC scans are Se=0
     buf = bytearray(encode_jpeg_baseline(_jpeg_gradient(16, 16), 90))
-    idx = bytes(buf).find(b"\xff\xc0")  # SOF0 -> SOF2 (progressive)
+    idx = bytes(buf).find(b"\xff\xc0")
     buf[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg_baseline(bytes(buf))
 
 

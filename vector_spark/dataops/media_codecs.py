@@ -859,14 +859,11 @@ def _encode_plane_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     return quant.reshape(-1, 64)[:, _ZIGZAG]
 
 
-def encode_jpeg_baseline(
-    arr: np.ndarray, quality: int = 90, subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline sequential JFIF JPEG (SOF0),
-    Annex K tables scaled by `quality`; 4:4:4 by default, 4:2:0 with
-    subsample=True; restart_interval > 0 emits DRI + RSTn markers
-    every N MCUs."""
+def _jpeg_prep(arr: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front half: RGB -> per-component quantized
+    zigzag coefficient grids on the padded MCU lattice. Returns
+    (h, w, samp, qy, qc, mcus_x, mcus_y, comp_zz) where comp_zz[ci]
+    is (blocks_high, blocks_wide, 64)."""
     h, w, c = arr.shape
     if c != 3:
         raise ValueError("JPEG encoder requires RGB")
@@ -876,10 +873,8 @@ def encode_jpeg_baseline(
     samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1), (1, 1), (1, 1)]
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-w // mcu_w)
-    mcus_y = -(-h // mcu_h)
-
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
     comp_zz = []
     for ci in range(3):
         hi, vi = samp[ci]
@@ -900,7 +895,35 @@ def encode_jpeg_baseline(
         )
         zz = _encode_plane_blocks(p, qy if ci == 0 else qc)
         comp_zz.append(zz.reshape(th // 8, tw // 8, 64))
+    return h, w, samp, qy, qc, mcus_x, mcus_y, comp_zz
 
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _dqt_seg(tid: int, tab: np.ndarray) -> bytes:
+    return _seg(
+        0xFFDB,
+        bytes([tid]) + bytes(int(x) for x in tab.reshape(-1)[_ZIGZAG]),
+    )
+
+
+def _dht_seg(cls: int, tid: int, bits, vals) -> bytes:
+    return _seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+
+def encode_jpeg_baseline(
+    arr: np.ndarray, quality: int = 90, subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline sequential JFIF JPEG (SOF0),
+    Annex K tables scaled by `quality`; 4:4:4 by default, 4:2:0 with
+    subsample=True; restart_interval > 0 emits DRI + RSTn markers
+    every N MCUs."""
+    h, w, samp, qy, qc, mcus_x, mcus_y, comp_zz = _jpeg_prep(
+        arr, quality, subsample
+    )
     dc_tabs = [_huff_codes(*_DC_L), _huff_codes(*_DC_C)]
     ac_tabs = [_huff_codes(*_AC_L), _huff_codes(*_AC_C)]
     bw = _BitWriter()
@@ -948,21 +971,7 @@ def encode_jpeg_baseline(
                             bw.put(code, ln)
     entropy = bw.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    def dqt(tid: int, tab: np.ndarray) -> bytes:
-        return seg(
-            0xFFDB,
-            bytes([tid]) + bytes(int(x) for x in tab.reshape(-1)[_ZIGZAG]),
-        )
-
-    def dht(cls: int, tid: int, bits, vals) -> bytes:
-        return seg(
-            0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
-        )
-
-    sof = seg(
+    sof = _seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
         + b"".join(
@@ -973,7 +982,7 @@ def encode_jpeg_baseline(
             for i in range(3)
         ),
     )
-    sos = seg(
+    sos = _seg(
         0xFFDA,
         bytes([3])
         + b"".join(
@@ -982,18 +991,245 @@ def encode_jpeg_baseline(
         )
         + bytes([0, 63, 0]),
     )
-    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    app0 = _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     dri = (
-        seg(0xFFDD, struct.pack(">H", restart_interval))
+        _seg(0xFFDD, struct.pack(">H", restart_interval))
         if restart_interval else b""
     )
     return (
-        b"\xff\xd8" + app0 + dqt(0, qy) + dqt(1, qc)
+        b"\xff\xd8" + app0 + _dqt_seg(0, qy) + _dqt_seg(1, qc)
         + sof
-        + dht(0, 0, *_DC_L) + dht(1, 0, *_AC_L)
-        + dht(0, 1, *_DC_C) + dht(1, 1, *_AC_C)
+        + _dht_seg(0, 0, *_DC_L) + _dht_seg(1, 0, *_AC_L)
+        + _dht_seg(0, 1, *_DC_C) + _dht_seg(1, 1, *_AC_C)
         + dri + sos + entropy + b"\xff\xd9"
     )
+
+
+# near-flat canonical Huffman tables for the progressive encoder:
+# every DC size category at 5 bits; AC symbols 0x00-0xFD at 8 bits
+# plus 0xFE/0xFF at 9 (a DHT BITS count is one byte, so 256 codes
+# can't share a length; the split also keeps the all-ones code
+# unused, C.2). Valid-but-unoptimised tables keep the encoder
+# single-pass while covering the EOB-run symbols (r<<4) that the
+# Annex K tables lack.
+_FLAT_DC = ([0, 0, 0, 0, 16] + [0] * 11, list(range(16)))
+_FLAT_AC = ([0] * 7 + [254, 2] + [0] * 7, list(range(256)))
+
+# libjpeg's standard 10-scan progression for YCbCr: DC first with one
+# bit of successive approximation, per-component AC bands, then the
+# refinement passes (jcparam.c jpeg_simple_progression).
+_PROG_SCRIPT = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def _nonint_blocks(ci, samp, h, w):
+    """Block grid a single-component (non-interleaved) scan codes:
+    just the blocks covering the image for that component (T.81
+    A.2.2), excluding MCU padding columns/rows."""
+    hi, vi = samp[ci]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    cw = -(-(w * hi) // hmax)
+    ch = -(-(h * vi) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _emit_eobrun(bw, act, state) -> None:
+    """Flush a pending EOB run: symbol (nbits<<4), nbits appended
+    low-order bits of the run length, then any correction bits
+    buffered while the run accumulated (T.81 G.1.2.2-3)."""
+    if state["eobrun"]:
+        nbits = state["eobrun"].bit_length() - 1
+        code, ln = act[nbits << 4]
+        bw.put(code, ln)
+        if nbits:
+            bw.put(state["eobrun"] & ((1 << nbits) - 1), nbits)
+        state["eobrun"] = 0
+        for b in state["pend"]:
+            bw.put(b, 1)
+        state["pend"].clear()
+
+
+def _enc_ac_first(bw, act, blocks, nbh, nbw, ss, se, al) -> None:
+    """AC first pass for one band: baseline run/size coding on the
+    point-transformed coefficients, with all-zero block tails folded
+    into cross-block EOB runs (G.1.2.2)."""
+    state = {"eobrun": 0, "pend": []}
+    for row in range(nbh):
+        for col in range(nbw):
+            blk = blocks[row, col]
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                t = (v >> al) if v >= 0 else -((-v) >> al)
+                if t == 0:
+                    run += 1
+                    continue
+                _emit_eobrun(bw, act, state)
+                while run > 15:
+                    code, ln = act[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                size, bits = _magnitude(t)
+                code, ln = act[(run << 4) | size]
+                bw.put(code, ln)
+                bw.put(bits, size)
+                run = 0
+            if run > 0:
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    _emit_eobrun(bw, act, state)
+    _emit_eobrun(bw, act, state)
+
+
+def _enc_ac_refine(bw, act, blocks, nbh, nbw, ss, se, al) -> None:
+    """AC refinement pass (G.1.2.3, the jcphuff.c algorithm): one
+    correction bit per already-nonzero coefficient, (run<<4)|1
+    symbols + a sign bit for newly-significant ones; correction bits
+    crossed while skipping are buffered and emitted after the symbol
+    they precede (or with the EOB-run flush)."""
+    state = {"eobrun": 0, "pend": []}
+    for row in range(nbh):
+        for col in range(nbw):
+            blk = blocks[row, col]
+            absv = [
+                (abs(int(blk[k])) >> al) for k in range(ss, se + 1)
+            ]
+            eob_k = ss - 1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob_k = ss + i
+            run = 0
+            cur = []  # this block's buffered correction bits
+            for k in range(ss, se + 1):
+                t = absv[k - ss]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob_k:
+                    _emit_eobrun(bw, act, state)
+                    code, ln = act[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                    for b in cur:
+                        bw.put(b, 1)
+                    cur = []
+                if t > 1:  # history coefficient: buffer its next bit
+                    cur.append(t & 1)
+                    continue
+                _emit_eobrun(bw, act, state)
+                code, ln = act[(run << 4) | 1]
+                bw.put(code, ln)
+                bw.put(1 if int(blk[k]) > 0 else 0, 1)
+                for b in cur:
+                    bw.put(b, 1)
+                cur = []
+                run = 0
+            if run > 0 or cur:
+                state["eobrun"] += 1
+                state["pend"].extend(cur)
+                if state["eobrun"] == 0x7FFF or len(state["pend"]) > 900:
+                    _emit_eobrun(bw, act, state)
+    _emit_eobrun(bw, act, state)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90, subsample: bool = False,
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> progressive JFIF JPEG (SOF2) using the
+    standard 10-scan script (DC first/refine, per-component spectral
+    bands with successive approximation; T.81 Annex G). Quantized
+    coefficients are identical to encode_jpeg_baseline's at the same
+    settings, so progressive decode must reproduce the baseline
+    decode byte-exactly."""
+    h, w, samp, qy, qc, mcus_x, mcus_y, comp_zz = _jpeg_prep(
+        arr, quality, subsample
+    )
+    dct = _huff_codes(*_FLAT_DC)
+    act = _huff_codes(*_FLAT_AC)
+    scans = []
+    for comps_in, ss, se, ah, al in _PROG_SCRIPT:
+        bw = _BitWriter()
+        if ss == 0:
+            pred = {ci: 0 for ci in comps_in}
+
+            def dc_block(ci, blk0):
+                if ah == 0:
+                    v = int(blk0) >> al
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    size, bits = _magnitude(diff)
+                    code, ln = dct[size]
+                    bw.put(code, ln)
+                    if size:
+                        bw.put(bits, size)
+                else:
+                    bw.put((int(blk0) >> al) & 1, 1)
+
+            if len(comps_in) > 1:  # interleaved MCU order
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for ci in comps_in:
+                            hi, vi = samp[ci]
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    dc_block(
+                                        ci,
+                                        comp_zz[ci][
+                                            my * vi + by, mx * hi + bx, 0
+                                        ],
+                                    )
+            else:
+                ci = comps_in[0]
+                nbh, nbw = _nonint_blocks(ci, samp, h, w)
+                for row in range(nbh):
+                    for col in range(nbw):
+                        dc_block(ci, comp_zz[ci][row, col, 0])
+        else:
+            ci = comps_in[0]
+            nbh, nbw = _nonint_blocks(ci, samp, h, w)
+            enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+            enc(bw, act, comp_zz[ci], nbh, nbw, ss, se, al)
+        scans.append((comps_in, ss, se, ah, al, bw.flush()))
+
+    sof = _seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"".join(
+            struct.pack(
+                ">BBB", i + 1, (samp[i][0] << 4) | samp[i][1],
+                0 if i == 0 else 1,
+            )
+            for i in range(3)
+        ),
+    )
+    app0 = _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out = bytearray(
+        b"\xff\xd8" + app0 + _dqt_seg(0, qy) + _dqt_seg(1, qc) + sof
+        + _dht_seg(0, 0, *_FLAT_DC) + _dht_seg(1, 0, *_FLAT_AC)
+    )
+    for comps_in, ss, se, ah, al, entropy in scans:
+        out += _seg(
+            0xFFDA,
+            bytes([len(comps_in)])
+            + b"".join(
+                struct.pack(">BB", ci + 1, 0) for ci in comps_in
+            )
+            + bytes([ss, se, (ah << 4) | al]),
+        )
+        out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 class _BitReader:
@@ -1093,11 +1329,14 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg_baseline(buf: bytes) -> np.ndarray:
-    """Baseline sequential JPEG (SOF0) -> (h, w, 3) uint8 RGB (or
-    (h, w, 1) for grayscale streams). Reads DQT/DHT from the stream,
-    supports interleaved scans, restart intervals, and any sampling
-    factors (4:4:4 / 4:2:2 / 4:2:0). Progressive (SOF2), arithmetic
-    coding, and 12-bit precision raise with the feature named."""
+    """JPEG (baseline SOF0/1 + progressive SOF2) -> (h, w, 3) uint8
+    RGB (or (h, w, 1) for grayscale streams). Reads DQT/DHT from the
+    stream, supports interleaved scans, restart intervals, any
+    sampling factors (4:4:4 / 4:2:2 / 4:2:0), and progressive scan
+    scripts with spectral selection + successive approximation (T.81
+    Annex G: DC first/refine, AC first/refine with EOB runs).
+    Arithmetic coding, hierarchical mode, and 12-bit precision raise
+    with the feature named."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -1105,11 +1344,15 @@ def decode_jpeg_baseline(buf: bytes) -> np.ndarray:
     dc_tabs: dict[int, _HuffDecode] = {}
     ac_tabs: dict[int, _HuffDecode] = {}
     sof = None
+    progressive = False
+    prog = None  # progressive accumulation state
     restart_interval = 0
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -1140,7 +1383,7 @@ def decode_jpeg_baseline(buf: bytes) -> np.ndarray:
                     bits, vals
                 )
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -1151,10 +1394,11 @@ def decode_jpeg_baseline(buf: bytes) -> np.ndarray:
                     "id": cid, "h": sf >> 4, "v": sf & 0xF, "tq": tq,
                 })
             sof = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "unsupported JPEG mode (progressive/arithmetic/"
+                "unsupported JPEG mode (arithmetic/lossless/"
                 "hierarchical) — plug libjpeg in at this seam"
             )
         elif marker == 0xDD:  # DRI
@@ -1167,11 +1411,27 @@ def decode_jpeg_baseline(buf: bytes) -> np.ndarray:
             for si in range(ns):
                 cid, tabs = struct.unpack_from(">BB", body, 1 + 2 * si)
                 scan[cid] = (tabs >> 4, tabs & 0xF)
-            return _decode_scan(
-                buf, pos + 2 + seglen, sof, scan, qtabs, dc_tabs,
-                ac_tabs, restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    buf, pos + 2 + seglen, sof, scan, qtabs, dc_tabs,
+                    ac_tabs, restart_interval,
+                )
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            if prog is None:
+                prog = _init_prog(sof)
+            pos = _decode_scan_progressive(
+                buf, pos + 2 + seglen, sof, scan,
+                (ss, se, ahal >> 4, ahal & 0xF),
+                dc_tabs, ac_tabs, restart_interval, prog,
             )
+            continue
         pos += 2 + seglen
+    if progressive and prog is not None and prog["scans"]:
+        fh, fw, comps = sof
+        return _render_planes(
+            comps, qtabs, fh, fw,
+            max(c["h"] for c in comps), max(c["v"] for c in comps),
+        )
     raise ValueError("JPEG has no scan")
 
 
@@ -1223,7 +1483,13 @@ def _decode_scan(
                             blk[k] = _extend(br.bits(size), size)
                             k += 1
             mcu_i += 1
-    # dequantize + IDCT per component (one einsum over all blocks)
+    return _render_planes(comps, qtabs, fh, fw, hmax, vmax)
+
+
+def _render_planes(comps, qtabs, fh, fw, hmax, vmax) -> np.ndarray:
+    """Dequantize + IDCT each component's accumulated zigzag
+    coefficients (one einsum over all blocks), upsample subsampled
+    chroma to the MCU lattice, crop to frame dims, convert to RGB."""
     planes = []
     for c in comps:
         coef = np.zeros((len(c["zz"]), 64), np.float64)
@@ -1239,3 +1505,180 @@ def _decode_scan(
     if len(planes) == 1:
         return np.clip(planes[0], 0, 255).astype(np.uint8)[..., None]
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+def _init_prog(sof) -> dict:
+    """Allocate per-component coefficient accumulators for a
+    progressive (SOF2) frame. Interleaved (DC) scans cover the full
+    padded MCU lattice; single-component scans cover only the blocks
+    needed for the image (`nbw` x `nbh`, T.81 A.2.2)."""
+    fh, fw, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]
+        c["bh"] = mcus_y * c["v"]
+        c["zz"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
+        cw = -(-(fw * c["h"]) // hmax)
+        ch = -(-(fh * c["v"]) // vmax)
+        c["nbw"] = -(-cw // 8)
+        c["nbh"] = -(-ch // 8)
+    return {"scans": 0, "mcus_x": mcus_x, "mcus_y": mcus_y}
+
+
+def _decode_scan_progressive(
+    buf, pos, sof, scan, spec, dc_tabs, ac_tabs, restart_interval, prog
+) -> int:
+    """Decode one progressive scan (T.81 G.2): DC first/refine
+    (interleaved or single-component) or AC first/refine with EOB-run
+    coding, accumulating into each component's coefficient array.
+    Returns the offset of the next marker segment."""
+    ss, se, ah, al = spec
+    _fh, _fw, comps = sof
+    scomps = [c for c in comps if c["id"] in scan]
+    br = _BitReader(buf, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        _prog_dc_scan(br, scomps, scan, dc_tabs, ah, al,
+                      restart_interval, prog)
+    else:
+        if len(scomps) != 1:
+            raise ValueError("progressive AC scan must be one component")
+        _prog_ac_scan(br, scomps[0], scan, ac_tabs, ss, se, ah, al,
+                      restart_interval)
+    prog["scans"] += 1
+    # entropy bytes can't contain FF followed by a non-stuff/non-RST
+    # byte, so the first such pair at/after br.pos is the next marker
+    p = br.pos
+    while p + 1 < len(buf):
+        if buf[p] == 0xFF and buf[p + 1] != 0x00 and not (
+            0xD0 <= buf[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return len(buf)
+
+
+def _prog_dc_scan(br, scomps, scan, dc_tabs, ah, al, ri, prog) -> None:
+    """DC scan: first pass (Ah=0) decodes diffs shifted left by Al;
+    refinement passes append one bit per block at position Al
+    (G.2.1 / G.2.3; the |= works because prior passes leave bit Al
+    clear in two's complement)."""
+    pred = {c["id"]: 0 for c in scomps}
+
+    def block(c, idx):
+        blk = c["zz"][idx]
+        if ah == 0:
+            size = dc_tabs[scan[c["id"]][0]].decode(br)
+            diff = _extend(br.bits(size), size)
+            pred[c["id"]] += diff
+            blk[0] = pred[c["id"]] << al
+        elif br.bits(1):
+            blk[0] |= 1 << al
+
+    if len(scomps) > 1:  # interleaved: MCU order over all components
+        n = 0
+        for my in range(prog["mcus_y"]):
+            for mx in range(prog["mcus_x"]):
+                if ri and n and n % ri == 0:
+                    br.restart()
+                    for k in pred:
+                        pred[k] = 0
+                for c in scomps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            block(c, (my * c["v"] + by) * c["bw"]
+                                  + mx * c["h"] + bx)
+                n += 1
+    else:  # non-interleaved: the component's own block raster
+        c = scomps[0]
+        n = 0
+        for row in range(c["nbh"]):
+            for col in range(c["nbw"]):
+                if ri and n and n % ri == 0:
+                    br.restart()
+                    pred[c["id"]] = 0
+                block(c, row * c["bw"] + col)
+                n += 1
+
+
+def _prog_ac_scan(br, c, scan, ac_tabs, ss, se, ah, al, ri) -> None:
+    """AC scan over one component's block raster. First pass (Ah=0,
+    G.2.2): run/size symbols place coefficients shifted by Al; size=0
+    symbols encode EOB runs of 2^r (+r appended bits) blocks. Refine
+    pass (G.2.3): one correction bit per already-nonzero coefficient,
+    size=1 symbols introduce newly-significant +-2^Al coefficients."""
+    act = ac_tabs[scan[c["id"]][1]]
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    n = 0
+    for row in range(c["nbh"]):
+        for col in range(c["nbw"]):
+            if ri and n and n % ri == 0:
+                br.restart()
+                eobrun = 0
+            n += 1
+            blk = c["zz"][row * c["bw"] + col]
+            if ah == 0:  # first pass for this band
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = act.decode(br)
+                    r, s = rs >> 4, rs & 0xF
+                    if s:
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC band overflow")
+                        blk[k] = _extend(br.bits(s), s) << al
+                        k += 1
+                    elif r != 15:
+                        eobrun = (1 << r) - 1  # this block is a member
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    else:
+                        k += 16  # ZRL
+                continue
+            # refinement pass: correction bits for history coefficients
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = act.decode(br)
+                    r, s = rs >> 4, rs & 0xF
+                    sval = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError("bad refine symbol size")
+                        sval = p1 if br.bits(1) else m1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.bits(r)
+                        break  # tail below refines the rest of the band
+                    # advance past r zero-history coefficients, reading
+                    # a correction bit at each nonzero-history one
+                    while k <= se:
+                        v = int(blk[k])
+                        if v != 0:
+                            if br.bits(1) and (v & p1) == 0:
+                                blk[k] = v + (p1 if v >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if sval and k <= se:
+                        blk[k] = sval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:  # EOB run still refines nonzero history
+                    v = int(blk[k])
+                    if v != 0 and br.bits(1) and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                    k += 1
+                eobrun -= 1

@@ -321,7 +321,8 @@ def probe_media(df: DataFrame) -> DataFrame:
                            width=arr.shape[1], height=arr.shape[0])
             elif b.startswith(b"\xff\xd8"):
                 arr = mc.decode_jpeg_baseline(b)
-                out.update(format="jpeg", codec="jpeg-baseline",
+                mode = "progressive" if b"\xff\xc2" in b else "baseline"
+                out.update(format="jpeg", codec=f"jpeg-{mode}",
                            width=arr.shape[1], height=arr.shape[0])
             elif b.startswith(b"P6"):
                 arr = mc.decode_ppm(b)
@@ -408,9 +409,10 @@ def synthetic_media(spark, n: int = 64, real_payloads: bool = False) -> DataFram
                  (yy * 255 // max(h - 1, 1)),
                  np.full((h, w), i % 256)], axis=2
             ).astype(np.uint8)
-            # rotate real formats: PNG, PPM, baseline JPEG (image
-            # rows land on i % 3 == 0, so rotate on i // 3)
-            fmt = (i // 3) % 3
+            # rotate real formats: PNG, PPM, baseline JPEG,
+            # progressive JPEG (image rows land on i % 3 == 0, so
+            # rotate on i // 3)
+            fmt = (i // 3) % 4
             if fmt == 0:
                 payload, mime = encode_png(arr), "image/png"
             elif fmt == 1:
@@ -418,9 +420,14 @@ def synthetic_media(spark, n: int = 64, real_payloads: bool = False) -> DataFram
             else:
                 from vector_spark.dataops.media_codecs import (
                     encode_jpeg_baseline,
+                    encode_jpeg_progressive,
                 )
 
-                payload = encode_jpeg_baseline(arr, quality=92)
+                enc = (
+                    encode_jpeg_baseline if fmt == 2
+                    else encode_jpeg_progressive
+                )
+                payload = enc(arr, quality=92)
                 mime = "image/jpeg"
             width, height = w, h
         elif real_payloads and kind == "audio":
