@@ -1861,7 +1861,9 @@ HAVING sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) >= 1
     # media_probe: every probed value is constructively known from
     # synthetic_media's corpus arithmetic (media_id i: images at
     # i%3==0 are 8x8 and rotate png/ppm/jpeg/progressive-jpeg on
-    # i//3; audios are 100 ms 8 kHz WAV tones; videos are raw-RGB24
+    # i//3; audios are 100 ms 8 kHz WAV tones rotating the real
+    # sample encodings pcm16/u8/s24le/f32le on i//3; videos are
+    # raw-RGB24
     # MP4s with 2 + i%4 frames at 2 fps) — the oracle pins those
     # literals; the Spark side must recover them by parsing the real
     # encoded containers byte-by-byte (the i//3%4==3 rows force the
@@ -1880,9 +1882,14 @@ HAVING sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) >= 1
                 f"'{codec}')"
             )
         elif kind == "audio":
+            codec = {"pcm16": "pcm_s16le", "pcm8": "pcm_u8",
+                     "pcm24": "pcm_s24le",
+                     "float32": "pcm_f32le"}[
+                ["pcm16", "pcm8", "pcm24", "float32"][(i // 3) % 4]
+            ]
             rows.append(
                 f"({i}, 'audio', 'wav', NULL, NULL, 100, 8000, 800, "
-                f"'pcm_s16le')"
+                f"'{codec}')"
             )
         else:
             n_frames = 2 + i % 4

@@ -54,6 +54,72 @@ def test_wav_pcm16_roundtrip_and_mono_mixdown():
     assert rate == 8000 and np.array_equal(out, samples)
 
 
+def test_wav_real_world_encodings_roundtrip():
+    import pytest
+
+    from vector_spark.dataops.media_codecs import encode_wav, wav_info
+
+    t = np.arange(800)
+    s16 = (10000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    # widths >= 16 bits reconstruct int16 exactly; 8-bit loses the
+    # low byte (quantization step 258 after the round-trip scaling)
+    for fmt, codec, tol in [
+        ("pcm16", "pcm_s16le", 0), ("pcm24", "pcm_s24le", 0),
+        ("pcm32", "pcm_s32le", 0), ("float32", "pcm_f32le", 0),
+        ("float64", "pcm_f64le", 0), ("pcm8", "pcm_u8", 258),
+    ]:
+        buf = encode_wav(s16, 8000, fmt)
+        info = wav_info(buf)
+        assert (info["codec"], info["sample_rate"], info["n_frames"]) == (
+            codec, 8000, 800
+        ), fmt
+        out, rate = decode_wav_pcm16(buf)
+        assert rate == 8000 and len(out) == 800
+        err = np.abs(out.astype(int) - s16.astype(int)).max()
+        assert err <= tol, (fmt, err)
+    with pytest.raises(ValueError, match="unknown WAV encoding"):
+        encode_wav(s16, 8000, "mp3")
+
+
+def test_wav_extensible_and_stereo_and_compressed_seam():
+    import struct
+
+    import pytest
+
+    from vector_spark.dataops.media_codecs import wav_info
+
+    t = np.arange(800)
+    s16 = (10000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+
+    def riff(fmt_body: bytes, data: bytes) -> bytes:
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    # WAVE_FORMAT_EXTENSIBLE wrapping plain PCM16: SubFormat tag wins
+    ext = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+        + struct.pack("<HHI", 22, 16, 1)
+        + struct.pack("<H", 1) + b"\x00" * 14
+    )
+    buf = riff(ext, s16.astype("<i2").tobytes())
+    out, rate = decode_wav_pcm16(buf)
+    assert np.array_equal(out, s16) and wav_info(buf)["codec"] == "pcm_s16le"
+
+    # stereo float32 with opposite-phase channels mixes down to ~0
+    st = np.stack([s16 / 32768.0, -(s16 / 32768.0)], axis=1).astype("<f4")
+    buf = riff(struct.pack("<HHIIHH", 3, 2, 8000, 64000, 8, 32), st.tobytes())
+    out, _ = decode_wav_pcm16(buf)
+    assert len(out) == 800 and np.abs(out).max() <= 1
+
+    # compressed formats are the honest seam (ADPCM tag 2)
+    buf = riff(struct.pack("<HHIIHH", 2, 1, 8000, 4000, 1, 4), b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="format tag 2"):
+        decode_wav_pcm16(buf)
+
+
 def test_resize_nearest_exact():
     arr = _gradient(4, 4)
     half = resize_nearest(arr, 2, 2)

@@ -8,9 +8,11 @@ formats need nothing beyond numpy and the stdlib:
 * PNG (8-bit, gray/RGB/RGBA/palette+tRNS, non-interlaced AND
   Adam7) — stdlib zlib inflate + per-scanline unfiltering (all five
   filters), zlib/CRC32 encode
-* JPEG (baseline sequential SOF0, T.81) — canonical Huffman entropy
-  layer, einsum 8x8 DCT, JFIF YCbCr, 4:4:4 / 4:2:0, restart markers
-* WAV (PCM16)        — stdlib `wave` module framing + numpy samples
+* JPEG (T.81: baseline SOF0 + progressive SOF2) — canonical Huffman
+  entropy layer, einsum 8x8 DCT, JFIF YCbCr, 4:4:4 / 4:2:0, restart
+  markers, spectral-selection/successive-approximation scan scripts
+* WAV — RIFF chunk parser; PCM 8/16/24/32-bit, IEEE float32/64,
+  WAVE_FORMAT_EXTENSIBLE; everything normalizes to mono int16
 * MP4 (ISO BMFF container) — box framing, movie/track headers, full
   sample tables; 'raw ' RGB24 tracks decode end-to-end
 
@@ -302,19 +304,142 @@ def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
     return bio.getvalue()
 
 
+_WAV_FMTS = {
+    # fmt -> (format tag, bytes/sample, ffmpeg-style codec name)
+    "pcm8": (1, 1, "pcm_u8"),
+    "pcm16": (1, 2, "pcm_s16le"),
+    "pcm24": (1, 3, "pcm_s24le"),
+    "pcm32": (1, 4, "pcm_s32le"),
+    "float32": (3, 4, "pcm_f32le"),
+    "float64": (3, 8, "pcm_f64le"),
+}
+
+
+def encode_wav(
+    samples: np.ndarray, rate: int = 16000, fmt: str = "pcm16"
+) -> bytes:
+    """Mono samples -> WAV bytes in one of the real-world encodings
+    (pcm8/pcm16/pcm24/pcm32/float32/float64). int16 input is rescaled
+    to the target width; float input must already be in [-1, 1]."""
+    if fmt not in _WAV_FMTS:
+        raise ValueError(f"unknown WAV encoding {fmt!r}")
+    tag, width, _codec = _WAV_FMTS[fmt]
+    x = np.asarray(samples)
+    f = (
+        np.clip(x.astype(np.float64), -1.0, 1.0)
+        if x.dtype.kind == "f" else x.astype(np.float64) / 32768.0
+    )
+    if fmt == "pcm8":
+        data = (np.round(f * 127.0) + 128).clip(0, 255).astype(
+            np.uint8
+        ).tobytes()
+    elif fmt == "pcm16":
+        data = np.round(f * 32767.0).clip(-32768, 32767).astype(
+            "<i2"
+        ).tobytes()
+    elif fmt == "pcm24":
+        v = np.round(f * 8388607.0).clip(
+            -(1 << 23), (1 << 23) - 1
+        ).astype("<i4")
+        data = v.view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+    elif fmt == "pcm32":
+        data = np.round(f * 2147483647.0).clip(
+            -(1 << 31), (1 << 31) - 1
+        ).astype("<i4").tobytes()
+    else:  # IEEE float
+        data = f.astype("<f4" if fmt == "float32" else "<f8").tobytes()
+    fmt_body = struct.pack(
+        "<HHIIHH", tag, 1, rate, rate * width, width, width * 8
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    if tag == 3:  # IEEE float requires a fact chunk (RIFF spec)
+        chunks += b"fact" + struct.pack("<II", 4, len(f))
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        chunks += b"\x00"  # chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def wav_info(buf: bytes) -> dict:
+    """Parse RIFF/WAVE headers without decoding samples: codec name,
+    sample rate, channel count, bit depth, and frame count.
+    WAVE_FORMAT_EXTENSIBLE unwraps to the SubFormat tag."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(buf):
+        tag = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        if tag == b"fmt ":
+            fmt = list(struct.unpack_from("<HHIIHH", buf, pos + 8))
+            if fmt[0] == 0xFFFE and size >= 40:  # EXTENSIBLE
+                (fmt[0],) = struct.unpack_from("<H", buf, pos + 8 + 24)
+        elif tag == b"data":
+            data_len = min(size, len(buf) - pos - 8)
+        pos += 8 + size + (size & 1)
+    if fmt is None or data_len is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    atag, ch, rate, _brate, balign, bits = fmt
+    codec = {
+        (1, 8): "pcm_u8", (1, 16): "pcm_s16le", (1, 24): "pcm_s24le",
+        (1, 32): "pcm_s32le", (3, 32): "pcm_f32le", (3, 64): "pcm_f64le",
+    }.get((atag, bits))
+    return {
+        "codec": codec, "format_tag": atag, "channels": ch,
+        "sample_rate": rate, "bits": bits,
+        "n_frames": data_len // max(balign, 1),
+    }
+
+
 def decode_wav_pcm16(buf: bytes) -> tuple[np.ndarray, int]:
-    """WAV bytes -> (mono int16 samples, sample_rate). Multi-channel
-    input is averaged down to mono."""
-    with wave.open(io.BytesIO(buf), "rb") as wf:
-        if wf.getsampwidth() != 2:
-            raise ValueError(f"unsupported sample width {wf.getsampwidth()}")
-        rate = wf.getframerate()
-        n = wf.getnframes()
-        raw = np.frombuffer(wf.readframes(n), dtype="<i2")
-        ch = wf.getnchannels()
+    """WAV bytes -> (mono int16 samples, sample_rate). Accepts the
+    real-world uncompressed encodings — PCM 8/16/24/32-bit, IEEE
+    float32/64, and WAVE_FORMAT_EXTENSIBLE wrappers — normalizing
+    everything to int16 (the engine's audio currency); compressed
+    formats (ADPCM, mp3-in-wav) raise with the tag named.
+    Multi-channel input is averaged down to mono."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        tag = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        if tag == b"fmt ":
+            fmt = list(struct.unpack_from("<HHIIHH", buf, pos + 8))
+            if fmt[0] == 0xFFFE and size >= 40:
+                (fmt[0],) = struct.unpack_from("<H", buf, pos + 8 + 24)
+        elif tag == b"data":
+            data = buf[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    atag, ch, rate, _brate, _balign, bits = fmt
+    if atag == 1 and bits == 8:
+        x = (
+            np.frombuffer(data, np.uint8).astype(np.int16) - 128
+        ) * np.int16(256)
+    elif atag == 1 and bits == 16:
+        x = np.frombuffer(data, "<i2")
+    elif atag == 1 and bits == 24:
+        b = np.frombuffer(data, np.uint8)
+        b = b[: len(b) - len(b) % 3].reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        x = ((v << 8) >> 16).astype(np.int16)  # sign-extend, keep top 16
+    elif atag == 1 and bits == 32:
+        x = (np.frombuffer(data, "<i4") >> 16).astype(np.int16)
+    elif atag == 3 and bits in (32, 64):
+        f = np.frombuffer(data, "<f4" if bits == 32 else "<f8")
+        x = np.round(np.clip(f, -1.0, 1.0) * 32767.0).astype(np.int16)
+    else:
+        raise NotImplementedError(
+            f"unsupported WAV format tag {atag} ({bits}-bit) — plug an "
+            "audio codec in at this seam"
+        )
     if ch > 1:
-        raw = raw.reshape(-1, ch).mean(axis=1).astype(np.int16)
-    return raw.copy(), rate
+        x = x[: len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1).astype(
+            np.int16
+        )
+    return np.ascontiguousarray(x), rate
 
 
 # ---------------------------------------------------------------------------

@@ -335,8 +335,8 @@ def probe_media(df: DataFrame) -> DataFrame:
             elif b.startswith(b"RIFF") and b[8:12] == b"WAVE":
                 samples, rate = mc.decode_wav_pcm16(b)
                 out.update(
-                    format="wav", codec="pcm_s16le", sample_rate=rate,
-                    n_samples=len(samples),
+                    format="wav", codec=mc.wav_info(b)["codec"],
+                    sample_rate=rate, n_samples=len(samples),
                     duration_ms=len(samples) * 1000 // max(rate, 1),
                 )
             elif len(b) > 12 and b[4:8] == b"ftyp":
@@ -433,7 +433,7 @@ def synthetic_media(spark, n: int = 64, real_payloads: bool = False) -> DataFram
         elif real_payloads and kind == "audio":
             import numpy as np
 
-            from vector_spark.dataops.media_codecs import encode_wav_pcm16
+            from vector_spark.dataops.media_codecs import encode_wav
 
             rate = 8000
             t = np.arange(rate // 10)  # 100 ms
@@ -441,7 +441,10 @@ def synthetic_media(spark, n: int = 64, real_payloads: bool = False) -> DataFram
             samples = (10000 * np.sin(2 * np.pi * freq * t / rate)).astype(
                 np.int16
             )
-            payload = encode_wav_pcm16(samples, rate)
+            # rotate real-world sample encodings (audio rows land on
+            # i % 3 == 1, so rotate on i // 3)
+            fmt = ["pcm16", "pcm8", "pcm24", "float32"][(i // 3) % 4]
+            payload = encode_wav(samples, rate, fmt)
             mime, width, height = "audio/wav", None, None
         elif real_payloads and kind == "video":
             import numpy as np
