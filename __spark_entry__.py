@@ -152,6 +152,44 @@ def q_media_probe(spark, sf_dir):
     )
 
 
+def q_media_features(spark, sf_dir):
+    """Media FEATURE KERNELS under the hard gate (multimodal.py
+    extract_features decode='real' -> media_codecs.py image/audio
+    feature descriptors): decode the real containers, run the numpy
+    kernels over mapInPandas, explode the 8-dim vectors. The DuckDB
+    oracle recomputes every value INDEPENDENTLY from the corpus
+    arithmetic — audio RMS/zero-crossings/spectral centroid/band
+    energies via a literal 800x401 DFT in SQL (with the pcm_u8 rows'
+    quantization modeled exactly), image channel means/stds and the
+    nearest-neighbor luminance grid from the gradient's integer
+    arithmetic, video rows from the mean-frame law (b-channel ramp
+    i + 16f stays under 256, so the mean frame is exact) plus the
+    constant temporal-difference energy 16/765. Scope: the
+    SQL-rederivable subset — all 8 audio rows (pcm16/s24/f32 decode
+    bit-exactly; pcm8 is modeled), the 4 lossless (png/ppm) images,
+    and all 8 raw-video rows; JPEG images would need an IDCT in SQL,
+    so they stay pytest-covered."""
+    from vector_spark.dataops.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 24, real_payloads=True)
+    feats = extract_features(media, decode="real")
+    ex = feats.select(
+        "media_id", "kind",
+        F.posexplode("feature").alias("dim", "value"),
+    )
+    return ex.filter(
+        (F.col("kind") != "image")
+        | F.col("media_id").isin(0, 3, 12, 15)
+    ).select(
+        "media_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
 def q_stream_route_counts(spark, sf_dir):
     """Driver-stamped STREAMING evidence (src/topology/: the same
     topology runs batch or stream): the flagship parse -> route spec
@@ -1702,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 5 (must be inside the driver's 50-row window)
         "stream_route_counts": q_stream_route_counts,
         "media_probe": q_media_probe,
+        "media_features": q_media_features,
         "stream_agg_hourly": q_stream_agg_hourly,
         "stream_sessionize": q_stream_sessionize,
         # -- no driver row in r03 (registry past the 50-entry window)
@@ -1907,6 +1946,99 @@ HAVING sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) >= 1
         "format, width, height, duration_ms, sample_rate, n_samples, "
         "codec)"
     )
+
+    # media_features: DuckDB REDERIVES the feature kernels from the
+    # corpus arithmetic — no literals copied from the numpy side.
+    # Audio (tones at 220*(1+i%8) Hz, samples trunc(10000*sin(...)),
+    # the pcm_u8 rows' round-to-7-bit quantization modeled exactly):
+    # RMS, zero-crossing rate over signbit diffs, spectral centroid
+    # and 5 band energies via a literal 800-sample x 401-bin DFT in
+    # SQL (numpy's FFT and the naive DFT agree far below the 1e-6
+    # rounding both sides apply). Images (8x8 gradients, lossless
+    # png/ppm rows only): channel means/stds from the integer pixel
+    # law (x*255//7), luminance-grid dims from the nearest-neighbor
+    # sample points (0,0)/(0,4) with the (r+g+b)//3 floor.
+    o["media_features"] = """
+WITH tones(media_id, freq, q8) AS (VALUES
+  (1, 440.0, 0),(4, 1100.0, 1),(7, 1760.0, 0),(10, 660.0, 0),
+  (13, 1320.0, 0),(16, 220.0, 1),(19, 880.0, 0),(22, 1540.0, 0)),
+raw AS (
+  SELECT media_id, q8, t, trunc(10000 * sin(2*pi()*freq*t/8000)) AS s
+  FROM tones, generate_series(0, 799) AS g(t)),
+samp AS (
+  SELECT media_id, t,
+         (CASE WHEN q8 = 1 THEN round(s*127/32768) * 256 ELSE s END)
+           / 32768.0 AS v
+  FROM raw),
+rms AS (SELECT media_id, sqrt(avg(v*v)) AS val FROM samp GROUP BY media_id),
+zcr AS (
+  SELECT media_id, avg(abs(cur - prv)) AS val FROM (
+    SELECT media_id, CASE WHEN v < 0 THEN 1.0 ELSE 0.0 END AS cur,
+           lag(CASE WHEN v < 0 THEN 1.0 ELSE 0.0 END)
+             OVER (PARTITION BY media_id ORDER BY t) AS prv
+    FROM samp) WHERE prv IS NOT NULL GROUP BY media_id),
+spec AS (
+  SELECT media_id, k,
+         sqrt(pow(sum(v*cos(2*pi()*k*t/800)), 2)
+            + pow(sum(v*sin(2*pi()*k*t/800)), 2)) AS mag
+  FROM samp CROSS JOIN generate_series(0, 400) AS ks(k)
+  GROUP BY media_id, k),
+cen AS (SELECT media_id, sum(k*10.0*mag)/sum(mag)/4000.0 AS val
+        FROM spec GROUP BY media_id),
+btot AS (SELECT media_id, sum(mag) AS tot FROM spec GROUP BY media_id),
+bands AS (
+  SELECT media_id,
+         3 + CASE WHEN k <= 80 THEN 0 WHEN k <= 160 THEN 1
+                  WHEN k <= 240 THEN 2 WHEN k <= 320 THEN 3
+                  ELSE 4 END AS dim,
+         sum(mag) AS bsum
+  FROM spec GROUP BY 1, 2),
+audio_f AS (
+  SELECT media_id, 0 AS dim, val FROM rms
+  UNION ALL SELECT media_id, 1, val FROM zcr
+  UNION ALL SELECT media_id, 2, val FROM cen
+  UNION ALL SELECT b.media_id, b.dim, b.bsum / t.tot
+    FROM bands b JOIN btot t USING (media_id)),
+img AS (
+  SELECT m.media_id, (gx.x*255)//7 AS r, (gy.y*255)//7 AS g,
+         m.media_id AS b
+  FROM (VALUES (0),(3),(12),(15)) AS m(media_id),
+       generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)),
+img_f AS (
+  SELECT media_id, 0 AS dim, avg(r)/255.0 AS val FROM img GROUP BY media_id
+  UNION ALL SELECT media_id, 1,
+    sqrt(avg(r*r) - avg(r)*avg(r))/255.0 FROM img GROUP BY media_id
+  UNION ALL SELECT media_id, 2, avg(g)/255.0 FROM img GROUP BY media_id
+  UNION ALL SELECT media_id, 3,
+    sqrt(avg(g*g) - avg(g)*avg(g))/255.0 FROM img GROUP BY media_id
+  UNION ALL SELECT media_id, 4, avg(b)/255.0 FROM img GROUP BY media_id
+  UNION ALL SELECT media_id, 5, 0.0 FROM img GROUP BY media_id
+  UNION ALL SELECT media_id, 6, (media_id // 3)/255.0
+    FROM (VALUES (0),(3),(12),(15)) AS m(media_id)
+  UNION ALL SELECT media_id, 7, ((145 + media_id) // 3)/255.0
+    FROM (VALUES (0),(3),(12),(15)) AS m(media_id)),
+vids(media_id, n) AS (VALUES
+  (2, 4),(5, 3),(8, 2),(11, 5),(14, 4),(17, 3),(20, 2),(23, 5)),
+vimg AS (
+  SELECT v.media_id, (gx.x*255)//7 AS r, (gy.y*255)//7 AS g,
+         v.media_id + 8*(v.n - 1) AS b
+  FROM vids v, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)),
+vid_f AS (
+  SELECT media_id, 0 AS dim, avg(r)/255.0 AS val FROM vimg GROUP BY media_id
+  UNION ALL SELECT media_id, 1,
+    sqrt(avg(r*r) - avg(r)*avg(r))/255.0 FROM vimg GROUP BY media_id
+  UNION ALL SELECT media_id, 2, avg(g)/255.0 FROM vimg GROUP BY media_id
+  UNION ALL SELECT media_id, 3,
+    sqrt(avg(g*g) - avg(g)*avg(g))/255.0 FROM vimg GROUP BY media_id
+  UNION ALL SELECT media_id, 4, avg(b)/255.0 FROM vimg GROUP BY media_id
+  UNION ALL SELECT media_id, 5, 0.0 FROM vimg GROUP BY media_id
+  UNION ALL SELECT media_id, 6, ((media_id + 8*(n-1)) // 3)/255.0 FROM vids
+  UNION ALL SELECT media_id, 7, 16/765.0 FROM vids)
+SELECT CAST(media_id AS BIGINT) AS media_id, CAST(dim AS INT) AS dim,
+       round(val, 6) AS value
+FROM (SELECT * FROM audio_f UNION ALL SELECT * FROM img_f
+      UNION ALL SELECT * FROM vid_f)
+"""
 
     o["route_assistant_tool"] = _with_routed(
         "SELECT conv_id, turn_idx, text, tool FROM routed WHERE _route = 'assistant_tool'"
