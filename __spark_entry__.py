@@ -190,6 +190,86 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_script_transform(spark, sf_dir):
+    """The scripted escape hatch under the hard gate
+    (operators/script.py scripted_transform — the `lua` transform's
+    Python-native analogue, src/transforms/lua/v2/mod.rs): arbitrary
+    per-batch pandas code over mapInPandas. The script computes
+    whitespace word counts and an uppercase ratio per document; the
+    oracle recomputes both in SQL, proving the user-code path returns
+    value-exact results through the Arrow batch boundary."""
+    import pandas as pd
+
+    from vector_spark.operators.script import scripted_transform
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        text = pdf["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "word_cnt": text.str.split().str.len().fillna(0).astype(
+                    "int64"
+                ),
+                "upper_ratio": (
+                    text.str.count(r"[A-Z]")
+                    / text.str.len().clip(lower=1)
+                ).round(6),
+            }
+        )
+
+    return scripted_transform(
+        docs, process,
+        schema="doc_id long, word_cnt long, upper_ratio double",
+    )
+
+
+def q_multiline_assemble(spark, sf_dir):
+    """Multiline log assembly under the hard gate (sources.py
+    assemble_multiline_lines — lib/file-source multiline Mode): all
+    four reference modes (halt_before / continue_through /
+    continue_past / halt_with) over a deterministic 4-file corpus
+    whose line law (ERROR starts, indented continuations, trailing
+    backslashes, END terminators) exercises each mode's window
+    semantics. The oracle rederives the event grouping with DuckDB
+    window functions — an independent implementation of the same
+    mode definitions."""
+    from vector_spark.sources import assemble_multiline_lines
+
+    base = spark.range(120).select(
+        F.concat(F.lit("f"), (F.col("id") / 30).cast("int")).alias("file"),
+        (F.col("id") % 30).alias("line_no"),
+        F.when(
+            F.col("id") % 6 == 0,
+            F.concat(F.lit("ERROR code="), F.col("id")),
+        )
+        .when(F.col("id") % 6 == 3, F.concat(F.lit("END "), F.col("id")))
+        .when(F.col("id") % 6 == 5, F.lit("cont \\"))
+        .otherwise(F.concat(F.lit("  at fn"), F.col("id")))
+        .alias("line"),
+    )
+    parts = []
+    for mode, pat in [
+        ("halt_before", "^ERROR"),
+        ("continue_through", "^  at"),
+        ("continue_past", r"\\$"),
+        ("halt_with", "^END"),
+    ]:
+        parts.append(
+            assemble_multiline_lines(base, pat, mode).select(
+                F.lit(mode).alias("mode"), "file", "event_idx",
+                "event", "first_line",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_stream_route_counts(spark, sf_dir):
     """Driver-stamped STREAMING evidence (src/topology/: the same
     topology runs batch or stream): the flagship parse -> route spec
@@ -1741,6 +1821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_route_counts": q_stream_route_counts,
         "media_probe": q_media_probe,
         "media_features": q_media_features,
+        "script_transform": q_script_transform,
+        "multiline_assemble": q_multiline_assemble,
         "stream_agg_hourly": q_stream_agg_hourly,
         "stream_sessionize": q_stream_sessionize,
         # -- no driver row in r03 (registry past the 50-entry window)
@@ -2038,6 +2120,62 @@ SELECT CAST(media_id AS BIGINT) AS media_id, CAST(dim AS INT) AS dim,
        round(val, 6) AS value
 FROM (SELECT * FROM audio_f UNION ALL SELECT * FROM img_f
       UNION ALL SELECT * FROM vid_f)
+"""
+
+    # script_transform: the pandas escape hatch recomputed in SQL —
+    # Python str.split() splits on whitespace runs (empty -> 0
+    # words), str.count('[A-Z]') over unicode code points
+    o["script_transform"] = """
+SELECT doc_id,
+       CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                 ELSE length(regexp_split_to_array(
+                          trim(coalesce(text, '')), '\\s+'))
+            END AS BIGINT) AS word_cnt,
+       round(length(regexp_replace(coalesce(text, ''), '[^A-Z]', '', 'g'))
+             * 1.0 / greatest(length(coalesce(text, '')), 1), 6)
+         AS upper_ratio
+FROM documents
+"""
+
+    # multiline_assemble: the four file-source multiline modes,
+    # rederived with DuckDB window functions over the same 120-line
+    # corpus law the Spark side generates
+    o["multiline_assemble"] = """
+WITH lines AS (
+  SELECT 'f' || CAST(i // 30 AS INT) AS file, i % 30 AS line_no,
+         CASE WHEN i % 6 = 0 THEN 'ERROR code=' || i
+              WHEN i % 6 = 3 THEN 'END ' || i
+              WHEN i % 6 = 5 THEN 'cont \\'
+              ELSE '  at fn' || i END AS line
+  FROM generate_series(0, 119) AS g(i)),
+modes(mode) AS (VALUES ('halt_before'), ('continue_through'),
+                       ('continue_past'), ('halt_with')),
+flag AS (
+  SELECT mode, file, line_no, line,
+         regexp_matches(line, '^ERROR') AS m_err,
+         regexp_matches(line, '^  at') AS m_at,
+         lag(regexp_matches(line, '\\\\$')) OVER w AS prev_bs,
+         lag(regexp_matches(line, '^END')) OVER w AS prev_end
+  FROM modes, lines
+  WINDOW w AS (PARTITION BY mode, file ORDER BY line_no)),
+ev AS (
+  SELECT mode, file, line_no, line,
+    CASE mode WHEN 'halt_before' THEN m_err
+              WHEN 'continue_through' THEN NOT m_at
+              WHEN 'continue_past' THEN NOT coalesce(prev_bs, false)
+              ELSE coalesce(prev_end, true) END AS ne
+  FROM flag),
+ids AS (
+  SELECT mode, file, line_no, line,
+    greatest(sum(CASE WHEN ne THEN 1 ELSE 0 END)
+               OVER (PARTITION BY mode, file ORDER BY line_no
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             1) - 1 AS event_idx
+  FROM ev)
+SELECT mode, file, CAST(event_idx AS BIGINT) AS event_idx,
+       string_agg(line, chr(10) ORDER BY line_no) AS event,
+       CAST(min(line_no) AS BIGINT) AS first_line
+FROM ids GROUP BY mode, file, event_idx
 """
 
     o["route_assistant_tool"] = _with_routed(
