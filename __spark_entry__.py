@@ -190,6 +190,47 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_config_pipelines(spark, sf_dir):
+    """The CONFIG FRONT DOOR under the hard gate (config.py: TOML ->
+    spec_from_config -> expand_pipelines -> run_pipeline, the 'switch
+    your config over' path, src/config/ + src/transforms/pipelines/
+    mod.rs): a reference-style TOML with a Vector-0.24 `pipelines`
+    macro — a VRL-gated sub-pipeline that tags assistant turns while
+    everyone else BYPASSES it, both rejoining into an unfiltered
+    second sub-pipeline — executed end-to-end into a memory sink with
+    an encoding-transformer field projection. The oracle models the
+    gate/bypass/rejoin semantics directly in SQL."""
+    from vector_spark.config import run_config
+
+    cfg = """
+[sources.logs]
+type = "kafka"  # adapter-injected via source_frames in this sandbox
+
+[transforms.pipe]
+type = "pipelines"
+inputs = ["logs"]
+
+[[transforms.pipe.logs]]
+name = "assistants"
+filter = { type = "vrl", source = '.role == "assistant"' }
+transforms = [ { type = "remap", source = '.tag = "a"' } ]
+
+[[transforms.pipe.logs]]
+name = "everyone"
+transforms = [ { type = "remap", source = '.seen = true' } ]
+
+[sinks.mem]
+type = "memory"
+inputs = ["pipe"]
+only_fields = ["conv_id", "turn_idx", "role", "tag", "seen"]
+"""
+    res = run_config(
+        spark, cfg, sf_dir=sf_dir,
+        source_frames={"logs": _parsed(spark, sf_dir)},
+    )
+    return res["mem"]
+
+
 def q_script_transform(spark, sf_dir):
     """The scripted escape hatch under the hard gate
     (operators/script.py scripted_transform — the `lua` transform's
@@ -1823,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "script_transform": q_script_transform,
         "multiline_assemble": q_multiline_assemble,
+        "config_pipelines": q_config_pipelines,
         "stream_agg_hourly": q_stream_agg_hourly,
         "stream_sessionize": q_stream_sessionize,
         # -- no driver row in r03 (registry past the 50-entry window)
@@ -2121,6 +2163,19 @@ SELECT CAST(media_id AS BIGINT) AS media_id, CAST(dim AS INT) AS dim,
 FROM (SELECT * FROM audio_f UNION ALL SELECT * FROM img_f
       UNION ALL SELECT * FROM vid_f)
 """
+
+    # config_pipelines: the pipelines macro's gate/bypass/rejoin law —
+    # assistant rows pass the VRL gate and get tagged, everyone else
+    # bypasses, all rows then flow through the unfiltered second
+    # sub-pipeline
+    o["config_pipelines"] = _with(
+        """
+SELECT conv_id, turn_idx, role,
+       CASE WHEN role = 'assistant' THEN 'a' END AS tag,
+       TRUE AS seen
+FROM parsed
+"""
+    )
 
     # script_transform: the pandas escape hatch recomputed in SQL —
     # Python str.split() splits on whitespace runs (empty -> 0
