@@ -1837,6 +1837,68 @@ def q_enrich_wildcard(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "pattern", "label")
 
 
+_BM25_QUERIES = [
+    (0, "hash join spark"),
+    (1, "window agg stream"),
+    (2, "slow scan filter table"),
+    (3, "vector merge sort key"),
+]
+
+
+def q_docs_bm25(spark, sf_dir):
+    """BM25 keyword retrieval (dataops/retrieval.py): inverted
+    postings built with one shuffle, broadcast query vocabulary
+    restricts df + scoring to candidate docs only, per-query window
+    top-k. Ties rank on the 6-dp-rounded score then doc_id, so the
+    DuckDB oracle reproduces the ordering exactly."""
+    from vector_spark.dataops.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # JVM-side VALUES (not createDataFrame): the query table is
+    # scanned by several broadcast-build jobs and a Python-RDD source
+    # would re-run the Python->JVM conversion in each of them
+    values = ", ".join(f"({qid}, '{qt}')" for qid, qt in _BM25_QUERIES)
+    queries_df = spark.sql(
+        f"SELECT CAST(query_id AS INT) AS query_id, query_text "
+        f"FROM (VALUES {values}) AS q(query_id, query_text)"
+    )
+    return bm25_topk(docs, queries_df, k=10)
+
+
+def q_docs_chunk(spark, sf_dir):
+    """Overlapping token-window chunking for embedding pipelines
+    (dataops/retrieval.py chunk_documents): starts 0,24,48,... < n,
+    32-token windows clamped at the document end — zero-shuffle
+    posexplode(sequence()) plan."""
+    from vector_spark.dataops.retrieval import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return chunk_documents(docs, chunk_size=32, stride=24)
+
+
+def q_emb_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding store
+    (dataops/retrieval.py quantize_int8): scale = max|x|/127, in-order
+    reconstruction-MSE fold — zero-shuffle map, value-exact against a
+    DuckDB list_transform/list_reduce oracle."""
+    from vector_spark.dataops.retrieval import quantize_int8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    out = quantize_int8(emb)
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join("qvec", ",").alias("qvec"),
+        "recon_mse",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse -> enrich -> route -> hourly aggregate at sf0.001."""
     routed = build_flagship(spark, SF0001)
@@ -1859,6 +1921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full sweep (tools/check_oracles.py, CORRECTNESS_FULL_r03.json).
     return {
         # -- NEW in round 5 (must be inside the driver's 50-row window)
+        "docs_bm25": q_docs_bm25,
+        "docs_chunk": q_docs_chunk,
+        "emb_quantize": q_emb_quantize,
         "stream_route_counts": q_stream_route_counts,
         "media_probe": q_media_probe,
         "media_features": q_media_features,
@@ -1990,6 +2055,76 @@ LEFT JOIN ({TOOL_DIM_SQL}) t ON p.tool = t.tool
     # streaming twin: the SAME oracle — per-sink routed-row counts
     # must be identical whether the topology runs batch or stream
     o["stream_route_counts"] = o["route_counts"]
+
+    _BM25_VALUES = ", ".join(
+        f"({qid}, '{qtext}')" for qid, qtext in _BM25_QUERIES
+    )
+    _Q_TOKS = _DOC_TOKS.replace("lower(text)", "lower(query_text)")
+    o["docs_bm25"] = f"""
+WITH d AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(avg(len(toks)) AS DOUBLE) AS avgdl FROM d),
+posting AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d)
+  GROUP BY 1, 2, 3
+),
+q(query_id, query_text) AS (VALUES {_BM25_VALUES}),
+qt AS (SELECT DISTINCT query_id, unnest({_Q_TOKS}) AS term FROM q),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM posting
+  WHERE term IN (SELECT term FROM qt) GROUP BY 1
+),
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * (1.2 + 1))
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+  FROM posting p JOIN qt USING (term) JOIN dfreq USING (term)
+  CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, CAST(rn AS INT) AS rank, round(score, 6) AS score
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rn
+      FROM scored)
+WHERE rn <= 10
+"""
+
+    o["docs_chunk"] = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+c AS (SELECT doc_id, len(toks) AS n, toks,
+             unnest(range(0, len(toks), 24)) AS start FROM t)
+SELECT doc_id,
+  CAST(start // 24 AS INT) AS chunk_idx,
+  CAST(least(start + 32, n) - start AS INT) AS chunk_tokens,
+  array_to_string(toks[start + 1 : least(start + 32, n)], ' ') AS chunk_text
+FROM c
+"""
+
+    o["emb_quantize"] = """
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+m AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+s AS (SELECT vec_id, v, maxabs, maxabs / 127.0 AS scale FROM m),
+q AS (
+  SELECT vec_id, v, scale,
+    CASE WHEN maxabs = 0 THEN list_transform(v, x -> 0)
+         ELSE list_transform(v, x -> CAST(round(x / scale, 0) AS INT))
+    END AS qvec
+  FROM s
+)
+SELECT vec_id, round(scale, 6) AS scale,
+  array_to_string(qvec, ',') AS qvec,
+  round(list_reduce(list_prepend(0.0,
+          list_transform(range(1, len(v) + 1),
+            i -> (v[i] - qvec[i] * scale) * (v[i] - qvec[i] * scale))),
+        (a, b) -> a + b) / greatest(len(v), 1), 6) AS recon_mse
+FROM q
+"""
 
     # stateful-streaming twin: final per-window totals from the
     # update-mode stream equal the plain batch GROUP BY

@@ -92,6 +92,12 @@ HEADLINE = [
     # counts + the stateful event-time windowed aggregate
     "stream_route_counts",
     "stream_agg_hourly",
+    # round 5: retrieval-side training-data ops (BM25 postings +
+    # broadcast-vocab scoring, zero-shuffle chunking, int8
+    # quantization of the embedding store)
+    "docs_bm25",
+    "docs_chunk",
+    "emb_quantize",
 ]
 
 
