@@ -1859,12 +1859,7 @@ def q_docs_bm25(spark, sf_dir):
     # JVM-side VALUES (not createDataFrame): the query table is
     # scanned by several broadcast-build jobs and a Python-RDD source
     # would re-run the Python->JVM conversion in each of them
-    values = ", ".join(f"({qid}, '{qt}')" for qid, qt in _BM25_QUERIES)
-    queries_df = spark.sql(
-        f"SELECT CAST(query_id AS INT) AS query_id, query_text "
-        f"FROM (VALUES {values}) AS q(query_id, query_text)"
-    )
-    return bm25_topk(docs, queries_df, k=10)
+    return bm25_topk(docs, _bm25_query_table(spark), k=10)
 
 
 def q_docs_chunk(spark, sf_dir):
@@ -1899,6 +1894,57 @@ def q_emb_quantize(spark, sf_dir):
     )
 
 
+def _bm25_query_table(spark):
+    values = ", ".join(f"({qid}, '{qt}')" for qid, qt in _BM25_QUERIES)
+    return spark.sql(
+        f"SELECT CAST(query_id AS INT) AS query_id, query_text "
+        f"FROM (VALUES {values}) AS q(query_id, query_text)"
+    )
+
+
+def q_docs_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (dataops/
+    retrieval.py rrf_fuse): BM25 top-10 fused with Dirichlet
+    query-likelihood top-10 by sum 1/(60+rank) — rank-only fusion,
+    no score calibration. Both rankers and the fusion are
+    reproduced verbatim by the DuckDB oracle."""
+    from vector_spark.dataops.retrieval import (
+        bm25_topk,
+        build_candidates,
+        lm_topk,
+        rrf_fuse,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    queries_df = _bm25_query_table(spark)
+    # one index pass shared by both rankers: the candidate postings
+    # materialize once and BM25 + QL score from the same blocks
+    cand = build_candidates(docs, queries_df)
+    return rrf_fuse(
+        [
+            bm25_topk(docs, queries_df, k=10, candidates=cand),
+            lm_topk(docs, queries_df, k=10, candidates=cand),
+        ],
+        k=10,
+    )
+
+
+def q_docs_pack(spark, sf_dir):
+    """Token-budget sequence packing (dataops/retrieval.py
+    pack_documents): fill 512-token training packs with whole
+    documents per source shard — contiguous-fill rule
+    (pack_id = floor(exclusive-cumsum / budget)), one window per
+    group, integer-exact against the SQL oracle."""
+    from vector_spark.dataops.retrieval import pack_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    return pack_documents(docs, budget=512, group_col="source")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse -> enrich -> route -> hourly aggregate at sf0.001."""
     routed = build_flagship(spark, SF0001)
@@ -1924,6 +1970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25": q_docs_bm25,
         "docs_chunk": q_docs_chunk,
         "emb_quantize": q_emb_quantize,
+        "docs_hybrid_rrf": q_docs_hybrid_rrf,
+        "docs_pack": q_docs_pack,
         "stream_route_counts": q_stream_route_counts,
         "media_probe": q_media_probe,
         "media_features": q_media_features,
@@ -2090,6 +2138,100 @@ FROM (SELECT *, row_number() OVER (
         ORDER BY round(score, 6) DESC, doc_id) AS rn
       FROM scored)
 WHERE rn <= 10
+"""
+
+    o["docs_hybrid_rrf"] = f"""
+WITH d AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(avg(len(toks)) AS DOUBLE) AS avgdl,
+                 CAST(sum(len(toks)) AS DOUBLE) AS c_len FROM d),
+posting AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d)
+  GROUP BY 1, 2, 3
+),
+q(query_id, query_text) AS (VALUES {_BM25_VALUES}),
+qt AS (SELECT DISTINCT query_id, unnest({_Q_TOKS}) AS term FROM q),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM posting
+  WHERE term IN (SELECT term FROM qt) GROUP BY 1
+),
+bm_scored AS (
+  SELECT qt.query_id, p.doc_id,
+         sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * (1.2 + 1))
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+  FROM posting p JOIN qt USING (term) JOIN dfreq USING (term)
+  CROSS JOIN stats
+  GROUP BY 1, 2
+),
+bm25 AS (
+  SELECT query_id, doc_id, rn AS rank
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY round(score, 6) DESC, doc_id) AS rn
+        FROM bm_scored)
+  WHERE rn <= 10
+),
+cfreq AS (
+  SELECT term, sum(tf) / any_value(c_len) AS p_t
+  FROM posting CROSS JOIN stats
+  WHERE term IN (SELECT term FROM qt) GROUP BY 1
+),
+qstats AS (
+  SELECT query_id, sum(ln(2000 * p_t)) AS s_q,
+         CAST(count(*) AS DOUBLE) AS n_q
+  FROM qt JOIN cfreq USING (term) GROUP BY 1
+),
+lm_matched AS (
+  SELECT qt.query_id, p.doc_id,
+         sum(ln(tf + 2000 * p_t) - ln(2000 * p_t)) AS m_sum,
+         min(dl) AS dl
+  FROM posting p JOIN qt USING (term) JOIN cfreq USING (term)
+  GROUP BY 1, 2
+),
+lm_scored AS (
+  SELECT query_id, doc_id,
+         s_q - n_q * ln(dl + 2000) + m_sum AS score
+  FROM lm_matched JOIN qstats USING (query_id)
+),
+lm AS (
+  SELECT query_id, doc_id, rn AS rank
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY round(score, 6) DESC, doc_id) AS rn
+        FROM lm_scored)
+  WHERE rn <= 10
+),
+u AS (SELECT * FROM bm25 UNION ALL SELECT * FROM lm),
+fused AS (
+  SELECT query_id, doc_id, sum(1.0 / (60 + rank)) AS rrf_score,
+         count(*) AS n_systems
+  FROM u GROUP BY 1, 2
+)
+SELECT query_id, doc_id, CAST(rn AS INT) AS rank,
+       round(rrf_score, 6) AS rrf_score, CAST(n_systems AS INT) AS n_systems
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY round(rrf_score, 6) DESC, n_systems DESC, doc_id) AS rn
+      FROM fused)
+WHERE rn <= 10
+"""
+
+    o["docs_pack"] = f"""
+WITH t AS (SELECT doc_id, source AS "group",
+                  CAST(len({_DOC_TOKS}) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, "group", n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY "group" ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM t)
+SELECT doc_id, "group", n_tokens,
+       CAST(before // 512 AS BIGINT) AS pack_id,
+       CAST(before % 512 AS BIGINT) AS pack_pos
+FROM c
 """
 
     o["docs_chunk"] = f"""

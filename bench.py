@@ -98,6 +98,8 @@ HEADLINE = [
     "docs_bm25",
     "docs_chunk",
     "emb_quantize",
+    "docs_hybrid_rrf",
+    "docs_pack",
 ]
 
 

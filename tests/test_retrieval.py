@@ -7,11 +7,16 @@ import math
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from vector_spark.dataops.retrieval import (
     bm25_topk,
     chunk_documents,
     doc_term_postings,
+    lm_topk,
+    pack_documents,
     quantize_int8,
+    rrf_fuse,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -98,6 +103,111 @@ def test_bm25_query_side_broadcasts(spark):
     # the postings side must never sort-merge against them
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# -- query-likelihood LM ------------------------------------------------------
+
+
+def test_lm_self_retrieval_ranks_first(spark):
+    docs = _docs(spark).filter(F.col("doc_id") != 5)
+    queries = spark.createDataFrame(
+        [(1, "quick brown fox")], "query_id int, query_text string"
+    )
+    top = lm_topk(docs, queries, k=3).orderBy("rank").collect()
+    assert top[0].doc_id == 3 and top[0].rank == 1
+
+
+def test_lm_matches_hand_computation(spark):
+    # 2 docs x 2 tokens, query 'alpha': cf=1, |C|=4 -> p=0.25, mu=2
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    queries = spark.createDataFrame(
+        [(0, "alpha")], "query_id int, query_text string"
+    )
+    [row] = lm_topk(docs, queries, k=5, mu=2.0).collect()
+    # only doc 1 matches; score = ln((1 + 2*.25)/(2 + 2)) = ln(1.5/4)
+    assert row.doc_id == 1
+    assert abs(row.score - round(math.log(1.5 / 4.0), 6)) < 1e-6
+
+
+def test_lm_missing_term_component_included(spark):
+    # two docs both matching 'alpha'; doc 2 also contains noise terms
+    # so its dl is larger -> lower score for the SAME matched tf
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "alpha beta")], "query_id int, query_text string"
+    )
+    rows = {r.doc_id: r for r in lm_topk(docs, queries, k=5).collect()}
+    assert rows[1].rank == 1 and rows[2].rank == 2
+    assert rows[1].score > rows[2].score
+
+
+# -- RRF fusion ---------------------------------------------------------------
+
+
+def test_rrf_hand_computed(spark):
+    r1 = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id int, doc_id long, rank int"
+    )
+    r2 = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "query_id int, doc_id long, rank int"
+    )
+    rows = {r.doc_id: r for r in rrf_fuse([r1, r2], k=10).collect()}
+    # doc 11: 1/62 + 1/61 beats doc 10: 1/61 and doc 12: 1/62
+    assert rows[11].rank == 1 and rows[11].n_systems == 2
+    assert rows[10].rank == 2 and rows[12].rank == 3
+    assert abs(rows[11].rrf_score - round(1 / 62 + 1 / 61, 6)) < 1e-6
+
+
+def test_rrf_requires_input():
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+# -- packing ------------------------------------------------------------------
+
+
+def test_pack_contiguous_fill(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "a b c"),        # 3 tokens, before=0  -> pack 0 pos 0
+            (2, "s", "d e"),          # 2 tokens, before=3  -> pack 0 pos 3
+            (3, "s", "f g h i j k"),  # 6 tokens, before=5  -> pack 1 pos 1
+            (4, "s", "l"),            # 1 token,  before=11 -> pack 2 pos 3
+            (5, "t", "m n"),          # other group restarts at before=0
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in pack_documents(docs, budget=4, group_col="source").collect()
+    }
+    assert (rows[1].pack_id, rows[1].pack_pos) == (0, 0)
+    assert (rows[2].pack_id, rows[2].pack_pos) == (0, 3)
+    assert (rows[3].pack_id, rows[3].pack_pos) == (1, 1)
+    assert (rows[4].pack_id, rows[4].pack_pos) == (2, 3)
+    assert (rows[5].pack_id, rows[5].pack_pos) == (0, 0)
+
+
+def test_pack_budget_validation(spark):
+    with pytest.raises(ValueError):
+        pack_documents(_docs(spark).withColumn("source", F.lit("s")), budget=0)
+
+
+def test_pack_single_window_shuffle(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    df = pack_documents(docs, budget=512, group_col="source")
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one exchange: the per-group window sort
+    assert plan.count("Exchange") - plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 # -- chunking -----------------------------------------------------------------

@@ -55,6 +55,56 @@ def doc_term_postings(
     )
 
 
+def build_candidates(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+) -> dict:
+    """Shared retrieval scaffolding for the lexical rankers:
+    ``{"cand", "qterms", "stats"}``.
+
+    - ``cand``: postings restricted to the query vocabulary,
+      materialized ONCE (lazy localCheckpoint) — every ranker's df /
+      cf / scoring pass reads these same blocks instead of re-running
+      the scan -> tokenize -> explode -> groupBy index build.
+    - ``qterms``: distinct (query_id, term).
+    - ``stats``: 1-row (n_docs, avgdl, c_len) corpus statistics.
+
+    Build it once and hand it to several rankers (BM25 + QL for RRF
+    fusion) so hybrid retrieval costs one index pass, not one per
+    ranker.
+    """
+    postings = doc_term_postings(docs, id_col, text_col)
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"),
+        F.sum(F.size(tokens(F.col(text_col)))).cast("double").alias("c_len"),
+    )
+    qterms = (
+        queries.select(
+            F.col(qid_col).alias("query_id"),
+            F.explode(tokens(F.col(qtext_col))).alias("term"),
+        )
+        .distinct()
+    )
+    qvocab = qterms.select("term").distinct()
+    # Materialize the candidate postings ONCE: they feed several
+    # consumers (per-term df/cf aggregates and each ranker's scoring
+    # join) and Spark does not dedupe common subplans, so without
+    # this the whole index build would run once per consumer.
+    # localCheckpoint (lazy) keeps the blocks only while the plans
+    # reference them — the ContextCleaner reclaims them — and the
+    # candidate set is bounded by |query vocab| x df, the same
+    # magnitude the scoring shuffles move anyway.
+    cand = postings.join(F.broadcast(qvocab), "term").localCheckpoint(
+        eager=False
+    )
+    return {"cand": cand, "qterms": qterms, "stats": stats}
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -65,6 +115,7 @@ def bm25_topk(
     text_col: str = "text",
     qid_col: str = "query_id",
     qtext_col: str = "query_text",
+    candidates: dict | None = None,
 ) -> DataFrame:
     """BM25 top-k document retrieval: (query_id, doc_id, rank, score).
 
@@ -78,30 +129,10 @@ def bm25_topk(
     ``df`` and the scored candidate set are bounded by the documents
     that share a term with some query — never the whole corpus.
     """
-    postings = doc_term_postings(docs, id_col, text_col)
-    stats = docs.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"),
+    c = candidates or build_candidates(
+        docs, queries, id_col, text_col, qid_col, qtext_col
     )
-    qterms = (
-        queries.select(
-            F.col(qid_col).alias("query_id"),
-            F.explode(tokens(F.col(qtext_col))).alias("term"),
-        )
-        .distinct()
-    )
-    qvocab = qterms.select("term").distinct()
-    # Materialize the candidate postings ONCE: they feed two
-    # consumers (the per-term df aggregate and the scoring join) and
-    # Spark does not dedupe common subplans, so without this the
-    # whole scan -> tokenize -> explode -> groupBy index build runs
-    # twice. localCheckpoint (lazy) keeps the blocks only while the
-    # returned plan is referenced — the ContextCleaner reclaims them
-    # — and the candidate set is bounded by |query vocab| x df, the
-    # same magnitude the scoring shuffle moves anyway.
-    cand = postings.join(F.broadcast(qvocab), "term").localCheckpoint(
-        eager=False
-    )
+    cand, qterms, stats = c["cand"], c["qterms"], c["stats"]
     dfreq = cand.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
@@ -176,6 +207,174 @@ def chunk_documents(
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         F.size("chunk").cast("int").alias("chunk_tokens"),
         F.array_join("chunk", " ").alias("chunk_text"),
+    )
+
+
+def lm_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    mu: float = 2000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+    candidates: dict | None = None,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking — the classic
+    second lexical ranker beside BM25 (Zhai & Lafferty):
+
+        score(q, d) = sum_t ln((tf + mu*p_t) / (dl + mu)),
+        p_t = cf(t) / |C|
+
+    Candidates are docs sharing >=1 query term; their scores still
+    include the missing-term components via the split-sum identity
+    ``score = S_q - n_q*ln(dl + mu) + sum_matched [ln(tf + mu*p_t)
+    - ln(mu*p_t)]`` where S_q = sum_t ln(mu*p_t) — so only MATCHED
+    postings are ever joined, never the candidate x query-vocab
+    cross product. Collection frequencies come from the same
+    query-restricted postings (they are global for those terms).
+    Ties rank on the 6-dp-rounded score then doc_id.
+    """
+    c = candidates or build_candidates(
+        docs, queries, id_col, text_col, qid_col, qtext_col
+    )
+    cand, qterms, stats = c["cand"], c["qterms"], c["stats"]
+    cfreq = (
+        cand.groupBy("term")
+        .agg(F.sum("tf").alias("cf"))
+        .crossJoin(F.broadcast(stats.select("c_len")))
+        .select("term", (F.col("cf") / F.col("c_len")).alias("p_t"))
+    )
+    # per-query constants: S_q = sum_t ln(mu*p_t), n_q = |q| — every
+    # query term must exist in the collection (p_t > 0); terms absent
+    # from the corpus are dropped from the query (standard QL
+    # convention: their likelihood is undefined without a fallback
+    # smoothing floor)
+    qstats = (
+        qterms.join(F.broadcast(cfreq), "term")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.log(mu * F.col("p_t"))).alias("s_q"),
+            F.count(F.lit(1)).cast("double").alias("n_q"),
+        )
+    )
+    matched = (
+        cand.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(cfreq), "term")
+        .withColumn(
+            "delta",
+            F.log(F.col("tf") + mu * F.col("p_t"))
+            - F.log(mu * F.col("p_t")),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("delta").alias("m_sum"), F.first("dl").alias("dl"))
+    )
+    scored = matched.join(F.broadcast(qstats), "query_id").select(
+        "query_id",
+        "doc_id",
+        (
+            F.col("s_q")
+            - F.col("n_q") * F.log(F.col("dl") + mu)
+            + F.col("m_sum")
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "doc_id", "rank", F.round("score", 6).alias("score")
+        )
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = 10, c: float = 60.0
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.): fuse any number of
+    per-query rankings — lexical, dense, whatever — by
+    ``sum_r 1/(c + rank_r)``. Rank-only fusion needs no score
+    calibration between systems, which is why it is the default
+    hybrid-retrieval combiner. Input frames carry
+    (query_id, doc_id, rank); ties on the fused score break on how
+    many systems retrieved the doc, then doc_id.
+
+    Scale shape: each input is already a top-k (bounded per query),
+    so the union + groupBy moves k*|systems| rows per query.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    u = rankings[0].select("query_id", "doc_id", "rank")
+    for r in rankings[1:]:
+        u = u.unionByName(r.select("query_id", "doc_id", "rank"))
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.sum(1.0 / (F.lit(c) + F.col("rank"))).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_systems"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("rrf_score", 6)),
+        F.desc("n_systems"),
+        F.asc("doc_id"),
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            F.round("rrf_score", 6).alias("rrf_score"),
+            F.col("n_systems").cast("int").alias("n_systems"),
+        )
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget: int = 2048,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget sequence packing — assemble training batches by
+    filling ``budget``-token packs with whole documents:
+    (doc_id, group, n_tokens, pack_id, pack_pos).
+
+    Contiguous-fill contract (the deterministic streaming-packer
+    rule): documents are laid out end-to-end in (group, doc_id)
+    order and a document belongs to the pack its FIRST token lands
+    in — ``pack_id = floor(exclusive_cumsum / budget)`` — so an
+    oversize or straddling document overflows its pack rather than
+    opening a new one. This is a single window per group (one
+    shuffle, sorted within partition); groups are independent, so at
+    100 TB packing parallelizes across shards/sources with no global
+    coordination — exactly why real packers work per-shard.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy("group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("group"),
+        n_tok.cast("bigint").alias("n_tokens"),
+    )
+    cum = base.withColumn(
+        "_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return cum.select(
+        "doc_id",
+        "group",
+        "n_tokens",
+        F.floor(F.col("_before") / budget).cast("bigint").alias("pack_id"),
+        (F.col("_before") % budget).cast("bigint").alias("pack_pos"),
     )
 
 
