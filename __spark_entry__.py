@@ -2006,6 +2006,25 @@ def q_docs_pack(spark, sf_dir):
     return pack_documents(docs, budget=512, group_col="source")
 
 
+def q_conv_dedup(spark, sf_dir):
+    """Exact conversation-level dedup over the transcripts payload
+    (dataops/conversations.py): md5 over turn texts joined in turn
+    order, canonical = min(conv_id) per fingerprint — deterministic,
+    value-exact against string_agg(... ORDER BY turn_idx)."""
+    from vector_spark.dataops.conversations import conversation_fingerprints
+
+    return conversation_fingerprints(load_transcripts(spark, sf_dir))
+
+
+def q_conv_stats(spark, sf_dir):
+    """Per-conversation shape statistics for curation filters
+    (dataops/conversations.py): one groupBy(conv_id) of algebraic
+    aggregates over the PARSED transcripts."""
+    from vector_spark.dataops.conversations import conversation_stats
+
+    return conversation_stats(_parsed(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse -> enrich -> route -> hourly aggregate at sf0.001."""
     routed = build_flagship(spark, SF0001)
@@ -2033,6 +2052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": q_emb_quantize,
         "docs_hybrid_rrf": q_docs_hybrid_rrf,
         "docs_pack": q_docs_pack,
+        "conv_dedup": q_conv_dedup,
+        "conv_stats": q_conv_stats,
         "stream_route_counts": q_stream_route_counts,
         "media_probe": q_media_probe,
         "media_features": q_media_features,
@@ -2278,6 +2299,43 @@ FROM (SELECT *, row_number() OVER (
       FROM fused)
 WHERE rn <= 10
 """
+
+    o["conv_dedup"] = _with(
+        """
+SELECT conv_id, n_turns, fingerprint,
+       min(conv_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+       conv_id <> min(conv_id) OVER (PARTITION BY fingerprint) AS is_dup
+FROM (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS fingerprint
+  FROM transcripts GROUP BY conv_id
+)
+"""
+    )
+
+    o["conv_stats"] = _with(
+        """
+SELECT t.conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN t.role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_user,
+       CAST(sum(CASE WHEN t.role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_assistant,
+       CAST(sum(CASE WHEN t.tool IS NOT NULL AND t.tool <> 'none'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns,
+       CAST(sum(CASE WHEN p.level = 'ERROR' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       CAST(sum(length(t.text)) AS BIGINT) AS total_chars,
+       CAST(sum(p.latency_ms) AS BIGINT) AS latency_sum,
+       -- per-timestamp floor BEFORE the difference (Spark's
+       -- unix_timestamp truncates each timestamp to whole seconds)
+       CAST(floor(epoch(max(t.ts))) - floor(epoch(min(t.ts))) AS BIGINT)
+         AS duration_s
+FROM transcripts t
+JOIN parsed p ON t.conv_id = p.conv_id AND t.turn_idx = p.turn_idx
+GROUP BY 1
+"""
+    )
 
     o["docs_pack"] = f"""
 WITH t AS (SELECT doc_id, source AS "group",

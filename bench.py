@@ -100,6 +100,9 @@ HEADLINE = [
     "emb_quantize",
     "docs_hybrid_rrf",
     "docs_pack",
+    # round 5: conversation-level rollups over the transcripts payload
+    "conv_dedup",
+    "conv_stats",
 ]
 
 
