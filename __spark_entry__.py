@@ -2006,6 +2006,22 @@ def q_docs_pack(spark, sf_dir):
     return pack_documents(docs, budget=512, group_col="source")
 
 
+def q_ann_topk_quantized(spark, sf_dir):
+    """Exact top-k retrieval AGAINST THE INT8-QUANTIZED STORE
+    (dataops/retrieval.py dequantized_embeddings): quantize ->
+    dequantize with the exact per-vector scale, then the same
+    brute-force cosine top-k as ann_topk — evidence the compressed
+    store still retrieves, value-exact because every arithmetic step
+    is order-fixed IEEE double the DuckDB oracle replays."""
+    from vector_spark.dataops.retrieval import dequantized_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dq = dequantized_embeddings(emb)
+    return brute_force_topk(dq, dq.filter(F.col("vec_id") < 8), k=10)
+
+
 def q_conv_dedup(spark, sf_dir):
     """Exact conversation-level dedup over the transcripts payload
     (dataops/conversations.py): md5 over turn texts joined in turn
@@ -2054,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack": q_docs_pack,
         "conv_dedup": q_conv_dedup,
         "conv_stats": q_conv_stats,
+        "ann_topk_quantized": q_ann_topk_quantized,
         "stream_route_counts": q_stream_route_counts,
         "media_probe": q_media_probe,
         "media_features": q_media_features,
@@ -2298,6 +2315,36 @@ FROM (SELECT *, row_number() OVER (
         ORDER BY round(rrf_score, 6) DESC, n_systems DESC, doc_id) AS rn
       FROM fused)
 WHERE rn <= 10
+"""
+
+    o["ann_topk_quantized"] = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM emb),
+dq AS (
+  SELECT vec_id,
+    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+         ELSE list_transform(v,
+                x -> CAST(CAST(round(x / scale, 0) AS INT) AS DOUBLE) * scale)
+    END AS v
+  FROM m
+),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM dq WHERE vec_id < 8),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+    list_sum(list_transform(range(len(q.q_vec)), i -> q.q_vec[i + 1] * e.v[i + 1]))
+    / (sqrt(list_sum(list_transform(range(len(q.q_vec)), i -> q.q_vec[i + 1] * q.q_vec[i + 1])))
+       * sqrt(list_sum(list_transform(range(len(e.v)), i -> e.v[i + 1] * e.v[i + 1])))) AS cos
+  FROM dq e, q WHERE e.vec_id != q.q_id
+)
+SELECT q_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cosine
+FROM (
+  SELECT q_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 10
 """
 
     o["conv_dedup"] = _with(

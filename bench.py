@@ -103,6 +103,8 @@ HEADLINE = [
     # round 5: conversation-level rollups over the transcripts payload
     "conv_dedup",
     "conv_stats",
+    # round 5: retrieval against the int8-quantized store
+    "ann_topk_quantized",
 ]
 
 

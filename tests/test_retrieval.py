@@ -12,6 +12,7 @@ import pytest
 from vector_spark.dataops.retrieval import (
     bm25_topk,
     chunk_documents,
+    dequantized_embeddings,
     doc_term_postings,
     lm_topk,
     pack_documents,
@@ -275,6 +276,37 @@ def test_quantize_codes_in_int8_range(spark):
         F.exists("qvec", lambda q: (q > 127) | (q < -127))
     ).count()
     assert bad == 0
+
+
+def test_dequantized_error_bounded_by_half_step(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5, 4.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r.embedding for r in dequantized_embeddings(emb).collect()}
+    step = 4.0 / 127.0
+    for orig, dq in zip([1.0, -2.0, 0.5, 4.0], rows[1]):
+        assert abs(orig - dq) <= step / 2 + 1e-12
+    assert rows[2] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    # int8 quantization must preserve nearly all of the exact top-10
+    from vector_spark.dataops.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    exact = brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
+    dq = dequantized_embeddings(emb)
+    quant = brute_force_topk(dq, dq.filter(F.col("vec_id") < 8), k=10)
+    e = {(r.q_id, r.neighbor_id) for r in exact.collect()}
+    q = {(r.q_id, r.neighbor_id) for r in quant.collect()}
+    recall = len(e & q) / len(e)
+    assert recall >= 0.9, f"quantized recall {recall}"
 
 
 def test_quantize_plan_is_shuffle_free(spark):

@@ -378,6 +378,39 @@ def pack_documents(
     )
 
 
+def dequantized_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """The int8-quantized store as a search view: quantize with the
+    EXACT (unrounded) per-vector scale and immediately dequantize —
+    ``x -> round(x * 127/max|x|) * max|x|/127`` — so retrieval
+    queries run against what the compressed store actually holds.
+    Every arithmetic step is order-fixed IEEE double, so an SQL
+    oracle reproduces the reconstructed vectors bit-for-bit. Zero
+    shuffle; feeds brute_force_topk/LSH unchanged.
+    """
+    # scale is projected to a NAMED column before the element lambda
+    # references it: Catalyst does no CSE inside lambda bodies, so an
+    # inlined scale subtree (an array_max scan) would re-evaluate per
+    # ELEMENT (~2 x dim array scans per row). A multiply-referenced
+    # non-cheap alias survives CollapseProject.
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = emb.select(F.col(id_col).alias(id_col), vec.alias("_v")).select(
+        id_col,
+        "_v",
+        (
+            F.array_max(F.transform("_v", lambda x: F.abs(x))) / F.lit(127.0)
+        ).alias("_scale"),
+    )
+    s = F.col("_scale")
+    dq = F.when(s == 0, F.transform("_v", lambda x: F.lit(0.0))).otherwise(
+        F.transform(
+            "_v", lambda x: F.round(x / s, 0).cast("int").cast("double") * s
+        )
+    )
+    return staged.select(id_col, dq.alias(vec_col))
+
+
 def quantize_int8(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -391,18 +424,24 @@ def quantize_int8(
     bit-for-bit. Zero shuffle — pure per-row Column arithmetic that
     scales linearly with the corpus.
     """
+    # same CSE-in-lambda discipline as dequantized_embeddings: the
+    # scale lands in a named column BEFORE any element lambda uses it
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x)))
-    scale = maxabs / F.lit(127.0)
-    qvec = F.when(maxabs == 0, F.transform(vec, lambda x: F.lit(0))).otherwise(
-        F.transform(vec, lambda x: F.round(x / scale, 0).cast("int"))
+    staged = emb.select(
+        F.col(id_col).alias("vec_id"), vec.alias("_vec")
+    ).select(
+        "vec_id",
+        "_vec",
+        (
+            F.array_max(F.transform("_vec", lambda x: F.abs(x)))
+            / F.lit(127.0)
+        ).alias("_scale"),
     )
-    df = emb.select(
-        F.col(id_col).alias("vec_id"),
-        scale.alias("_scale"),
-        qvec.alias("qvec"),
-        vec.alias("_vec"),
+    s = F.col("_scale")
+    qvec = F.when(s == 0, F.transform("_vec", lambda x: F.lit(0))).otherwise(
+        F.transform("_vec", lambda x: F.round(x / s, 0).cast("int"))
     )
+    df = staged.select("vec_id", "_scale", qvec.alias("qvec"), "_vec")
     recon = F.aggregate(
         F.zip_with(
             "_vec",
