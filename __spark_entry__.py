@@ -2022,6 +2022,36 @@ def q_ann_topk_quantized(spark, sf_dir):
     return brute_force_topk(dq, dq.filter(F.col("vec_id") < 8), k=10)
 
 
+def q_docs_pack_assemble(spark, sf_dir):
+    """Materialized training sequences (dataops/retrieval.py
+    assemble_packs): the docs_pack assignments grouped into actual
+    pack rows — texts joined in pack order by the 0x1e record
+    separator, per-pack token totals. Bounded per-key state (a pack
+    is <= budget tokens)."""
+    from vector_spark.dataops.retrieval import assemble_packs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    return assemble_packs(docs, budget=512, group_col="source")
+
+
+_QUOTAS = {"src0": 800, "src1": 400}
+
+
+def q_docs_token_quota(spark, sf_dir):
+    """Token-budgeted corpus mixing (dataops/mixing.py
+    token_quota_filter): greedy prefix fill per source shard against
+    per-source token quotas (src0: 800, src1: 400, default 600) —
+    one window per shard, integer-exact."""
+    from vector_spark.dataops.mixing import token_quota_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    return token_quota_filter(docs, _QUOTAS, default_quota=600)
+
+
 def q_conv_dedup(spark, sf_dir):
     """Exact conversation-level dedup over the transcripts payload
     (dataops/conversations.py): md5 over turn texts joined in turn
@@ -2055,12 +2085,12 @@ ROWS_ONLY = {"docs_lang_id"}
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver records correctness rows for exactly
-    # the FIRST 50 registry entries per round. Round 3's window
-    # stamped entries 1-50 of the old order; the 31 it did NOT reach
-    # now lead, followed by queries new in round 4, so the union of
-    # the r3 and r4 driver windows covers the whole registry. The
-    # tail entries are r3-driver-stamped AND green in the in-repo
-    # full sweep (tools/check_oracles.py, CORRECTNESS_FULL_r03.json).
+    # the FIRST 50 registry entries per round. Entries NEW in round 5
+    # lead (so they land inside the r5 window), followed by the
+    # entries the r3 window did not reach; everything past position
+    # 50 is driver-stamped in an earlier round's window (r3 ∪ r4
+    # cover the pre-r5 registry) AND green in the in-repo full sweep
+    # (tools/check_oracles.py, CORRECTNESS_FULL_r05.json).
     return {
         # -- NEW in round 5 (must be inside the driver's 50-row window)
         "docs_bm25": q_docs_bm25,
@@ -2071,6 +2101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dedup": q_conv_dedup,
         "conv_stats": q_conv_stats,
         "ann_topk_quantized": q_ann_topk_quantized,
+        "docs_pack_assemble": q_docs_pack_assemble,
+        "docs_token_quota": q_docs_token_quota,
         "stream_route_counts": q_stream_route_counts,
         "media_probe": q_media_probe,
         "media_features": q_media_features,
@@ -2345,6 +2377,39 @@ FROM (
   FROM scored
 )
 WHERE rank <= 10
+"""
+
+    o["docs_pack_assemble"] = f"""
+WITH t AS (SELECT doc_id, source AS "group", text,
+                  CAST(len({_DOC_TOKS}) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT *, coalesce(sum(n_tokens) OVER (
+        PARTITION BY "group" ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM t)
+SELECT "group", CAST(before // 512 AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       string_agg(text, chr(30) ORDER BY before % 512, text) AS pack_text
+FROM c GROUP BY 1, 2
+"""
+
+    _QUOTA_CASE = "CASE \"group\" " + " ".join(
+        f"WHEN '{s}' THEN {q}" for s, q in _QUOTAS.items()
+    ) + " ELSE 600 END"
+    o["docs_token_quota"] = f"""
+WITH t AS (SELECT doc_id, source AS "group",
+                  CAST(len({_DOC_TOKS}) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, "group", n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY "group" ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM t)
+SELECT doc_id, "group", n_tokens, cum_tokens,
+       cum_tokens <= ({_QUOTA_CASE}) AS kept
+FROM c
 """
 
     o["conv_dedup"] = _with(

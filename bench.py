@@ -105,6 +105,9 @@ HEADLINE = [
     "conv_stats",
     # round 5: retrieval against the int8-quantized store
     "ann_topk_quantized",
+    # round 5: training-batch assembly + token-budget mixing
+    "docs_pack_assemble",
+    "docs_token_quota",
 ]
 
 

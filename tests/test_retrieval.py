@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 import pytest
 
 from vector_spark.dataops.retrieval import (
+    assemble_packs,
     bm25_topk,
     chunk_documents,
     dequantized_embeddings,
@@ -192,6 +193,48 @@ def test_pack_contiguous_fill(spark):
     assert (rows[3].pack_id, rows[3].pack_pos) == (1, 1)
     assert (rows[4].pack_id, rows[4].pack_pos) == (2, 3)
     assert (rows[5].pack_id, rows[5].pack_pos) == (0, 0)
+
+
+def test_assemble_packs_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "a b c"),
+            (2, "s", "d e"),
+            (3, "s", "f g h i j k"),
+            (4, "s", "l"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        (r.group, r.pack_id): r
+        for r in assemble_packs(docs, budget=4, group_col="source").collect()
+    }
+    # pack 0: docs 1+2 (texts joined in pack order); pack 1: doc 3;
+    # pack 2: doc 4
+    assert rows[("s", 0)].pack_text == "a b c\x1ed e"
+    assert rows[("s", 0)].n_docs == 2 and rows[("s", 0)].pack_tokens == 5
+    assert rows[("s", 1)].pack_text == "f g h i j k"
+    assert rows[("s", 2)].pack_text == "l"
+
+
+def test_token_quota_greedy_prefix(spark):
+    from vector_spark.dataops.mixing import token_quota_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "w x y"),   # cum 3 <= 5 kept
+            (2, "a", "w x"),     # cum 5 <= 5 kept
+            (3, "a", "w"),       # cum 6 > 5  dropped
+            (4, "b", "w x y z"), # default quota 2 -> dropped
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in token_quota_filter(docs, {"a": 5}, default_quota=2).collect()
+    }
+    assert [rows[i].kept for i in (1, 2, 3, 4)] == [True, True, False, False]
+    assert rows[3].cum_tokens == 6
 
 
 def test_pack_budget_validation(spark):

@@ -75,6 +75,55 @@ def assign_split(
     )
 
 
+def token_quota_filter(
+    df: DataFrame,
+    quotas: dict[str, int],
+    default_quota: int = 0,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budgeted corpus mixing: keep documents per source shard
+    (in doc_id order) while the INCLUSIVE running token total stays
+    within that source's quota — how a mixing recipe like 'at most
+    N tokens of web, M of code' is executed deterministically:
+    (doc_id, group, n_tokens, cum_tokens, kept).
+
+    One window per group (one shuffle). n_tokens >= 0 makes the
+    running total monotone, so 'kept' is a prefix of each shard —
+    the greedy fill — and the SQL-oracle reproduces it exactly.
+    """
+    from itertools import chain
+
+    from pyspark.sql import Window
+
+    quota_map = F.create_map(
+        *[F.lit(x) for x in chain.from_iterable(quotas.items())]
+    )
+    w = (
+        Window.partitionBy("group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("group"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    return base.select(
+        "doc_id",
+        "group",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        (
+            F.sum("n_tokens").over(w)
+            <= F.coalesce(
+                quota_map[F.col("group")], F.lit(default_quota)
+            ).cast("bigint")
+        ).alias("kept"),
+    )
+
+
 def build_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(token, cnt) over the corpus — one explode + one aggregation.
     Vocabularies are zipfian: even web scale stays broadcastable

@@ -378,6 +378,53 @@ def pack_documents(
     )
 
 
+def assemble_packs(
+    docs: DataFrame,
+    budget: int = 2048,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\x1e",
+) -> DataFrame:
+    """Materialize the training sequences that ``pack_documents``
+    assigns: (group, pack_id, n_docs, pack_tokens, pack_text) with
+    documents joined in pack order by a record separator (0x1e by
+    default — not producible by the whitespace tokenizer, so the
+    join is reversible).
+
+    Two shuffles total: the packing window (inherited) and the
+    groupBy(group, pack_id) assembly. The per-pack collect is
+    bounded by ``budget`` tokens — bounded per-key state, safe at
+    any corpus size.
+    """
+    packed = pack_documents(docs, budget, group_col, id_col, text_col)
+    texts = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    return (
+        packed.join(texts, "doc_id")
+        .groupBy("group", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pack_pos").alias("p"),
+                                F.col("_text").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                sep,
+            ).alias("pack_text"),
+        )
+    )
+
+
 def dequantized_embeddings(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
