@@ -2071,6 +2071,40 @@ def q_conv_stats(spark, sf_dir):
     return conversation_stats(_parsed(spark, sf_dir))
 
 
+def q_conv_pack(spark, sf_dir):
+    """Conversation-boundary-preserving token packing
+    (dataops/conversations.py pack_conversations): whole
+    conversations fill 1024-token training sequences per md5-derived
+    shard — the SFT packer that never splits a conversation.
+    Integer-exact (whitespace token counts, contiguous-fill rule)."""
+    from vector_spark.dataops.conversations import pack_conversations
+
+    return pack_conversations(load_transcripts(spark, sf_dir), budget=1024)
+
+
+def q_conv_quality(spark, sf_dir):
+    """Per-conversation curation heuristics
+    (dataops/conversations.py conversation_quality): role-alternation
+    violations via one lag window, opener/closer roles via
+    min_by/max_by on the unique turn_idx, blank-turn count, and the
+    assistant:user char ratio — the transcript-shape gates chat-SFT
+    filters run."""
+    from vector_spark.dataops.conversations import conversation_quality
+
+    return conversation_quality(load_transcripts(spark, sf_dir))
+
+
+def q_conv_repair(spark, sf_dir):
+    """Chat-data repair (dataops/conversations.py
+    repair_conversations): merge consecutive same-role turns
+    (gaps-and-islands running sum over a lag indicator) and re-index
+    densely; merged text joins in turn order with the 0x1f
+    separator, so the merge is reversible."""
+    from vector_spark.dataops.conversations import repair_conversations
+
+    return repair_conversations(load_transcripts(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse -> enrich -> route -> hourly aggregate at sf0.001."""
     routed = build_flagship(spark, SF0001)
@@ -2103,6 +2137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_quantized": q_ann_topk_quantized,
         "docs_pack_assemble": q_docs_pack_assemble,
         "docs_token_quota": q_docs_token_quota,
+        "conv_pack": q_conv_pack,
+        "conv_quality": q_conv_quality,
+        "conv_repair": q_conv_repair,
         "stream_route_counts": q_stream_route_counts,
         "media_probe": q_media_probe,
         "media_features": q_media_features,
@@ -2446,6 +2483,86 @@ SELECT t.conv_id,
 FROM transcripts t
 JOIN parsed p ON t.conv_id = p.conv_id AND t.turn_idx = p.turn_idx
 GROUP BY 1
+"""
+    )
+
+    _T_TOKS = (
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+    )
+    o["conv_pack"] = _with(
+        f"""
+SELECT conv_id, shard, n_turns, conv_tokens,
+       CAST(before // 1024 AS BIGINT) AS pack_id,
+       CAST(before % 1024 AS BIGINT) AS pack_pos
+FROM (
+  SELECT *, coalesce(sum(conv_tokens) OVER (
+      PARTITION BY shard ORDER BY conv_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM (
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(len({_T_TOKS})) AS BIGINT) AS conv_tokens,
+           CAST(('0x' || substr(md5('pack:' || conv_id), 1, 15))::BIGINT % 8
+                AS INT) AS shard
+    FROM transcripts GROUP BY 1
+  )
+)
+"""
+    )
+
+    o["conv_quality"] = _with(
+        """
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_role_repeats,
+       (min_by(role, turn_idx) = 'user') AS starts_with_user,
+       (max_by(role, turn_idx) = 'assistant') AS ends_with_assistant,
+       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blank,
+       CAST(sum(CASE WHEN role = 'assistant' THEN length(text) ELSE 0 END)
+            AS BIGINT) AS assistant_chars,
+       CAST(sum(CASE WHEN role = 'user' THEN length(text) ELSE 0 END)
+            AS BIGINT) AS user_chars,
+       CAST(sum(CASE WHEN role = 'assistant' THEN length(text) ELSE 0 END)
+            AS DOUBLE)
+         / greatest(sum(CASE WHEN role = 'user' THEN length(text)
+                        ELSE 0 END), 1) AS char_ratio,
+       (sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) = 0
+        AND min_by(role, turn_idx) = 'user'
+        AND max_by(role, turn_idx) = 'assistant'
+        AND sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) = 0)
+         AS quality_ok
+FROM (
+  SELECT conv_id, turn_idx, role, text,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM transcripts
+)
+GROUP BY conv_id
+"""
+    )
+
+    o["conv_repair"] = _with(
+        """
+SELECT conv_id,
+       CAST(seg - 1 AS INT) AS turn_idx,
+       max(role) AS role,
+       string_agg(text, chr(31) ORDER BY src_idx) AS text,
+       CAST(count(*) AS BIGINT) AS n_merged,
+       min(src_idx) AS first_src_turn
+FROM (
+  SELECT conv_id, src_idx, role, text,
+         sum(chg) OVER (PARTITION BY conv_id ORDER BY src_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM (
+    SELECT conv_id, turn_idx AS src_idx, role, text,
+           CASE WHEN lag(role) OVER w IS NULL
+                  OR lag(role) OVER w <> role THEN 1 ELSE 0 END AS chg
+    FROM transcripts
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+  )
+)
+GROUP BY conv_id, seg
 """
     )
 

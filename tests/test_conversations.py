@@ -81,3 +81,123 @@ def test_stats_single_shuffle_with_partial_agg(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan or "partial_sum" in plan.lower()
+
+
+def _role_turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+
+
+def test_pack_conversations_contiguous_fill(spark):
+    from vector_spark.dataops.conversations import pack_conversations
+
+    # one shard so the fill order is the conv_id order
+    df = _role_turns(
+        spark,
+        [
+            ("a", 0, "user", "one two three"),       # 3 tokens
+            ("a", 1, "assistant", "four five"),      # 2 tokens -> a: 5
+            ("b", 0, "user", "x " * 7),              # b: 7
+            ("c", 0, "user", "y y"),                 # c: 2
+        ],
+    )
+    rows = {
+        r.conv_id: r
+        for r in pack_conversations(df, budget=6, n_shards=1).collect()
+    }
+    # layout in conv_id order: a(5 tok)@0, b(7)@5, c(2)@12
+    assert (rows["a"].pack_id, rows["a"].pack_pos) == (0, 0)
+    # b STARTS inside pack 0 (pos 5) and overflows it - contiguous rule
+    assert (rows["b"].pack_id, rows["b"].pack_pos) == (0, 5)
+    assert (rows["c"].pack_id, rows["c"].pack_pos) == (2, 0)
+    assert rows["a"].conv_tokens == 5 and rows["a"].n_turns == 2
+    assert all(r.shard == 0 for r in rows.values())
+
+
+def test_pack_conversations_never_splits_a_conversation(spark):
+    from vector_spark.dataops.conversations import pack_conversations
+
+    df = _role_turns(
+        spark,
+        [("c%02d" % i, j, "user", "w w w") for i in range(20) for j in range(2)],
+    )
+    out = pack_conversations(df, budget=10, n_shards=4)
+    # each conversation appears exactly once (whole-conv assignment)
+    assert out.count() == 20
+    assert out.select("conv_id").distinct().count() == 20
+
+
+def test_conversation_quality_flags(spark):
+    from vector_spark.dataops.conversations import conversation_quality
+
+    df = _role_turns(
+        spark,
+        [
+            # clean conversation: alternating, user opens, assistant closes
+            ("good", 0, "user", "hello"),
+            ("good", 1, "assistant", "hi there!"),
+            # violations: assistant opens, double-assistant, blank, user closes
+            ("bad", 0, "assistant", "hi"),
+            ("bad", 1, "assistant", ""),
+            ("bad", 2, "user", "??"),
+        ],
+    )
+    rows = {r.conv_id: r for r in conversation_quality(df).collect()}
+    g, b = rows["good"], rows["bad"]
+    assert g.quality_ok and g.n_role_repeats == 0 and g.n_blank == 0
+    assert g.starts_with_user and g.ends_with_assistant
+    assert g.assistant_chars == 9 and g.user_chars == 5
+    assert abs(g.char_ratio - 9 / 5) < 1e-12
+    assert not b.quality_ok
+    assert b.n_role_repeats == 1 and b.n_blank == 1
+    assert not b.starts_with_user and not b.ends_with_assistant
+
+
+def test_conversation_quality_single_turn_not_null(spark):
+    from vector_spark.dataops.conversations import conversation_quality
+
+    # a 1-turn conversation's lag is all-NULL; the repeat count must
+    # be 0, not NULL (sum-of-NULLs trap)
+    df = _role_turns(spark, [("solo", 0, "user", "hi")])
+    r = conversation_quality(df).collect()[0]
+    assert r.n_role_repeats == 0
+    assert r.quality_ok is False  # no assistant close
+
+
+def test_repair_conversations_merges_runs(spark):
+    from vector_spark.dataops.conversations import repair_conversations
+
+    df = _role_turns(
+        spark,
+        [
+            ("a", 0, "user", "part one"),
+            ("a", 1, "user", "part two"),
+            ("a", 2, "assistant", "reply"),
+            ("a", 3, "user", "followup"),
+        ],
+    )
+    out = sorted(
+        repair_conversations(df).collect(), key=lambda r: r.turn_idx
+    )
+    assert [r.turn_idx for r in out] == [0, 1, 2]
+    assert [r.role for r in out] == ["user", "assistant", "user"]
+    assert out[0].text == "part one\x1fpart two"  # reversible join
+    assert out[0].n_merged == 2 and out[0].first_src_turn == 0
+    assert out[1].text == "reply" and out[1].n_merged == 1
+    assert out[2].first_src_turn == 3
+
+
+def test_repair_conversations_already_alternating_is_identity(spark):
+    from vector_spark.dataops.conversations import repair_conversations
+
+    rows = [("a", i, "user" if i % 2 == 0 else "assistant", f"t{i}")
+            for i in range(6)]
+    out = sorted(
+        repair_conversations(_role_turns(spark, rows)).collect(),
+        key=lambda r: r.turn_idx,
+    )
+    assert [(r.turn_idx, r.role, r.text, r.n_merged) for r in out] == [
+        (i, "user" if i % 2 == 0 else "assistant", f"t{i}", 1)
+        for i in range(6)
+    ]

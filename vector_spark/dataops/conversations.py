@@ -95,3 +95,202 @@ def conversation_stats(parsed: DataFrame) -> DataFrame:
             ).alias("duration_s"),
         )
     )
+
+
+def pack_conversations(
+    df: DataFrame,
+    budget: int = 1024,
+    n_shards: int = 8,
+    key_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-boundary-preserving token packing: assign whole
+    conversations to ``budget``-token training sequences —
+    (conv_id, shard, n_turns, conv_tokens, pack_id, pack_pos).
+
+    SFT packing must never split a conversation across sequences,
+    so the packable unit is the CONVERSATION: per-conv token totals
+    roll up first (one groupBy), then the contiguous-fill rule from
+    pack_documents (pack_id = floor(exclusive-cumsum / budget))
+    runs per md5-derived shard in conv_id order. Shards are
+    independent — at 100 TB packing parallelizes across n_shards
+    windows with no global coordination, and n_shards scales with
+    the cluster, not the data. Two shuffles total (rollup + shard
+    window); per-key state is one running sum.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from vector_spark.dataops.dedup import token_int
+    from vector_spark.dataops.text import tokens
+
+    per_conv = df.groupBy(F.col(key_col).alias("conv_id")).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.size(tokens(F.col(text_col))))
+        .cast("bigint")
+        .alias("conv_tokens"),
+    )
+    sharded = per_conv.withColumn(
+        "shard",
+        (
+            token_int(F.concat(F.lit("pack:"), F.col("conv_id"))) % n_shards
+        ).cast("int"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("conv_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = sharded.withColumn(
+        "_before", F.coalesce(F.sum("conv_tokens").over(w), F.lit(0))
+    )
+    return cum.select(
+        "conv_id",
+        "shard",
+        "n_turns",
+        "conv_tokens",
+        F.floor(F.col("_before") / budget).cast("bigint").alias("pack_id"),
+        (F.col("_before") % budget).cast("bigint").alias("pack_pos"),
+    )
+
+
+def conversation_quality(df: DataFrame) -> DataFrame:
+    """Per-conversation curation heuristics over raw transcripts:
+    (conv_id, n_turns, n_role_repeats, starts_with_user,
+    ends_with_assistant, n_blank, assistant_chars, user_chars,
+    char_ratio, quality_ok).
+
+    The transcript-shape signals chat-SFT filters actually gate on:
+    adjacent same-role turns (role-alternation violations, via one
+    lag window), who opens / closes the conversation (min_by /
+    max_by on the unique turn_idx), blank turns, and the
+    assistant:user volume ratio. The lag window and the rollup
+    share the conv_id key, so the window's exchange is reused by
+    the final groupBy — one shuffle, all-algebraic aggregates.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    turns = df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.lag("role").over(w).alias("_prev_role"),
+    )
+    a_chars = F.sum(
+        F.when(F.col("role") == "assistant", F.length("text")).otherwise(
+            F.lit(0)
+        )
+    ).cast("bigint")
+    u_chars = F.sum(
+        F.when(F.col("role") == "user", F.length("text")).otherwise(F.lit(0))
+    ).cast("bigint")
+    agg = turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        # coalesce per row: a 1-turn conversation's lag is all-NULL and
+        # a bare sum of NULLs is NULL, not 0
+        F.sum(
+            F.coalesce(
+                (F.col("role") == F.col("_prev_role")).cast("long"), F.lit(0)
+            )
+        ).alias("n_role_repeats"),
+        (F.min_by("role", "turn_idx") == "user").alias("starts_with_user"),
+        (F.max_by("role", "turn_idx") == "assistant").alias(
+            "ends_with_assistant"
+        ),
+        F.sum((F.length(F.trim(F.col("text"))) == 0).cast("long")).alias(
+            "n_blank"
+        ),
+        a_chars.alias("assistant_chars"),
+        u_chars.alias("user_chars"),
+    )
+    return agg.select(
+        "*",
+        (
+            F.col("assistant_chars").cast("double")
+            / F.greatest(F.col("user_chars"), F.lit(1)).cast("double")
+        ).alias("char_ratio"),
+        (
+            (F.col("n_role_repeats") == 0)
+            & F.col("starts_with_user")
+            & F.col("ends_with_assistant")
+            & (F.col("n_blank") == 0)
+        ).alias("quality_ok"),
+    )
+
+
+def repair_conversations(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    sep: str = _US,
+) -> DataFrame:
+    """Merge consecutive same-role turns into one turn and re-index
+    densely — the standard chat-data repair before SFT formatting:
+    (conv_id, turn_idx, role, text, n_merged, first_src_turn).
+
+    Gaps-and-islands: a running sum over a role-change indicator
+    labels each maximal same-role run (one lag + one cumulative-sum
+    window, same conv_id exchange), then a groupBy(conv_id, segment)
+    joins the run's texts in turn order with the 0x1f separator
+    (not producible by the derivation, so the merge is reversible).
+    Per-group state is bounded by run length <= conversation
+    length — safe at any corpus size. The merged turn keeps the
+    run's FIRST source turn_idx for lineage; the new dense index is
+    segment-1 (segments are contiguous from the running sum).
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    # two projections because window functions cannot nest: lag first,
+    # then the running sum over the materialized change indicator —
+    # both windows share (conv_id, turn_idx), one exchange total
+    marked = df.select(
+        F.col(key_col).alias("conv_id"),
+        F.col(order_col).alias("_src_idx"),
+        "role",
+        "text",
+        F.when(
+            F.lag("role").over(w).isNull()
+            | (F.lag("role").over(w) != F.col("role")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_chg"),
+    )
+    w2 = Window.partitionBy("conv_id").orderBy("_src_idx")
+    seg = marked.select(
+        "conv_id",
+        "_src_idx",
+        "role",
+        "text",
+        F.sum("_chg")
+        .over(w2.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_seg"),
+    )
+    return (
+        seg.groupBy("conv_id", "_seg")
+        .agg(
+            F.max("role").alias("role"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_src_idx").alias("o"),
+                                F.col("text").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                sep,
+            ).alias("text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+            F.min("_src_idx").alias("first_src_turn"),
+        )
+        .select(
+            "conv_id",
+            (F.col("_seg") - 1).cast("int").alias("turn_idx"),
+            "role",
+            "text",
+            "n_merged",
+            "first_src_turn",
+        )
+    )
