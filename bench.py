@@ -108,6 +108,11 @@ HEADLINE = [
     # round 5: training-batch assembly + token-budget mixing
     "docs_pack_assemble",
     "docs_token_quota",
+    # round 5: SFT-side conversation curation (whole-conversation
+    # packing, quality gates, same-role turn repair)
+    "conv_pack",
+    "conv_quality",
+    "conv_repair",
 ]
 
 
