@@ -2105,6 +2105,33 @@ def q_conv_repair(spark, sf_dir):
     return repair_conversations(load_transcripts(spark, sf_dir))
 
 
+def q_docs_length_deciles(spark, sf_dir):
+    """Per-source quantile bucketing for stratified curation
+    (dataops/mixing.py score_deciles): ntile(10) over (token count,
+    doc_id) per source — integer score, so bucket edges are
+    cross-engine exact; each source's ntile runs independently (no
+    global window)."""
+    from vector_spark.dataops.mixing import score_deciles
+    from vector_spark.dataops.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return score_deciles(docs, "n_tokens")
+
+
+def q_conv_template_replies(spark, sf_dir):
+    """Boilerplate / canned-reply detection over assistant turns
+    (dataops/conversations.py template_replies): normalized-text md5
+    groupBy, n_uses >= 2, deterministic first-use exemplar. Runs on
+    the parsed `msg` payload — the raw text embeds a per-event
+    reqid, so only the message body can repeat."""
+    from vector_spark.dataops.conversations import template_replies
+
+    parsed = _parsed(spark, sf_dir).filter(F.col("msg").isNotNull())
+    return template_replies(parsed, text_col="msg")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse -> enrich -> route -> hourly aggregate at sf0.001."""
     routed = build_flagship(spark, SF0001)
@@ -2140,6 +2167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_pack": q_conv_pack,
         "conv_quality": q_conv_quality,
         "conv_repair": q_conv_repair,
+        "docs_length_deciles": q_docs_length_deciles,
+        "conv_template_replies": q_conv_template_replies,
         "stream_route_counts": q_stream_route_counts,
         "media_probe": q_media_probe,
         "media_features": q_media_features,
@@ -2563,6 +2592,29 @@ FROM (
   )
 )
 GROUP BY conv_id, seg
+"""
+    )
+
+    o["docs_length_deciles"] = f"""
+SELECT doc_id, source AS "group",
+       CAST(len({_DOC_TOKS}) AS INT) AS score,
+       CAST(ntile(10) OVER (
+         PARTITION BY source ORDER BY len({_DOC_TOKS}), doc_id
+       ) AS INT) AS bucket
+FROM documents
+"""
+
+    o["conv_template_replies"] = _with(
+        """
+SELECT md5(lower(trim(msg))) AS fingerprint,
+       CAST(count(*) AS BIGINT) AS n_uses,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       min(conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 6, '0'))
+         AS first_use
+FROM parsed
+WHERE role = 'assistant' AND msg IS NOT NULL
+GROUP BY 1
+HAVING count(*) >= 2
 """
     )
 

@@ -201,3 +201,35 @@ def test_repair_conversations_already_alternating_is_identity(spark):
         (i, "user" if i % 2 == 0 else "assistant", f"t{i}", 1)
         for i in range(6)
     ]
+
+
+def test_template_replies_detects_repeats(spark):
+    from vector_spark.dataops.conversations import template_replies
+
+    df = _role_turns(
+        spark,
+        [
+            ("a", 0, "user", "hi"),
+            ("a", 1, "assistant", "I cannot help with that."),
+            ("b", 0, "user", "yo"),
+            ("b", 1, "assistant", "i cannot help with that. "),  # normalizes equal
+            ("b", 3, "assistant", "unique reply"),
+            ("c", 1, "assistant", "I cannot help with that."),
+        ],
+    )
+    rows = template_replies(df).collect()
+    assert len(rows) == 1  # only the canned refusal crosses min_uses
+    r = rows[0]
+    assert r.n_uses == 3 and r.n_convs == 3
+    assert r.first_use == "a:000001"
+
+
+def test_template_replies_role_scoped(spark):
+    from vector_spark.dataops.conversations import template_replies
+
+    # repeated USER text must not surface when scanning assistant turns
+    df = _role_turns(
+        spark,
+        [("a", 0, "user", "same"), ("b", 0, "user", "same")],
+    )
+    assert template_replies(df).count() == 0

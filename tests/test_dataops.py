@@ -229,3 +229,21 @@ def test_ivf_cells_numpy_matches_jvm(emb):
         per_q.setdefault(r["id"], []).append(r["cell"])
     for cells in per_q.values():
         assert len(cells) == 4 and len(set(cells)) == 4
+
+
+def test_score_deciles_deterministic_buckets(spark):
+    from vector_spark.dataops.mixing import score_deciles
+
+    rows = [(f"d{i:02d}", "web", i) for i in range(20)]
+    rows += [(f"e{i:02d}", "code", 5) for i in range(4)]  # all ties
+    df = spark.createDataFrame(rows, "doc_id string, source string, n int")
+    out = {(r.doc_id): r for r in score_deciles(df, "n").collect()}
+    # 20 docs over 10 buckets: 2 per bucket, ordered by (score, id)
+    assert out["d00"].bucket == 1 and out["d01"].bucket == 1
+    assert out["d18"].bucket == 10 and out["d19"].bucket == 10
+    assert out["d00"].group == "web" and out["d00"].score == 0
+    # the tied group buckets purely by doc_id (deterministic)
+    code = sorted(
+        (r.doc_id, r.bucket) for r in out.values() if r.group == "code"
+    )
+    assert [b for _, b in code] == sorted(b for _, b in code)

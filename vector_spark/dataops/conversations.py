@@ -294,3 +294,40 @@ def repair_conversations(
             "first_src_turn",
         )
     )
+
+
+def template_replies(
+    df: DataFrame,
+    role: str = "assistant",
+    min_uses: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate / canned-reply detection over one role's turns:
+    (fingerprint, n_uses, n_convs, first_use).
+
+    Transcript corpora are full of templated assistant replies
+    (canned refusals, greeting stubs, tool-error strings); training
+    on them at frequency teaches the template, so curation pipelines
+    surface any reply text used >= min_uses times. One filter + one
+    groupBy on the normalized-text md5 (single shuffle of the one
+    role's turns only). first_use is the lexicographic minimum of
+    'conv_id:turn_idx(zero-padded)' — a deterministic exemplar the
+    SQL oracle reproduces without arg-min tie ambiguity.
+    """
+    turns = df.filter(F.col("role") == role)
+    use_key = F.concat(
+        F.col("conv_id"),
+        F.lit(":"),
+        F.lpad(F.col("turn_idx").cast("string"), 6, "0"),
+    )
+    return (
+        turns.groupBy(
+            F.md5(F.lower(F.trim(F.col(text_col)))).alias("fingerprint")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_uses"),
+            F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+            F.min(use_key).alias("first_use"),
+        )
+        .filter(F.col("n_uses") >= min_uses)
+    )

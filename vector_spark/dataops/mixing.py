@@ -207,3 +207,32 @@ def unigram_logprob_join(
             F.round(F.avg("lp"), 6).alias("avg_logprob"),
         )
     )
+
+
+def score_deciles(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Per-group quantile bucketing for stratified curation:
+    (doc_id, group, score, bucket 1..n_buckets).
+
+    The window orders by (score, id) so ties break deterministically
+    and the SQL oracle replays every bucket edge. Partitioned per
+    group — at 100 TB each source's ntile runs independently; there
+    is deliberately NO global (unpartitioned) variant, which would
+    funnel the corpus through one task. Use an integer-valued score
+    (token counts, char counts) for cross-engine exactness; float
+    scores can differ in final-ulp order between engines.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("group"),
+        F.col(score_col).alias("score"),
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )
