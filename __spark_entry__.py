@@ -2132,6 +2132,24 @@ def q_conv_template_replies(spark, sf_dir):
     return template_replies(parsed, text_col="msg")
 
 
+def q_conv_sft_pairs(spark, sf_dir):
+    """(prompt, response) SFT pair mining (dataops/conversations.py
+    sft_pairs): assistant turns whose immediate predecessor is a
+    user turn — one lag window, zero joins."""
+    from vector_spark.dataops.conversations import sft_pairs
+
+    return sft_pairs(load_transcripts(spark, sf_dir))
+
+
+def q_conv_context(spark, sf_dir):
+    """Sliding-context SFT row construction (dataops/conversations.py
+    context_windows): per assistant turn, the up-to-4 preceding
+    turns as 'role: text' lines in one bounded window frame."""
+    from vector_spark.dataops.conversations import context_windows
+
+    return context_windows(load_transcripts(spark, sf_dir), k=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse -> enrich -> route -> hourly aggregate at sf0.001."""
     routed = build_flagship(spark, SF0001)
@@ -2169,6 +2187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_repair": q_conv_repair,
         "docs_length_deciles": q_docs_length_deciles,
         "conv_template_replies": q_conv_template_replies,
+        "conv_sft_pairs": q_conv_sft_pairs,
+        "conv_context": q_conv_context,
         "stream_route_counts": q_stream_route_counts,
         "media_probe": q_media_probe,
         "media_features": q_media_features,
@@ -2615,6 +2635,39 @@ FROM parsed
 WHERE role = 'assistant' AND msg IS NOT NULL
 GROUP BY 1
 HAVING count(*) >= 2
+"""
+    )
+
+    o["conv_sft_pairs"] = _with(
+        """
+SELECT conv_id, turn_idx, prompt, response FROM (
+  SELECT conv_id, turn_idx, role, text AS response,
+         lag(role) OVER w AS prev_role,
+         lag(text) OVER w AS prompt
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+WHERE role = 'assistant' AND prev_role = 'user'
+"""
+    )
+
+    o["conv_context"] = _with(
+        """
+SELECT conv_id, turn_idx,
+       CAST(coalesce(n_ctx, 0) AS INT) AS context_len,
+       coalesce(ctx, '') AS context,
+       text AS response
+FROM (
+  SELECT conv_id, turn_idx, role, text,
+         count(*) OVER w AS n_ctx,
+         -- frame order IS the OVER's ORDER BY (turn_idx); DuckDB
+         -- window aggregates have no inner ORDER BY syntax
+         string_agg(role || ': ' || text, chr(31)) OVER w AS ctx
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+)
+WHERE role = 'assistant'
 """
     )
 

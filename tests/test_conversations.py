@@ -233,3 +233,43 @@ def test_template_replies_role_scoped(spark):
         [("a", 0, "user", "same"), ("b", 0, "user", "same")],
     )
     assert template_replies(df).count() == 0
+
+
+def test_sft_pairs_mines_user_assistant_adjacency(spark):
+    from vector_spark.dataops.conversations import sft_pairs
+
+    df = _role_turns(
+        spark,
+        [
+            ("a", 0, "user", "q1"),
+            ("a", 1, "assistant", "a1"),     # pair
+            ("a", 2, "assistant", "a2"),     # prev is assistant: no pair
+            ("a", 3, "system", "note"),
+            ("a", 4, "assistant", "a3"),     # prev is system: no pair
+            ("b", 0, "assistant", "cold"),   # no predecessor: no pair
+            ("b", 1, "user", "q2"),
+            ("b", 2, "assistant", "a4"),     # pair
+        ],
+    )
+    rows = sorted(sft_pairs(df).collect(), key=lambda r: (r.conv_id, r.turn_idx))
+    assert [(r.conv_id, r.turn_idx, r.prompt, r.response) for r in rows] == [
+        ("a", 1, "q1", "a1"),
+        ("b", 2, "q2", "a4"),
+    ]
+
+
+def test_context_windows_bounded_prefix(spark):
+    from vector_spark.dataops.conversations import context_windows
+
+    rows = [("a", i, "user" if i % 2 == 0 else "assistant", f"t{i}")
+            for i in range(7)]
+    out = {
+        r.turn_idx: r
+        for r in context_windows(_role_turns(spark, rows), k=3).collect()
+    }
+    assert set(out) == {1, 3, 5}  # assistant turns only
+    # turn 1 sees only turn 0; turn 5 sees exactly the 3 preceding
+    assert out[1].context == "user: t0" and out[1].context_len == 1
+    assert out[5].context_len == 3
+    assert out[5].context == "user: t2\x1fassistant: t3\x1fuser: t4"
+    assert out[5].response == "t5"

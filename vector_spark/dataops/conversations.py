@@ -331,3 +331,74 @@ def template_replies(
         )
         .filter(F.col("n_uses") >= min_uses)
     )
+
+
+def sft_pairs(df: DataFrame) -> DataFrame:
+    """Mine (prompt, response) training pairs from transcripts: each
+    assistant turn whose immediately-preceding turn is a user turn
+    yields one SFT example — (conv_id, turn_idx, prompt, response).
+
+    The canonical transcripts-to-training-data extraction. One lag
+    window over (conv_id, turn_idx), then a filter — single shuffle,
+    zero joins; the pair is materialized from adjacent rows only, so
+    the op streams at any corpus size.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        df.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.col("text").alias("response"),
+            F.lag("role").over(w).alias("_prev_role"),
+            F.lag("text").over(w).alias("prompt"),
+        )
+        .filter(
+            (F.col("role") == "assistant") & (F.col("_prev_role") == "user")
+        )
+        .select("conv_id", "turn_idx", "prompt", "response")
+    )
+
+
+def context_windows(
+    df: DataFrame, k: int = 4, sep: str = _US
+) -> DataFrame:
+    """Sliding-context construction: for every assistant turn, the up
+    to ``k`` preceding turns rendered as 'role: text' lines —
+    (conv_id, turn_idx, context_len, context, response).
+
+    How multi-turn SFT rows are actually built: the model's target
+    is the assistant turn, its input is the bounded conversation
+    prefix. The frame is ROWS BETWEEN -k AND -1 over one window
+    (single shuffle); the collected structs re-sort by turn_idx
+    before joining, because collect_list over a window frame carries
+    no order guarantee. Per-row state is bounded by k, not by
+    conversation or corpus size.
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-k, -1)
+    )
+    ctx = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("turn_idx").alias("o"),
+                F.concat_ws(": ", "role", "text").alias("t"),
+            )
+        ).over(w)
+    )
+    return (
+        df.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.col("text").alias("response"),
+            F.size(ctx).alias("context_len"),
+            F.array_join(
+                F.transform(ctx, lambda s: s["t"]), sep
+            ).alias("context"),
+        )
+        .filter(F.col("role") == "assistant")
+        .select("conv_id", "turn_idx", "context_len", "context", "response")
+    )
