@@ -2150,6 +2150,41 @@ def q_conv_context(spark, sf_dir):
     return context_windows(load_transcripts(spark, sf_dir), k=4)
 
 
+def q_conv_curation_e2e(spark, sf_dir):
+    """End-to-end transcripts curation — the composed pipeline a
+    training-data user actually runs: conversation_quality gates ->
+    conversation_fingerprints dedup (canonical only) -> sft_pairs
+    mining, all from dataops/conversations.py. Two broadcast-able
+    semi-joins on conv_id; every stage value-exact on its own gate,
+    and the composition gated here."""
+    from vector_spark.dataops.conversations import (
+        conversation_fingerprints,
+        conversation_quality,
+        sft_pairs,
+    )
+
+    t = load_transcripts(spark, sf_dir)
+    # realistic curation rule for this corpus: user opens, assistant
+    # closes, same-role runs bounded, no blank turns (the strict
+    # quality_ok alternation gate keeps ~0% of log-derived convs)
+    ok = (
+        conversation_quality(t)
+        .filter(
+            F.col("starts_with_user")
+            & F.col("ends_with_assistant")
+            & (F.col("n_role_repeats") * 2 <= F.col("n_turns"))
+            & (F.col("n_blank") == 0)
+        )
+        .select("conv_id")
+    )
+    canon = (
+        conversation_fingerprints(t)
+        .filter(~F.col("is_dup"))
+        .select("conv_id")
+    )
+    return sft_pairs(t).join(ok, "conv_id").join(canon, "conv_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse -> enrich -> route -> hourly aggregate at sf0.001."""
     routed = build_flagship(spark, SF0001)
@@ -2189,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_template_replies": q_conv_template_replies,
         "conv_sft_pairs": q_conv_sft_pairs,
         "conv_context": q_conv_context,
+        "conv_curation_e2e": q_conv_curation_e2e,
         "stream_route_counts": q_stream_route_counts,
         "media_probe": q_media_probe,
         "media_features": q_media_features,
@@ -2635,6 +2671,49 @@ FROM parsed
 WHERE role = 'assistant' AND msg IS NOT NULL
 GROUP BY 1
 HAVING count(*) >= 2
+"""
+    )
+
+    o["conv_curation_e2e"] = _with(
+        """
+SELECT p.conv_id, p.turn_idx, p.prompt, p.response
+FROM (
+  SELECT conv_id, turn_idx, prompt, response FROM (
+    SELECT conv_id, turn_idx, role, text AS response,
+           lag(role) OVER w AS prev_role,
+           lag(text) OVER w AS prompt
+    FROM transcripts
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+  ) WHERE role = 'assistant' AND prev_role = 'user'
+) p
+JOIN (
+  SELECT conv_id FROM (
+    SELECT conv_id, role, text,
+           lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS prev_role,
+           row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS rn,
+           count(*) OVER (PARTITION BY conv_id) AS n
+    FROM transcripts
+  )
+  GROUP BY conv_id
+  HAVING min(CASE WHEN rn = 1 THEN role END) = 'user'
+     AND min(CASE WHEN rn = n THEN role END) = 'assistant'
+     AND sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) * 2 <= count(*)
+     AND sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) = 0
+) q ON p.conv_id = q.conv_id
+JOIN (
+  SELECT conv_id FROM (
+    SELECT conv_id,
+           min(conv_id) OVER (PARTITION BY fingerprint) AS canonical_id
+    FROM (
+      SELECT conv_id,
+             md5(string_agg(text, chr(31) ORDER BY turn_idx))
+               AS fingerprint
+      FROM transcripts GROUP BY conv_id
+    )
+  ) WHERE conv_id = canonical_id
+) d ON p.conv_id = d.conv_id
 """
     )
 

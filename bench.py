@@ -113,6 +113,13 @@ HEADLINE = [
     "conv_pack",
     "conv_quality",
     "conv_repair",
+    # round 5: stratified bucketing, canned-reply detection, SFT
+    # pair/context mining, and the composed curation pipeline
+    "docs_length_deciles",
+    "conv_template_replies",
+    "conv_sft_pairs",
+    "conv_context",
+    "conv_curation_e2e",
 ]
 
 
