@@ -2185,6 +2185,32 @@ def q_conv_curation_e2e(spark, sf_dir):
     return sft_pairs(t).join(ok, "conv_id").join(canon, "conv_id")
 
 
+def q_conv_asof_prompts(spark, sf_dir):
+    """General as-of join under the hard gate (operators/asof.py):
+    every assistant turn joined to the LATEST preceding user turn in
+    its conversation (not merely the adjacent one) via the
+    union-window plan — one shuffle, no broadcast, no candidate
+    explosion. The DuckDB oracle uses its NATIVE ASOF JOIN, so the
+    two implementations are fully independent."""
+    from vector_spark.operators.asof import asof_join
+
+    t = load_transcripts(spark, sf_dir)
+    assistants = t.filter(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", F.col("text").alias("response")
+    )
+    users = t.filter(F.col("role") == "user").select(
+        "conv_id", "turn_idx", F.col("text").alias("prompt")
+    )
+    return asof_join(
+        assistants,
+        users,
+        key_cols=["conv_id"],
+        ts_col="turn_idx",
+        value_cols=["prompt"],
+        matched_ts_col="prompt_turn",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse -> enrich -> route -> hourly aggregate at sf0.001."""
     routed = build_flagship(spark, SF0001)
@@ -2225,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_sft_pairs": q_conv_sft_pairs,
         "conv_context": q_conv_context,
         "conv_curation_e2e": q_conv_curation_e2e,
+        "conv_asof_prompts": q_conv_asof_prompts,
         "stream_route_counts": q_stream_route_counts,
         "media_probe": q_media_probe,
         "media_features": q_media_features,
@@ -2714,6 +2741,19 @@ JOIN (
     )
   ) WHERE conv_id = canonical_id
 ) d ON p.conv_id = d.conv_id
+"""
+    )
+
+    o["conv_asof_prompts"] = _with(
+        """
+SELECT a.conv_id, a.turn_idx, a.response,
+       u.prompt, u.turn_idx AS prompt_turn
+FROM (SELECT conv_id, turn_idx, text AS response
+      FROM transcripts WHERE role = 'assistant') a
+ASOF LEFT JOIN
+     (SELECT conv_id, turn_idx, text AS prompt
+      FROM transcripts WHERE role = 'user') u
+  ON a.conv_id = u.conv_id AND a.turn_idx >= u.turn_idx
 """
     )
 

@@ -120,6 +120,9 @@ HEADLINE = [
     "conv_sft_pairs",
     "conv_context",
     "conv_curation_e2e",
+    # round 5: general as-of join (union-window plan, oracle = DuckDB
+    # native ASOF JOIN)
+    "conv_asof_prompts",
 ]
 
 
