@@ -2185,6 +2185,19 @@ def q_conv_curation_e2e(spark, sf_dir):
     return sft_pairs(t).join(ok, "conv_id").join(canon, "conv_id")
 
 
+def q_docs_balanced_sample(spark, sf_dir):
+    """Exact per-source balanced subsampling (dataops/mixing.py
+    balanced_sample): exactly min(k, |source|) docs per source by
+    deterministic md5 order — class-balanced corpus quotas that
+    rate-based sampling cannot give."""
+    from vector_spark.dataops.mixing import balanced_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return balanced_sample(docs, k=100)
+
+
 def q_conv_asof_prompts(spark, sf_dir):
     """General as-of join under the hard gate (operators/asof.py):
     every assistant turn joined to the LATEST preceding user turn in
@@ -2252,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_context": q_conv_context,
         "conv_curation_e2e": q_conv_curation_e2e,
         "conv_asof_prompts": q_conv_asof_prompts,
+        "docs_balanced_sample": q_docs_balanced_sample,
         "stream_route_counts": q_stream_route_counts,
         "media_probe": q_media_probe,
         "media_features": q_media_features,
@@ -2743,6 +2757,17 @@ JOIN (
 ) d ON p.conv_id = d.conv_id
 """
     )
+
+    o["docs_balanced_sample"] = """
+SELECT doc_id, source AS "group",
+       CAST(row_number() OVER (
+         PARTITION BY source ORDER BY md5('bal:' || doc_id), doc_id
+       ) AS INT) AS rank,
+       row_number() OVER (
+         PARTITION BY source ORDER BY md5('bal:' || doc_id), doc_id
+       ) <= 100 AS kept
+FROM documents
+"""
 
     o["conv_asof_prompts"] = _with(
         """

@@ -123,6 +123,8 @@ HEADLINE = [
     # round 5: general as-of join (union-window plan, oracle = DuckDB
     # native ASOF JOIN)
     "conv_asof_prompts",
+    # round 5: exact per-source balanced subsampling
+    "docs_balanced_sample",
 ]
 
 

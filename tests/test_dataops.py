@@ -247,3 +247,18 @@ def test_score_deciles_deterministic_buckets(spark):
         (r.doc_id, r.bucket) for r in out.values() if r.group == "code"
     )
     assert [b for _, b in code] == sorted(b for _, b in code)
+
+
+def test_balanced_sample_exact_quota(spark):
+    from vector_spark.dataops.mixing import balanced_sample
+
+    rows = [(f"a{i}", "big") for i in range(30)]
+    rows += [(f"b{i}", "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = balanced_sample(df, k=5).toPandas()
+    kept = out[out.kept]
+    assert (kept.groupby("group").size().to_dict()
+            == {"big": 5, "small": 3})  # min(k, |group|)
+    # deterministic: same pick on a second run
+    again = balanced_sample(df, k=5).toPandas()
+    assert sorted(kept.doc_id) == sorted(again[again.kept].doc_id)

@@ -236,3 +236,33 @@ def score_deciles(
         F.col(score_col).alias("score"),
         F.ntile(n_buckets).over(w).alias("bucket"),
     )
+
+
+def balanced_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "bal",
+) -> DataFrame:
+    """Exact per-group subsampling: keep exactly min(k, |group|) rows
+    per group, chosen by deterministic hash order —
+    (doc_id, group, rank, kept).
+
+    Class-balanced corpus construction ("equal documents per
+    source") needs exact quotas, which rate-based sampling
+    (stratified_sample) cannot give. Hash order makes the pick
+    uniform-ish AND reproducible: rank = row_number over
+    (md5(salt:id), id) per group, kept = rank <= k. One window per
+    group (single shuffle); no global ordering anywhere.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col))), F.col(id_col)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("group"),
+        F.row_number().over(w).alias("rank"),
+    ).withColumn("kept", F.col("rank") <= k)
