@@ -1,0 +1,156 @@
+"""Seeded-fuzz parity for the round-5 conversation operators: one
+Spark run over hundreds of randomized conversations, checked against
+INDEPENDENT pandas reference models (pandas.merge_asof for the as-of
+join; hand-rolled models elsewhere). Random but deterministic
+(fixed seed), so failures reproduce.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+
+from vector_spark.dataops.conversations import (
+    context_windows,
+    pack_conversations,
+    repair_conversations,
+)
+from vector_spark.operators.asof import asof_join
+
+_ROLES = ["user", "assistant", "system", "tool"]
+
+
+def _random_turns(rng: random.Random, n_convs: int = 60):
+    rows = []
+    for c in range(n_convs):
+        for i in range(rng.randint(1, 12)):
+            rows.append(
+                (
+                    f"c{c:03d}",
+                    i,
+                    rng.choice(_ROLES),
+                    " ".join(
+                        rng.choice("alpha beta gamma delta".split())
+                        for _ in range(rng.randint(0, 6))
+                    ),
+                )
+            )
+    return rows
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    rng = random.Random(7)
+    keys = [f"k{i}" for i in range(12)]
+    left, right = [], []
+    for k in keys:
+        for ts in rng.sample(range(100), rng.randint(1, 15)):
+            left.append((k, ts, f"L{k}@{ts}"))
+        for ts in rng.sample(range(100), rng.randint(0, 10)):
+            right.append((k, ts, f"R{k}@{ts}"))
+    ldf = spark.createDataFrame(left, "key string, ts int, ev string")
+    rdf = spark.createDataFrame(right, "key string, ts int, val string")
+    got = (
+        asof_join(ldf, rdf, ["key"], "ts", ["val"])
+        .toPandas()
+        .sort_values(["key", "ts"])
+        .reset_index(drop=True)
+    )
+    lp = pd.DataFrame(left, columns=["key", "ts", "ev"]).sort_values("ts")
+    rp = pd.DataFrame(right, columns=["key", "ts", "val"]).sort_values("ts")
+    want = (
+        pd.merge_asof(
+            lp,
+            rp.rename(columns={"ts": "matched_ts"}),
+            left_on="ts",
+            right_on="matched_ts",
+            by="key",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        .sort_values(["key", "ts"])
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == ["key", "ts", "ev", "val", "matched_ts"]
+    for col in ["key", "ts", "ev", "val"]:
+        assert got[col].where(got[col].notna(), None).tolist() == want[
+            col
+        ].where(want[col].notna(), None).tolist()
+
+
+def test_repair_matches_pandas_islands_model(spark):
+    rng = random.Random(11)
+    rows = _random_turns(rng)
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {
+        (r.conv_id, r.turn_idx): r
+        for r in repair_conversations(df).collect()
+    }
+    # pandas model: walk each conversation in turn order
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    n_model = 0
+    for conv, grp in pdf.sort_values("turn_idx").groupby("conv_id"):
+        segs: list[tuple[str, list, int]] = []
+        for _, row in grp.iterrows():
+            if segs and segs[-1][0] == row.role:
+                segs[-1][1].append(row.text)
+            else:
+                segs.append((row.role, [row.text], row.turn_idx))
+        for new_idx, (role, texts, first) in enumerate(segs):
+            n_model += 1
+            g = got[(conv, new_idx)]
+            assert g.role == role
+            assert g.text == "\x1f".join(texts)
+            assert g.n_merged == len(texts)
+            assert g.first_src_turn == first
+    assert len(got) == n_model
+
+
+def test_pack_conversations_invariants_fuzz(spark):
+    rng = random.Random(13)
+    rows = _random_turns(rng, n_convs=80)
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = pack_conversations(df, budget=40, n_shards=4).toPandas()
+    assert len(out) == out.conv_id.nunique()  # whole conversations
+    for _, shard in out.groupby("shard"):
+        s = shard.sort_values("conv_id").reset_index(drop=True)
+        before = 0
+        for _, row in s.iterrows():
+            # contiguous fill: each conversation starts where the
+            # previous one ended
+            assert row.pack_id == before // 40
+            assert row.pack_pos == before % 40
+            before += row.conv_tokens
+
+
+def test_context_windows_matches_pandas_model(spark):
+    rng = random.Random(17)
+    rows = _random_turns(rng)
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    k = 3
+    got = {
+        (r.conv_id, r.turn_idx): r
+        for r in context_windows(df, k=k).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    n_model = 0
+    for conv, grp in pdf.sort_values("turn_idx").groupby("conv_id"):
+        turns = list(grp.itertuples())
+        for i, t in enumerate(turns):
+            if t.role != "assistant":
+                continue
+            n_model += 1
+            ctx = [
+                f"{p.role}: {p.text}" for p in turns[max(0, i - k) : i]
+            ]
+            g = got[(conv, t.turn_idx)]
+            assert g.context_len == len(ctx)
+            assert g.context == "\x1f".join(ctx)
+            assert g.response == t.text
+    assert len(got) == n_model
