@@ -273,3 +273,26 @@ def test_context_windows_bounded_prefix(spark):
     assert out[5].context_len == 3
     assert out[5].context == "user: t2\x1fassistant: t3\x1fuser: t4"
     assert out[5].response == "t5"
+
+
+def test_pack_conversations_rejects_zero_shards(spark):
+    import pytest
+
+    from vector_spark.dataops.conversations import pack_conversations
+
+    df = _role_turns(spark, [("a", 0, "user", "hi")])
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_conversations(df, budget=10, n_shards=0)
+
+
+def test_conversation_quality_null_text_not_poisoned(spark):
+    from vector_spark.dataops.conversations import conversation_quality
+
+    # all-NULL text: n_blank must be 0 (oracle's CASE..ELSE 0), not NULL
+    df = spark.createDataFrame(
+        [("a", 0, "user", None), ("a", 1, "assistant", None)],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    r = conversation_quality(df).collect()[0]
+    assert r.n_blank == 0
+    assert r.quality_ok is False or r.quality_ok is True  # never NULL

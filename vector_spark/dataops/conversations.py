@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_spark.dataops.text import join_sorted, ordered_struct
+
 # ASCII unit separator: cannot appear in the transcript text (the
 # derivation is printable), so the turn join is injection-free
 _US = "\x1f"
@@ -38,18 +40,8 @@ def conversation_fingerprints(
     per_conv = df.groupBy(F.col(key_col).alias("conv_id")).agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col(order_col).alias("o"),
-                                F.col(text_col).alias("t"),
-                            )
-                        )
-                    ),
-                    lambda s: s["t"],
-                ),
+            join_sorted(
+                F.collect_list(ordered_struct(order_col, F.col(text_col))),
                 _US,
             )
         ).alias("fingerprint"),
@@ -118,9 +110,12 @@ def pack_conversations(
     the cluster, not the data. Two shuffles total (rollup + shard
     window); per-key state is one running sum.
     """
-    if budget <= 0:
-        raise ValueError("budget must be positive")
+    if n_shards <= 0:
+        # % 0 is NULL in non-ANSI Spark: every row would land in one
+        # NULL shard partition with corpus-wide pack ids — fail loudly
+        raise ValueError("n_shards must be positive")
     from vector_spark.dataops.dedup import token_int
+    from vector_spark.dataops.retrieval import contiguous_fill
     from vector_spark.dataops.text import tokens
 
     per_conv = df.groupBy(F.col(key_col).alias("conv_id")).agg(
@@ -135,21 +130,10 @@ def pack_conversations(
             token_int(F.concat(F.lit("pack:"), F.col("conv_id"))) % n_shards
         ).cast("int"),
     )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("conv_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = sharded.withColumn(
-        "_before", F.coalesce(F.sum("conv_tokens").over(w), F.lit(0))
-    )
-    return cum.select(
-        "conv_id",
-        "shard",
-        "n_turns",
-        "conv_tokens",
-        F.floor(F.col("_before") / budget).cast("bigint").alias("pack_id"),
-        (F.col("_before") % budget).cast("bigint").alias("pack_pos"),
+    return contiguous_fill(
+        sharded, "shard", "conv_id", "conv_tokens", budget
+    ).select(
+        "conv_id", "shard", "n_turns", "conv_tokens", "pack_id", "pack_pos"
     )
 
 
@@ -196,9 +180,14 @@ def conversation_quality(df: DataFrame) -> DataFrame:
         (F.max_by("role", "turn_idx") == "assistant").alias(
             "ends_with_assistant"
         ),
-        F.sum((F.length(F.trim(F.col("text"))) == 0).cast("long")).alias(
-            "n_blank"
-        ),
+        # same coalesce as n_role_repeats: NULL text rows must count
+        # as 0 (matching the oracle's CASE ... ELSE 0), not poison the
+        # sum into NULL
+        F.sum(
+            F.coalesce(
+                (F.length(F.trim(F.col("text"))) == 0).cast("long"), F.lit(0)
+            )
+        ).alias("n_blank"),
         a_chars.alias("assistant_chars"),
         u_chars.alias("user_chars"),
     )
@@ -268,18 +257,8 @@ def repair_conversations(
         seg.groupBy("conv_id", "_seg")
         .agg(
             F.max("role").alias("role"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("_src_idx").alias("o"),
-                                F.col("text").alias("t"),
-                            )
-                        )
-                    ),
-                    lambda s: s["t"],
-                ),
+            join_sorted(
+                F.collect_list(ordered_struct("_src_idx", F.col("text"))),
                 sep,
             ).alias("text"),
             F.count(F.lit(1)).cast("bigint").alias("n_merged"),
@@ -380,14 +359,9 @@ def context_windows(
         .orderBy("turn_idx")
         .rowsBetween(-k, -1)
     )
-    ctx = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col("turn_idx").alias("o"),
-                F.concat_ws(": ", "role", "text").alias("t"),
-            )
-        ).over(w)
-    )
+    ctx = F.collect_list(
+        ordered_struct("turn_idx", F.concat_ws(": ", "role", "text"))
+    ).over(w)
     return (
         df.select(
             "conv_id",
@@ -395,9 +369,7 @@ def context_windows(
             "role",
             F.col("text").alias("response"),
             F.size(ctx).alias("context_len"),
-            F.array_join(
-                F.transform(ctx, lambda s: s["t"]), sep
-            ).alias("context"),
+            join_sorted(ctx, sep).alias("context"),
         )
         .filter(F.col("role") == "assistant")
         .select("conv_id", "turn_idx", "context_len", "context", "response")

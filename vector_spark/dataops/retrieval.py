@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_spark.dataops.text import tokens
+from vector_spark.dataops.text import join_sorted, ordered_struct, tokens
 
 
 def doc_term_postings(
@@ -332,6 +332,36 @@ def rrf_fuse(
     )
 
 
+def contiguous_fill(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """The contiguous-fill packing rule, shared by pack_documents and
+    pack_conversations: rows laid end-to-end in ``order_col`` order
+    per ``part_col``, each row assigned to the pack its FIRST token
+    lands in — ``pack_id = floor(exclusive_cumsum / budget)``,
+    ``pack_pos = exclusive_cumsum % budget``. One window per
+    partition; appends (pack_id, pack_pos) to the input columns."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = df.withColumn(
+        "_before", F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    )
+    return cum.select(
+        *df.columns,
+        F.floor(F.col("_before") / budget).cast("bigint").alias("pack_id"),
+        (F.col("_before") % budget).cast("bigint").alias("pack_pos"),
+    )
+
+
 def pack_documents(
     docs: DataFrame,
     budget: int = 2048,
@@ -353,29 +383,12 @@ def pack_documents(
     100 TB packing parallelizes across shards/sources with no global
     coordination — exactly why real packers work per-shard.
     """
-    if budget <= 0:
-        raise ValueError("budget must be positive")
-    n_tok = F.size(tokens(F.col(text_col)))
-    w = (
-        Window.partitionBy("group")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(group_col).alias("group"),
-        n_tok.cast("bigint").alias("n_tokens"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
     )
-    cum = base.withColumn(
-        "_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    )
-    return cum.select(
-        "doc_id",
-        "group",
-        "n_tokens",
-        F.floor(F.col("_before") / budget).cast("bigint").alias("pack_id"),
-        (F.col("_before") % budget).cast("bigint").alias("pack_pos"),
-    )
+    return contiguous_fill(base, "group", "doc_id", "n_tokens", budget)
 
 
 def assemble_packs(
@@ -407,18 +420,8 @@ def assemble_packs(
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_tokens").alias("pack_tokens"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("pack_pos").alias("p"),
-                                F.col("_text").alias("t"),
-                            )
-                        )
-                    ),
-                    lambda s: s["t"],
-                ),
+            join_sorted(
+                F.collect_list(ordered_struct("pack_pos", F.col("_text"))),
                 sep,
             ).alias("pack_text"),
         )

@@ -234,3 +234,19 @@ def lang_id_udf(texts: pd.Series) -> pd.Series:
     tight loop over already-batched data, never per-row UDF
     dispatch."""
     return texts.map(guess_language)
+
+
+def ordered_struct(order_col, text_expr: Column) -> Column:
+    """(o, t) struct for order-sensitive collect+join: collect_list
+    carries NO order guarantee, so the sort key rides along."""
+    return F.struct(F.col(order_col).alias("o"), text_expr.alias("t"))
+
+
+def join_sorted(collected: Column, sep: str) -> Column:
+    """Join the texts of a collected array<struct<o,t>> in o-order:
+    array_sort keys on the leading struct field. The single home of
+    the sorted-collect-join idiom (conversation fingerprints, turn
+    repair, context windows, pack assembly)."""
+    return F.array_join(
+        F.transform(F.array_sort(collected), lambda s: s["t"]), sep
+    )
