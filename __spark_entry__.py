@@ -2198,6 +2198,23 @@ def q_docs_balanced_sample(spark, sf_dir):
     return balanced_sample(docs, k=100)
 
 
+def q_docs_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup (dataops/dedup.py
+    exact_dedup_incremental): the corpus's second half flagged
+    against the first half's persisted fingerprint store — the
+    no-corpus-rescan production dedup shape. Store side broadcasts."""
+    from vector_spark.dataops.dedup import exact_dedup_incremental
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = 250  # deterministic split: ids are dense 0..N-1
+    store = docs.filter(F.col("doc_id") < n).select(
+        F.md5(F.col("text")).alias("fingerprint")
+    )
+    return exact_dedup_incremental(docs.filter(F.col("doc_id") >= n), store)
+
+
 def q_conv_asof_prompts(spark, sf_dir):
     """General as-of join under the hard gate (operators/asof.py):
     every assistant turn joined to the LATEST preceding user turn in
@@ -2266,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_curation_e2e": q_conv_curation_e2e,
         "conv_asof_prompts": q_conv_asof_prompts,
         "docs_balanced_sample": q_docs_balanced_sample,
+        "docs_dedup_incremental": q_docs_dedup_incremental,
         "stream_route_counts": q_stream_route_counts,
         "media_probe": q_media_probe,
         "media_features": q_media_features,
@@ -2757,6 +2775,14 @@ JOIN (
 ) d ON p.conv_id = d.conv_id
 """
     )
+
+    o["docs_dedup_incremental"] = """
+SELECT d.doc_id, md5(d.text) AS fingerprint,
+       md5(d.text) NOT IN (
+         SELECT md5(text) FROM documents WHERE doc_id < 250
+       ) AS is_novel
+FROM documents d WHERE d.doc_id >= 250
+"""
 
     o["docs_balanced_sample"] = """
 SELECT doc_id, source AS "group",

@@ -123,8 +123,10 @@ HEADLINE = [
     # round 5: general as-of join (union-window plan, oracle = DuckDB
     # native ASOF JOIN)
     "conv_asof_prompts",
-    # round 5: exact per-source balanced subsampling
+    # round 5: exact per-source balanced subsampling + incremental
+    # (store-joined, no-corpus-rescan) exact dedup
     "docs_balanced_sample",
+    "docs_dedup_incremental",
 ]
 
 

@@ -262,3 +262,20 @@ def test_balanced_sample_exact_quota(spark):
     # deterministic: same pick on a second run
     again = balanced_sample(df, k=5).toPandas()
     assert sorted(kept.doc_id) == sorted(again[again.kept].doc_id)
+
+
+def test_exact_dedup_incremental_flags_novelty(spark):
+    from pyspark.sql import functions as F
+
+    from vector_spark.dataops.dedup import exact_dedup_incremental
+
+    new = spark.createDataFrame(
+        [("n1", "seen before"), ("n2", "brand new")],
+        "doc_id string, text string",
+    )
+    store = spark.createDataFrame(
+        [("seen before",), ("other",)], "t string"
+    ).select(F.md5("t").alias("fingerprint"))
+    out = {r.doc_id: r.is_novel
+           for r in exact_dedup_incremental(new, store).collect()}
+    assert out == {"n1": False, "n2": True}

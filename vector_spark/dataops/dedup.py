@@ -95,6 +95,38 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def exact_dedup_incremental(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: flag each NEW document against an
+    EXISTING fingerprint store without rescanning the corpus —
+    (doc_id, fingerprint, is_novel).
+
+    The production shape of dedup at 100 TB: yesterday's corpus is a
+    persisted fingerprint table; today's shard joins against it, the
+    corpus itself never re-reads. ``seen_fingerprints`` needs one
+    column ``fingerprint``. The join broadcasts when the store is
+    small and degrades to a fingerprint-keyed shuffle join when it
+    is not — either way cost scales with |new| + |store|, never with
+    the corpus text.
+    """
+    store = seen_fingerprints.select("fingerprint").distinct().withColumn(
+        "_seen", F.lit(True)
+    )
+    fps = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("fingerprint"),
+    )
+    return fps.join(store, "fingerprint", "left").select(
+        "doc_id",
+        "fingerprint",
+        F.col("_seen").isNull().alias("is_novel"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
