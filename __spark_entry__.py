@@ -2215,6 +2215,26 @@ def q_docs_dedup_incremental(spark, sf_dir):
     return exact_dedup_incremental(docs.filter(F.col("doc_id") >= n), store)
 
 
+def q_tool_stats(spark, sf_dir):
+    """Per-tool usage rollup over the PARSED transcripts: call
+    counts, error counts/rate, latency sum/max — the tool-axis
+    aggregate a pipeline operator dashboard runs. One partial-agg
+    groupBy(tool), all algebraic."""
+    parsed = _parsed(spark, sf_dir).filter(
+        F.col("tool").isNotNull() & (F.col("tool") != "none")
+    )
+    # coalesce: level is NULL on parse-error rows; a group of only
+    # NULL levels must yield 0, not NULL (matches the oracle's CASE)
+    is_err = F.coalesce((F.col("level") == "ERROR").cast("long"), F.lit(0))
+    return parsed.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_calls"),
+        F.sum(is_err).alias("n_errors"),
+        (F.sum(is_err) / F.count(F.lit(1))).alias("err_rate"),
+        F.sum("latency_ms").cast("bigint").alias("latency_sum"),
+        F.max("latency_ms").cast("bigint").alias("latency_max"),
+    )
+
+
 def q_conv_asof_prompts(spark, sf_dir):
     """General as-of join under the hard gate (operators/asof.py):
     every assistant turn joined to the LATEST preceding user turn in
@@ -2284,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_asof_prompts": q_conv_asof_prompts,
         "docs_balanced_sample": q_docs_balanced_sample,
         "docs_dedup_incremental": q_docs_dedup_incremental,
+        "tool_stats": q_tool_stats,
         "stream_route_counts": q_stream_route_counts,
         "media_probe": q_media_probe,
         "media_features": q_media_features,
@@ -2773,6 +2794,22 @@ JOIN (
     )
   ) WHERE conv_id = canonical_id
 ) d ON p.conv_id = d.conv_id
+"""
+    )
+
+    o["tool_stats"] = _with(
+        """
+SELECT tool,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(sum(CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       sum(CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END)::DOUBLE / count(*)
+         AS err_rate,
+       CAST(sum(latency_ms) AS BIGINT) AS latency_sum,
+       CAST(max(latency_ms) AS BIGINT) AS latency_max
+FROM parsed
+WHERE tool IS NOT NULL AND tool <> 'none'
+GROUP BY tool
 """
     )
 

@@ -127,6 +127,8 @@ HEADLINE = [
     # (store-joined, no-corpus-rescan) exact dedup
     "docs_balanced_sample",
     "docs_dedup_incremental",
+    # round 5: tool-axis operational rollup
+    "tool_stats",
 ]
 
 
