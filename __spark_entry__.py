@@ -2235,6 +2235,25 @@ def q_tool_stats(spark, sf_dir):
     )
 
 
+def q_tool_hourly_rollup(spark, sf_dir):
+    """Multi-level dashboard aggregate via Catalyst's native ROLLUP
+    (grouping sets): (tool, hour) -> (tool) -> grand total in ONE
+    pass with partial aggregation — what a dashboard materializes
+    instead of three separate groupBys. DuckDB replays the same
+    ROLLUP semantics including the NULL group markers."""
+    parsed = _parsed(spark, sf_dir).filter(
+        F.col("tool").isNotNull() & (F.col("tool") != "none")
+    )
+    return (
+        parsed.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .rollup("tool", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_calls"),
+            F.sum("latency_ms").cast("bigint").alias("latency_sum"),
+        )
+    )
+
+
 def q_conv_asof_prompts(spark, sf_dir):
     """General as-of join under the hard gate (operators/asof.py):
     every assistant turn joined to the LATEST preceding user turn in
@@ -2305,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_balanced_sample": q_docs_balanced_sample,
         "docs_dedup_incremental": q_docs_dedup_incremental,
         "tool_stats": q_tool_stats,
+        "tool_hourly_rollup": q_tool_hourly_rollup,
         "stream_route_counts": q_stream_route_counts,
         "media_probe": q_media_probe,
         "media_features": q_media_features,
@@ -2810,6 +2830,17 @@ SELECT tool,
 FROM parsed
 WHERE tool IS NOT NULL AND tool <> 'none'
 GROUP BY tool
+"""
+    )
+
+    o["tool_hourly_rollup"] = _with(
+        """
+SELECT tool, date_trunc('hour', ts) AS hour,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(sum(latency_ms) AS BIGINT) AS latency_sum
+FROM parsed
+WHERE tool IS NOT NULL AND tool <> 'none'
+GROUP BY ROLLUP (tool, date_trunc('hour', ts))
 """
     )
 

@@ -127,8 +127,10 @@ HEADLINE = [
     # (store-joined, no-corpus-rescan) exact dedup
     "docs_balanced_sample",
     "docs_dedup_incremental",
-    # round 5: tool-axis operational rollup
+    # round 5: tool-axis operational rollup + native ROLLUP
+    # grouping-sets dashboard aggregate
     "tool_stats",
+    "tool_hourly_rollup",
 ]
 
 
