@@ -154,3 +154,68 @@ def test_context_windows_matches_pandas_model(spark):
             assert g.context == "\x1f".join(ctx)
             assert g.response == t.text
     assert len(got) == n_model
+
+
+def test_mixing_ops_match_pandas_models(spark):
+    rng = random.Random(23)
+    rows = [
+        (f"d{i:03d}", rng.choice(["web", "code", "wiki"]),
+         " ".join("w" for _ in range(rng.randint(0, 20))))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    pdf["n_tokens"] = pdf.text.str.split().map(len)
+
+    # score_deciles: ntile(10) by (score, id) per source
+    from vector_spark.dataops.mixing import (
+        balanced_sample,
+        score_deciles,
+        token_quota_filter,
+    )
+    from vector_spark.dataops.text import token_count
+    from pyspark.sql import functions as F
+
+    scored = df.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    got = score_deciles(scored, "n_tokens").toPandas()
+    for src, grp in pdf.groupby("source"):
+        order = grp.sort_values(["n_tokens", "doc_id"]).doc_id.tolist()
+        n = len(order)
+        # SQL ntile: first (n % 10) buckets get ceil(n/10), rest floor
+        big, small = -(-n // 10), n // 10
+        cut = (n % 10) * big
+        want = {}
+        for i, doc in enumerate(order):
+            want[doc] = (i // big) + 1 if i < cut else \
+                ((i - cut) // small) + (n % 10) + 1
+        sub = got[got.group == src]
+        assert dict(zip(sub.doc_id, sub.bucket)) == want
+
+    # balanced_sample: rank by (md5('bal:'+id), id) per source
+    import hashlib
+
+    got = balanced_sample(df, k=7).toPandas()
+    for src, grp in pdf.groupby("source"):
+        order = sorted(
+            grp.doc_id,
+            key=lambda d: (hashlib.md5(f"bal:{d}".encode()).hexdigest(), d),
+        )
+        sub = got[got.group == src].set_index("doc_id")
+        for rank, doc in enumerate(order, 1):
+            assert sub.loc[doc, "rank"] == rank
+            assert bool(sub.loc[doc, "kept"]) == (rank <= 7)
+
+    # token_quota_filter: greedy prefix within quota, doc_id order
+    got = token_quota_filter(
+        df, {"web": 120, "code": 60}, default_quota=40
+    ).toPandas()
+    quotas = {"web": 120, "code": 60, "wiki": 40}
+    for src, grp in pdf.groupby("source"):
+        run = 0
+        sub = got[got.group == src].set_index("doc_id")
+        for _, row in grp.sort_values("doc_id").iterrows():
+            run += row.n_tokens
+            assert sub.loc[row.doc_id, "cum_tokens"] == run
+            assert bool(sub.loc[row.doc_id, "kept"]) == (run <= quotas[src])
