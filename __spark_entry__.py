@@ -715,6 +715,72 @@ def q_q3_revenue(spark, sf_dir):
     )
 
 
+def q_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): the 6-table join with
+    the dimension chain (region -> nation -> customer/supplier)
+    BROADCAST and only orders JOIN lineitem shuffling — the join-tree
+    evidence for the planner. Revenue rounded to e4-integer so the
+    float sum is order-insensitive across engines."""
+    rd = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dim_n = na.join(F.broadcast(rd), na.n_regionkey == rd.r_regionkey)
+    dim_s = su.join(
+        F.broadcast(dim_n), su.s_nationkey == dim_n.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    dim_c = cu.join(
+        F.broadcast(dim_n.select("n_nationkey")),
+        cu.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey")
+    big = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim_s), li.l_suppkey == dim_s.s_suppkey)
+        .join(F.broadcast(dim_c), orders.o_custkey == dim_c.c_custkey)
+        # TPC-H Q5: the customer's nation must BE the supplier's
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+    )
+    return big.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            * 10000
+        )
+        .cast("bigint")
+        .alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_q6_forecast(spark, sf_dir):
+    """TPC-H Q6 shape (forecast revenue change): pure scan-filter-agg
+    — the predicate-pushdown / codegen evidence row. One row out."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")) * 10000
+            )
+            .cast("bigint")
+            .alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_events_tumbling(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -2325,6 +2391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_incremental": q_docs_dedup_incremental,
         "tool_stats": q_tool_stats,
         "tool_hourly_rollup": q_tool_hourly_rollup,
+        "q5_local_supplier": q_q5_local_supplier,
+        "q6_forecast": q_q6_forecast,
         "stream_route_counts": q_stream_route_counts,
         "media_probe": q_media_probe,
         "media_features": q_media_features,
@@ -2832,6 +2900,35 @@ WHERE tool IS NOT NULL AND tool <> 'none'
 GROUP BY tool
 """
     )
+
+    o["q5_local_supplier"] = """
+SELECT n.n_name,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+            AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+"""
+
+    o["q6_forecast"] = """
+SELECT CAST(round(sum(l_extendedprice * l_discount) * 10000) AS BIGINT)
+         AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
 
     o["tool_hourly_rollup"] = _with(
         """

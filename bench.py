@@ -131,6 +131,10 @@ HEADLINE = [
     # grouping-sets dashboard aggregate
     "tool_stats",
     "tool_hourly_rollup",
+    # round 5: join-tree + scan-pushdown evidence rows (TPC-H Q5/Q6
+    # shapes over the driver tables)
+    "q5_local_supplier",
+    "q6_forecast",
 ]
 
 
