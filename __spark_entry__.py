@@ -2773,14 +2773,18 @@ SELECT conv_id,
        (max_by(role, turn_idx) = 'assistant') AS ends_with_assistant,
        CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_blank,
-       CAST(sum(CASE WHEN role = 'assistant' THEN length(text) ELSE 0 END)
+       CAST(sum(CASE WHEN role = 'assistant'
+                THEN coalesce(length(text), 0) ELSE 0 END)
             AS BIGINT) AS assistant_chars,
-       CAST(sum(CASE WHEN role = 'user' THEN length(text) ELSE 0 END)
+       CAST(sum(CASE WHEN role = 'user'
+                THEN coalesce(length(text), 0) ELSE 0 END)
             AS BIGINT) AS user_chars,
-       CAST(sum(CASE WHEN role = 'assistant' THEN length(text) ELSE 0 END)
+       CAST(sum(CASE WHEN role = 'assistant'
+                THEN coalesce(length(text), 0) ELSE 0 END)
             AS DOUBLE)
-         / greatest(sum(CASE WHEN role = 'user' THEN length(text)
-                        ELSE 0 END), 1) AS char_ratio,
+         / greatest(sum(CASE WHEN role = 'user'
+                        THEN coalesce(length(text), 0) ELSE 0 END), 1)
+         AS char_ratio,
        (sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) = 0
         AND min_by(role, turn_idx) = 'user'
         AND max_by(role, turn_idx) = 'assistant'
@@ -2942,11 +2946,23 @@ GROUP BY ROLLUP (tool, date_trunc('hour', ts))
     )
 
     o["docs_dedup_incremental"] = """
-SELECT d.doc_id, md5(d.text) AS fingerprint,
-       md5(d.text) NOT IN (
-         SELECT md5(text) FROM documents WHERE doc_id < 250
-       ) AS is_novel
-FROM documents d WHERE d.doc_id >= 250
+WITH f AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS fingerprint
+  FROM documents WHERE doc_id >= 250
+),
+flags AS (
+  SELECT doc_id, fingerprint,
+         fingerprint IN (
+           SELECT md5(coalesce(text, '')) FROM documents
+           WHERE doc_id < 250
+         ) AS in_store,
+         doc_id = min(doc_id) OVER (PARTITION BY fingerprint)
+           AS first_in_batch
+  FROM f
+)
+SELECT doc_id, fingerprint, in_store, first_in_batch,
+       (NOT in_store) AND first_in_batch AS is_novel
+FROM flags
 """
 
     o["docs_balanced_sample"] = """

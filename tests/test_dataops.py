@@ -270,12 +270,22 @@ def test_exact_dedup_incremental_flags_novelty(spark):
     from vector_spark.dataops.dedup import exact_dedup_incremental
 
     new = spark.createDataFrame(
-        [("n1", "seen before"), ("n2", "brand new")],
+        [
+            ("n1", "seen before"),
+            ("n2", "brand new"),
+            ("n3", "brand new"),   # within-batch dup of n2
+            ("n4", None),          # NULL text: fingerprints as ''
+        ],
         "doc_id string, text string",
     )
     store = spark.createDataFrame(
         [("seen before",), ("other",)], "t string"
     ).select(F.md5("t").alias("fingerprint"))
-    out = {r.doc_id: r.is_novel
-           for r in exact_dedup_incremental(new, store).collect()}
-    assert out == {"n1": False, "n2": True}
+    out = {r.doc_id: r for r in exact_dedup_incremental(new, store).collect()}
+    assert out["n1"].in_store and not out["n1"].is_novel
+    # only the FIRST within-batch copy is novel
+    assert out["n2"].is_novel and out["n2"].first_in_batch
+    assert not out["n3"].is_novel and not out["n3"].first_in_batch
+    assert out["n3"].fingerprint == out["n2"].fingerprint
+    # NULL text gets the empty-string fingerprint, not NULL
+    assert out["n4"].fingerprint is not None and out["n4"].is_novel

@@ -115,7 +115,7 @@ def pack_conversations(
         # NULL shard partition with corpus-wide pack ids — fail loudly
         raise ValueError("n_shards must be positive")
     from vector_spark.dataops.dedup import token_int
-    from vector_spark.dataops.retrieval import contiguous_fill
+    from vector_spark.dataops.packing import contiguous_fill
     from vector_spark.dataops.text import tokens
 
     per_conv = df.groupBy(F.col(key_col).alias("conv_id")).agg(
@@ -159,13 +159,15 @@ def conversation_quality(df: DataFrame) -> DataFrame:
         "text",
         F.lag("role").over(w).alias("_prev_role"),
     )
+    # coalesce length(NULL) per row: a conversation of only NULL-text
+    # assistant turns must sum to 0, not NULL (else char_ratio and any
+    # downstream gate comparing it silently evaluates to NULL)
+    _len0 = F.coalesce(F.length("text"), F.lit(0))
     a_chars = F.sum(
-        F.when(F.col("role") == "assistant", F.length("text")).otherwise(
-            F.lit(0)
-        )
+        F.when(F.col("role") == "assistant", _len0).otherwise(F.lit(0))
     ).cast("bigint")
     u_chars = F.sum(
-        F.when(F.col("role") == "user", F.length("text")).otherwise(F.lit(0))
+        F.when(F.col("role") == "user", _len0).otherwise(F.lit(0))
     ).cast("bigint")
     agg = turns.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),

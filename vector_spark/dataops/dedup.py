@@ -22,7 +22,7 @@ h_i(x) = (a_i * (x mod P) + b_i) mod P with P = 4294967311 (prime >
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 P = 4294967311  # prime > 2^32
@@ -103,7 +103,7 @@ def exact_dedup_incremental(
 ) -> DataFrame:
     """Incremental exact dedup: flag each NEW document against an
     EXISTING fingerprint store without rescanning the corpus —
-    (doc_id, fingerprint, is_novel).
+    (doc_id, fingerprint, in_store, first_in_batch, is_novel).
 
     The production shape of dedup at 100 TB: yesterday's corpus is a
     persisted fingerprint table; today's shard joins against it, the
@@ -112,18 +112,34 @@ def exact_dedup_incremental(
     small and degrades to a fingerprint-keyed shuffle join when it
     is not — either way cost scales with |new| + |store|, never with
     the corpus text.
+
+    is_novel admits only the FIRST (min-id) copy of a fingerprint
+    within the new batch — two copies arriving in the same shard
+    must not both pass. NULL text fingerprints as the empty string
+    so a NULL-text doc dedups like any other instead of silently
+    never matching the store.
     """
     store = seen_fingerprints.select("fingerprint").distinct().withColumn(
         "_seen", F.lit(True)
     )
     fps = new_docs.select(
         F.col(id_col).alias("doc_id"),
-        F.md5(F.col(text_col)).alias("fingerprint"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fingerprint"),
     )
-    return fps.join(store, "fingerprint", "left").select(
-        "doc_id",
-        "fingerprint",
-        F.col("_seen").isNull().alias("is_novel"),
+    w = Window.partitionBy("fingerprint")
+    return (
+        fps.join(store, "fingerprint", "left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.col("_seen").isNotNull().alias("in_store"),
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias(
+                "first_in_batch"
+            ),
+        )
+        .withColumn(
+            "is_novel", ~F.col("in_store") & F.col("first_in_batch")
+        )
     )
 
 
