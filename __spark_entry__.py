@@ -2281,6 +2281,27 @@ def q_docs_dedup_incremental(spark, sf_dir):
     return exact_dedup_incremental(docs.filter(F.col("doc_id") >= n), store)
 
 
+def q_docs_bpe_tokens(spark, sf_dir):
+    """Token counting under all three tokenizers the brief names
+    (dataops/text.py): whitespace tokens, the chars/4+punct
+    estimate, and the BPE-ish pre-tokenizer regex (GPT-2 style,
+    RE2-safe: no lookahead, so DuckDB replays the identical
+    pattern). Zero shuffle, one regexp pass per counter."""
+    from vector_spark.dataops.text import (
+        bpe_ish_token_count,
+        token_count,
+        token_estimate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        token_estimate(F.col("text")).alias("n_est_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
 def q_tool_stats(spark, sf_dir):
     """Per-tool usage rollup over the PARSED transcripts: call
     counts, error counts/rate, latency sum/max — the tool-axis
@@ -2389,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_asof_prompts": q_conv_asof_prompts,
         "docs_balanced_sample": q_docs_balanced_sample,
         "docs_dedup_incremental": q_docs_dedup_incremental,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
         "tool_stats": q_tool_stats,
         "tool_hourly_rollup": q_tool_hourly_rollup,
         "q5_local_supplier": q_q5_local_supplier,
@@ -2888,6 +2910,19 @@ JOIN (
 ) d ON p.conv_id = d.conv_id
 """
     )
+
+    # DuckDB strings are single-quoted; the pattern's leading
+    # apostrophe doubles. Same RE2 pattern as text.BPE_ISH_PATTERN.
+    o["docs_bpe_tokens"] = f"""
+SELECT doc_id,
+  CAST(len({_DOC_TOKS}) AS INT) AS n_ws_tokens,
+  CAST(ceil(length(regexp_replace(text, '[^a-zA-Z0-9_]', '', 'g')) / 4.0)
+       + length(regexp_replace(text, '[a-zA-Z0-9_\\s]', '', 'g'))
+       AS BIGINT) AS n_est_tokens,
+  CAST(len(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+')) AS INT) AS n_bpe_tokens
+FROM documents
+"""
 
     o["tool_stats"] = _with(
         """

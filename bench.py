@@ -135,6 +135,9 @@ HEADLINE = [
     # shapes over the driver tables)
     "q5_local_supplier",
     "q6_forecast",
+    # round 5: three-tokenizer counting row (whitespace / estimate /
+    # BPE-ish regex)
+    "docs_bpe_tokens",
 ]
 
 

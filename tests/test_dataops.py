@@ -289,3 +289,25 @@ def test_exact_dedup_incremental_flags_novelty(spark):
     assert out["n3"].fingerprint == out["n2"].fingerprint
     # NULL text gets the empty-string fingerprint, not NULL
     assert out["n4"].fingerprint is not None and out["n4"].is_novel
+
+
+def test_bpe_ish_token_count_segments(spark):
+    from pyspark.sql import functions as F
+
+    from vector_spark.dataops.text import bpe_ish_token_count
+
+    df = spark.createDataFrame(
+        [
+            ("a", "it's 2024, really!"),
+            ("b", ""),
+            ("c", "hello"),
+        ],
+        "id string, t string",
+    )
+    out = {r.id: r.n for r in df.select(
+        "id", bpe_ish_token_count(F.col("t")).alias("n")
+    ).collect()}
+    # it | 's | ' 2024' | , | ' really' | ! -> 6 pieces
+    assert out["a"] == 6
+    assert out["b"] == 0
+    assert out["c"] == 1

@@ -250,3 +250,26 @@ def join_sorted(collected: Column, sep: str) -> Column:
     return F.array_join(
         F.transform(F.array_sort(collected), lambda s: s["t"]), sep
     )
+
+
+# BPE-ish pre-tokenizer (GPT-2 style, simplified to RE2-safe syntax:
+# no lookahead, so DuckDB's regexp_extract_all replays it verbatim):
+# contraction suffixes, space-prefixed letter runs, space-prefixed
+# digit runs, space-prefixed punctuation runs, residual whitespace
+BPE_ISH_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[a-zA-Z]+"
+    r"| ?[0-9]+"
+    r"| ?[^a-zA-Z0-9\s]+"
+    r"|\s+"
+)
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer — the budget unit
+    an LLM pipeline actually bills in, minus the merge table (merges
+    only split finer, so this upper-bounds piece count per word run
+    while tracking it far better than chars/4)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)).cast(
+        "int"
+    )
