@@ -2920,7 +2920,7 @@ SELECT doc_id,
        + length(regexp_replace(text, '[a-zA-Z0-9_\\s]', '', 'g'))
        AS BIGINT) AS n_est_tokens,
   CAST(len(regexp_extract_all(text,
-    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+')) AS INT) AS n_bpe_tokens
+    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+')) AS INT) AS n_bpe_tokens
 FROM documents
 """
 
