@@ -613,7 +613,13 @@ def connected_components(
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.cache()
-        converged = new_labels.filter(F.col("_chg")).isEmpty()
+        # iteration 0 cannot converge unless the edge set is empty —
+        # any edge moves a label on the first round — so skip its
+        # convergence action entirely: the first Spark job then fires
+        # at iteration 1 and pipelines edge-cache fill, round 0, and
+        # round 1 through one scheduling barrier instead of three
+        # (an empty edge set just pays one no-op extra round)
+        converged = it > 0 and new_labels.filter(F.col("_chg")).isEmpty()
         labels.unpersist()
         if stepped is not None:
             stepped.unpersist()
