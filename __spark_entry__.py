@@ -2423,9 +2423,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "config_pipelines": q_config_pipelines,
         "stream_agg_hourly": q_stream_agg_hourly,
         "stream_sessionize": q_stream_sessionize,
+        # -- implementation CHANGED in round 5 (pointer-doubling CC,
+        # _toks/withColumns parser projections, vrl_lang compile-tier
+        # growth) — must be re-stamped inside the r5 driver window;
+        # their displaced stable peers (q3_revenue, events_tumbling,
+        # salted_agg_conv, enrich_between) are r4-driver-green and
+        # unchanged this round
+        "docs_dup_clusters": q_docs_dup_clusters,
+        "vpc_flow_parse": q_vpc_flow_parse,
+        "alb_parse": q_alb_parse,
+        "remap_vrl": q_remap_vrl,
         # -- no driver row in r03 (registry past the 50-entry window)
-        "q3_revenue": q_q3_revenue,
-        "events_tumbling": q_events_tumbling,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_text_stats": q_docs_text_stats,
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -2436,8 +2444,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syslog_parse": q_syslog_parse,
         "kv_extract": q_kv_extract,
         "sessionize_endswhen": q_sessionize_endswhen,
-        "salted_agg_conv": q_salted_agg_conv,
-        "enrich_between": q_enrich_between,
         "emb_near_dup": q_emb_near_dup,
         "geoip_enrich": q_geoip_enrich,
         "metric_to_log": q_metric_to_log,
@@ -2453,8 +2459,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "glog_parse": q_glog_parse,
         "klog_parse": q_klog_parse,
         "auth_parse": q_auth_parse,
-        "vpc_flow_parse": q_vpc_flow_parse,
-        "alb_parse": q_alb_parse,
+        "q3_revenue": q_q3_revenue,
+        "events_tumbling": q_events_tumbling,
+        "salted_agg_conv": q_salted_agg_conv,
+        "enrich_between": q_enrich_between,
         # -- new or changed in round 4 (must stay inside the window)
         "ann_topk_lsh": q_ann_topk_lsh,  # now the BLAS kernel plan
         "ann_topk_ivf": q_ann_topk_ivf,  # now the BLAS cell kernel
@@ -2487,7 +2495,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ruby_hash_parse": q_ruby_hash_parse,
         "xml_parse": q_xml_parse,
         "cloudwatch_parse": q_cloudwatch_parse,
-        "remap_vrl": q_remap_vrl,
         "remap_vrl_interp": q_remap_vrl_interp,
         "datadog_filter": q_datadog_filter,
         "gelf_decode": q_gelf_decode,
@@ -2505,7 +2512,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unigram_logprob": q_docs_unigram_logprob,
         "emb_kmeans": q_emb_kmeans,
         "emb_semdedup": q_emb_semdedup,
-        "docs_dup_clusters": q_docs_dup_clusters,
         "sketch_merge": q_sketch_merge,
         "merge_histograms": q_merge_histograms,
         "enrich_ci": q_enrich_ci,

@@ -503,10 +503,14 @@ def _prepare_scaled_input(mult: int) -> str:
     spark = get_spark("vector-spark-scale-prep", master="local[32]")
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     reps = spark.range(mult).withColumnRenamed("id", "_rep")
-    # replica offsets stay small enough that the derivation's
-    # `event_id * 2654435761` fits in int64 under ANSI mode
+    # replica offsets: large enough for disjoint id ranges (base
+    # event_ids top out at sf*10^6), small enough that the
+    # derivation's `event_id * 2654435761` fits in int64 under ANSI
+    # mode for any mult up to ~1700 (2*10^6 offset: max event_id
+    # 1700*2e6*2654435761 ~ 9.0e18 < 2^63-1; the old 10^7 offset
+    # overflowed past mult~340)
     big = ev.crossJoin(reps).selectExpr(
-        "event_id + _rep * 10000000 AS event_id",
+        "event_id + _rep * 2000000 AS event_id",
         "user_id + _rep * 1000000 AS user_id",
         *[c for c in ev.columns if c not in ("event_id", "user_id")],
     )
