@@ -2281,6 +2281,35 @@ def q_docs_dedup_incremental(spark, sf_dir):
     return exact_dedup_incremental(docs.filter(F.col("doc_id") >= n), store)
 
 
+def q_docs_dup_spans(spark, sf_dir):
+    """Cross-document duplicated 10-token spans (dataops/dedup.py
+    duplicate_spans) — ExactSubstr detection (Lee et al. 2022,
+    arXiv:2107.06499): the sub-document dedup signal the reference's
+    whole-event dedupe (src/transforms/dedupe.rs) has no analogue
+    for. One corpus-sized exchange on the window hash; duplicate
+    test is a window aggregate (no join, no pair blowup); island
+    merge shuffles only the duplicated-window hit set."""
+    from vector_spark.dataops.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return duplicate_spans(docs, k=10)
+
+
+def q_docs_despan(spark, sf_dir):
+    """ExactSubstr REMOVAL (dataops/dedup.py remove_duplicate_spans):
+    every duplicated 10-token span cut except its canonical
+    (min doc_id, min start) occurrence; text rebuilt from the kept
+    tokens per-row — the token stream itself never shuffles."""
+    from vector_spark.dataops.dedup import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return remove_duplicate_spans(docs, k=10)
+
+
 def q_docs_bpe_tokens(spark, sf_dir):
     """Token counting under all three tokenizers the brief names
     (dataops/text.py): whitespace tokens, the chars/4+punct
@@ -2410,6 +2439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_asof_prompts": q_conv_asof_prompts,
         "docs_balanced_sample": q_docs_balanced_sample,
         "docs_dedup_incremental": q_docs_dedup_incremental,
+        "docs_dup_spans": q_docs_dup_spans,
+        "docs_despan": q_docs_despan,
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "tool_stats": q_tool_stats,
         "tool_hourly_rollup": q_tool_hourly_rollup,
@@ -2443,9 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_apache": q_grok_apache,
         "syslog_parse": q_syslog_parse,
         "kv_extract": q_kv_extract,
-        "sessionize_endswhen": q_sessionize_endswhen,
         "emb_near_dup": q_emb_near_dup,
-        "geoip_enrich": q_geoip_enrich,
         "metric_to_log": q_metric_to_log,
         "dropped_port": q_dropped_port,
         "aggregate_mixed_kinds": q_aggregate_mixed_kinds,
@@ -2459,6 +2488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "glog_parse": q_glog_parse,
         "klog_parse": q_klog_parse,
         "auth_parse": q_auth_parse,
+        "sessionize_endswhen": q_sessionize_endswhen,
+        "geoip_enrich": q_geoip_enrich,
         "q3_revenue": q_q3_revenue,
         "events_tumbling": q_events_tumbling,
         "salted_agg_conv": q_salted_agg_conv,
@@ -2985,6 +3016,117 @@ WHERE tool IS NOT NULL AND tool <> 'none'
 GROUP BY ROLLUP (tool, date_trunc('hour', ts))
 """
     )
+
+    # ExactSubstr span detection: identical tokenization, window
+    # hashing, duplicate test, and gaps-and-islands merge as the
+    # Spark plan — positions 0-based, span_end exclusive.
+    o["docs_dup_spans"] = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS tk
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, w['start'] AS start, w['wh'] AS wh FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(len(tk) - 10 + 1),
+        i -> struct_pack(start := i,
+                         wh := md5(array_to_string(tk[i + 1 : i + 10], ' '))))) AS w
+    FROM toks WHERE len(tk) >= 10
+  )
+),
+hits AS (
+  SELECT doc_id, start FROM (
+    SELECT doc_id, start,
+      min(doc_id) OVER (PARTITION BY wh) AS mn,
+      max(doc_id) OVER (PARTITION BY wh) AS mx
+    FROM wins
+  ) WHERE mn != mx
+),
+mark AS (
+  SELECT doc_id, start,
+    CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 10
+         THEN 1 ELSE 0 END AS newi
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, start,
+    sum(newi) OVER (PARTITION BY doc_id ORDER BY start) AS island
+  FROM mark
+)
+SELECT doc_id,
+  CAST(min(start) AS INT) AS span_start,
+  CAST(max(start) + 10 AS INT) AS span_end,
+  CAST(max(start) + 10 - min(start) AS INT) AS span_tokens,
+  count(*) AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+    # ExactSubstr removal: canonical occurrence = lexicographic min
+    # (doc_id, start) per duplicated window; rewrite keeps tokens
+    # outside every merged removal interval.
+    o["docs_despan"] = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS tk
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, w['start'] AS start, w['wh'] AS wh FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(len(tk) - 10 + 1),
+        i -> struct_pack(start := i,
+                         wh := md5(array_to_string(tk[i + 1 : i + 10], ' '))))) AS w
+    FROM toks WHERE len(tk) >= 10
+  )
+),
+hits AS (
+  SELECT doc_id, start FROM (
+    SELECT doc_id, start,
+      min(doc_id) OVER (PARTITION BY wh) AS mn,
+      max(doc_id) OVER (PARTITION BY wh) AS mx,
+      row_number() OVER (PARTITION BY wh ORDER BY doc_id, start) AS rn
+    FROM wins
+  ) WHERE mn != mx AND rn > 1
+),
+mark AS (
+  SELECT doc_id, start,
+    CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 10
+         THEN 1 ELSE 0 END AS newi
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, start,
+    sum(newi) OVER (PARTITION BY doc_id ORDER BY start) AS island
+  FROM mark
+),
+rm AS (
+  SELECT doc_id, min(start) AS s, max(start) + 10 AS e
+  FROM isl GROUP BY doc_id, island
+),
+tok_rows AS (
+  SELECT doc_id, w['t'] AS t, w['i'] AS idx FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(len(tk)),
+        i -> struct_pack(t := tk[i + 1], i := i))) AS w
+    FROM toks
+  )
+),
+kept AS (
+  SELECT tr.doc_id, tr.t, tr.idx FROM tok_rows tr
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rm
+    WHERE rm.doc_id = tr.doc_id AND tr.idx >= rm.s AND tr.idx < rm.e
+  )
+)
+SELECT t.doc_id,
+  coalesce((SELECT string_agg(k.t, ' ' ORDER BY k.idx)
+            FROM kept k WHERE k.doc_id = t.doc_id), '') AS clean_text,
+  CAST(len(tk) AS INT) AS n_tokens,
+  CAST(len(tk) - (SELECT count(*) FROM kept k2 WHERE k2.doc_id = t.doc_id)
+       AS INT) AS n_removed_tokens
+FROM toks t
+"""
 
     o["docs_dedup_incremental"] = """
 WITH f AS (

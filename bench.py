@@ -138,6 +138,11 @@ HEADLINE = [
     # round 5: three-tokenizer counting row (whitespace / estimate /
     # BPE-ish regex)
     "docs_bpe_tokens",
+    # round 5: ExactSubstr duplicated-span detection + removal
+    # (one corpus exchange on the window hash, window-aggregate
+    # duplicate test, islands merge over the hit set only)
+    "docs_dup_spans",
+    "docs_despan",
 ]
 
 

@@ -632,3 +632,209 @@ def connected_components(
         F.col("label").alias("cluster_rep"),
         (F.col("id") == F.col("label")).alias("is_canonical"),
     )
+
+
+def _span_windows(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, start, wh): every k-token window per doc with its md5
+    window hash; 0-based token start. Pure per-row map — tokenize
+    once (projected column, survives CollapseProject), one explode,
+    no shuffle. Docs shorter than k tokens yield no windows."""
+    tokd = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda t: t != "",
+        ).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    return (
+        tokd.where(F.size(toks) >= k)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.md5(
+                            F.array_join(F.slice(toks, i + 1, k), " ")
+                        ).alias("wh"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("id", "w.start", "w.wh")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_docs: int = 2,
+    max_window_df: int | None = None,
+) -> DataFrame:
+    """Cross-document duplicated k-token spans — the ExactSubstr
+    dedup signal (Lee et al. 2022, arXiv:2107.06499) re-expressed
+    Spark-first. Returns one row per maximal duplicated span:
+    (doc_id, span_start, span_end, span_tokens, n_windows), token
+    positions 0-based, span_end exclusive.
+
+    Where the reference's `dedupe` transform (src/transforms/
+    dedupe.rs) drops whole duplicate EVENTS, training-data curation
+    needs the sub-document form: boilerplate headers, license
+    blocks, and templated paragraphs duplicate across otherwise
+    distinct documents, and removing the span (not the doc) is the
+    published-best treatment.
+
+    100 TB shape: windows are a per-row map (no shuffle); the only
+    corpus-sized exchange is ONE hash partition on the window hash.
+    Duplicate detection is a window aggregate over that partitioning
+    (min(id) != max(id) for the default min_docs=2 — no distinct-agg
+    re-shuffle, no join, no candidate-pair quadratic term). The
+    island merge then shuffles only the HIT set (duplicated-window
+    occurrences), which is tiny relative to the corpus.
+    `max_window_df` caps pathological boilerplate before the
+    per-doc merge (a window in D docs contributes D hit rows).
+    """
+    win = _span_windows(df, id_col, text_col, k)
+    w_wh = Window.partitionBy("wh")
+    marked = win.select(
+        "id",
+        "start",
+        F.min("id").over(w_wh).alias("_mn"),
+        F.max("id").over(w_wh).alias("_mx"),
+        *(
+            [F.size(F.collect_set("id").over(w_wh)).alias("_nd")]
+            if min_docs > 2
+            else []
+        ),
+        *(
+            [F.count(F.lit(1)).over(w_wh).alias("_occ")]
+            if max_window_df is not None
+            else []
+        ),
+    )
+    cond = (
+        F.col("_nd") >= min_docs
+        if min_docs > 2
+        else F.col("_mn") != F.col("_mx")
+    )
+    if max_window_df is not None:
+        cond = cond & (F.col("_occ") <= max_window_df)
+    hits = marked.where(cond).select("id", "start")
+    # merge overlapping/adjacent windows into maximal spans
+    # (gaps-and-islands; fixed window length k makes the overlap
+    # test a lag on start alone: new island iff the gap exceeds k)
+    w_ord = Window.partitionBy("id").orderBy("start")
+    isl = hits.select(
+        "id",
+        "start",
+        F.when(
+            F.col("start") - F.lag("start").over(w_ord) > k, 1
+        ).otherwise(0).alias("_new"),
+    ).select("id", "start", F.sum("_new").over(w_ord).alias("_island"))
+    return (
+        isl.groupBy("id", "_island")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + k).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+            "n_windows",
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    max_window_df: int | None = None,
+) -> DataFrame:
+    """ExactSubstr REMOVAL: rewrite each doc's text with duplicated
+    k-token spans cut everywhere except their canonical (min doc_id,
+    then min start) occurrence — (doc_id, clean_text, n_tokens,
+    n_removed_tokens). Tokens are lowercase/whitespace-normalized
+    (same normalization the detection hashes on).
+
+    Same single corpus-sized exchange as duplicate_spans (window
+    aggregates over the wh partitioning — no join); the
+    reconstruction is a per-row filter over the token array driven
+    by a per-doc removal-interval list, so the text stream never
+    shuffles — only (id, start) hit rows do.
+    """
+    win = _span_windows(df, id_col, text_col, k)
+    w_wh = Window.partitionBy("wh")
+    marked = win.select(
+        "id",
+        "start",
+        F.min("id").over(w_wh).alias("_mn"),
+        F.max("id").over(w_wh).alias("_mx"),
+        F.min(F.struct("id", "start")).over(w_wh).alias("_canon"),
+        *(
+            [F.count(F.lit(1)).over(w_wh).alias("_occ")]
+            if max_window_df is not None
+            else []
+        ),
+    )
+    # every duplicated-window occurrence EXCEPT the canonical one
+    cond = (F.col("_mn") != F.col("_mx")) & (
+        (F.col("id") != F.col("_canon.id"))
+        | (F.col("start") != F.col("_canon.start"))
+    )
+    if max_window_df is not None:
+        cond = cond & (F.col("_occ") <= max_window_df)
+    hits = marked.where(cond).select("id", "start")
+    # merge to maximal removal intervals per doc, then collect the
+    # (start, end) list — bounded: intervals per doc <= n_tokens/1
+    w_ord = Window.partitionBy("id").orderBy("start")
+    isl = hits.select(
+        "id",
+        "start",
+        F.when(
+            F.col("start") - F.lag("start").over(w_ord) > k, 1
+        ).otherwise(0).alias("_new"),
+    ).select("id", "start", F.sum("_new").over(w_ord).alias("_island"))
+    spans = (
+        isl.groupBy("id", "_island")
+        .agg(
+            F.min("start").alias("s"),
+            (F.max("start") + k).alias("e"),
+        )
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_rm"))
+    )
+    tokd = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda t: t != "",
+        ).alias("_toks"),
+    )
+    joined = tokd.join(spans, "id", "left")
+    toks = F.col("_toks")
+    kept = F.filter(
+        F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.coalesce(F.col("_rm"), F.array()),
+            lambda r: (s["i"] >= r["s"]) & (s["i"] < r["e"]),
+        ),
+    )
+    return joined.select(
+        F.col("id").alias("doc_id"),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(
+            "clean_text"
+        ),
+        F.size(toks).alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).alias("n_removed_tokens"),
+    )
