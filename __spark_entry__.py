@@ -2370,6 +2370,37 @@ def q_tool_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_tool_transitions(spark, sf_dir):
+    """Tool-call sequence mining (dataops/conversations.py
+    tool_transitions): order-1 Markov transition counts between
+    consecutive tool calls within a conversation — which tool chains
+    (search -> python, ...) the agent corpus actually runs."""
+    from vector_spark.dataops.conversations import tool_transitions
+
+    return tool_transitions(load_transcripts(spark, sf_dir))
+
+
+def q_turn_latency(spark, sf_dir):
+    """Inter-turn response latency per role transition
+    (dataops/conversations.py turn_latency): lag(ts) per
+    conversation, exact integer-microsecond gaps, rolled up by
+    (prev_role -> role) with avg / max / exact interpolating p50 —
+    cross-checked against DuckDB's epoch_us + quantile_cont."""
+    from vector_spark.dataops.conversations import turn_latency
+
+    return turn_latency(load_transcripts(spark, sf_dir))
+
+
+def q_retry_loops(spark, sf_dir):
+    """Error-retry run detection (dataops/conversations.py
+    retry_loops): maximal contiguous runs of the SAME failing tool
+    (level ERROR) within a conversation, gaps-and-islands over the
+    PARSED transcripts — the stuck-agent pathology detector."""
+    from vector_spark.dataops.conversations import retry_loops
+
+    return retry_loops(_parsed(spark, sf_dir), min_len=2)
+
+
 def q_conv_asof_prompts(spark, sf_dir):
     """General as-of join under the hard gate (operators/asof.py):
     every assistant turn joined to the LATEST preceding user turn in
@@ -2444,6 +2475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "tool_stats": q_tool_stats,
         "tool_hourly_rollup": q_tool_hourly_rollup,
+        "tool_transitions": q_tool_transitions,
+        "turn_latency": q_turn_latency,
+        "retry_loops": q_retry_loops,
         "q5_local_supplier": q_q5_local_supplier,
         "q6_forecast": q_q6_forecast,
         "stream_route_counts": q_stream_route_counts,
@@ -2795,6 +2829,76 @@ SELECT t.conv_id,
 FROM transcripts t
 JOIN parsed p ON t.conv_id = p.conv_id AND t.turn_idx = p.turn_idx
 GROUP BY 1
+"""
+    )
+
+    o["tool_transitions"] = _with(
+        """
+, calls AS (
+  SELECT conv_id, turn_idx, tool FROM transcripts
+  WHERE tool IS NOT NULL AND tool <> 'none'
+), pairs AS (
+  SELECT conv_id,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_tool,
+         tool AS next_tool
+  FROM calls
+)
+SELECT prev_tool, next_tool,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM pairs
+WHERE prev_tool IS NOT NULL
+GROUP BY prev_tool, next_tool
+"""
+    )
+
+    o["turn_latency"] = _with(
+        """
+, gaps AS (
+  SELECT lag(role) OVER w AS prev_role,
+         role,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT prev_role, role,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       avg(gap_us) / 1e6 AS avg_secs,
+       CAST(max(gap_us) AS DOUBLE) / 1e6 AS max_secs,
+       quantile_cont(gap_us, 0.5) / 1e6 AS p50_secs
+FROM gaps
+WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role
+"""
+    )
+
+    o["retry_loops"] = _with(
+        """
+, eligible AS (
+  SELECT conv_id, turn_idx, tool FROM parsed
+  WHERE tool IS NOT NULL AND tool <> 'none' AND level = 'ERROR'
+), marked AS (
+  SELECT conv_id, turn_idx, tool,
+         CASE WHEN lag(turn_idx) OVER w IS NULL
+                OR turn_idx - lag(turn_idx) OVER w <> 1
+                OR lag(tool) OVER w <> tool
+              THEN 1 ELSE 0 END AS new_run
+  FROM eligible
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), runs AS (
+  SELECT conv_id, turn_idx, tool,
+         sum(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS run
+  FROM marked
+)
+SELECT conv_id, tool,
+       min(turn_idx) AS start_turn,
+       max(turn_idx) AS end_turn,
+       CAST(count(*) AS BIGINT) AS run_len
+FROM runs
+GROUP BY conv_id, run, tool
+HAVING count(*) >= 2
 """
     )
 

@@ -143,6 +143,12 @@ HEADLINE = [
     # duplicate test, islands merge over the hit set only)
     "docs_dup_spans",
     "docs_despan",
+    # round 5: agent-trace analytics — tool-chain Markov transitions,
+    # per-role-transition latency percentiles, stuck-agent error-run
+    # detection (gaps-and-islands sharing one conv_id exchange)
+    "tool_transitions",
+    "turn_latency",
+    "retry_loops",
 ]
 
 

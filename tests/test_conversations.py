@@ -296,3 +296,101 @@ def test_conversation_quality_null_text_not_poisoned(spark):
     r = conversation_quality(df).collect()[0]
     assert r.n_blank == 0
     assert r.quality_ok is False or r.quality_ok is True  # never NULL
+
+
+def test_tool_transitions_skips_non_calls(spark):
+    from vector_spark.dataops.conversations import tool_transitions
+
+    df = spark.createDataFrame(
+        [
+            # conv a: search, (user turn, no tool), python, none, search
+            ("a", 0, "search"), ("a", 1, None), ("a", 2, "python"),
+            ("a", 3, "none"), ("a", 4, "search"),
+            # conv b: python -> python (adjacent), then nothing
+            ("b", 0, "python"), ("b", 1, "python"),
+            # conv c: single call -> no transition
+            ("c", 0, "browser"),
+        ],
+        "conv_id string, turn_idx int, tool string",
+    )
+    rows = {
+        (r.prev_tool, r.next_tool): r
+        for r in tool_transitions(df).collect()
+    }
+    # 'none' and NULL are not calls: a's chain is search->python->search
+    assert rows[("search", "python")].n_transitions == 1
+    assert rows[("python", "search")].n_transitions == 1
+    assert rows[("python", "python")].n_transitions == 1
+    assert rows[("python", "python")].n_convs == 1
+    assert ("browser", "browser") not in rows
+    assert len(rows) == 3
+
+
+def test_turn_latency_gap_arithmetic(spark):
+    from vector_spark.dataops.conversations import turn_latency
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, "user", at(0)),
+            ("a", 1, "assistant", at(2.5)),     # user->assistant 2.5s
+            ("a", 2, "user", at(10)),           # assistant->user 7.5s
+            ("a", 3, "assistant", at(10.75)),   # user->assistant 0.75s
+            ("b", 0, "user", at(100)),          # no gap (first turn)
+        ],
+        "conv_id string, turn_idx int, role string, ts timestamp",
+    )
+    rows = {(r.prev_role, r.role): r for r in turn_latency(df).collect()}
+    ua = rows[("user", "assistant")]
+    assert ua.n_gaps == 2
+    assert abs(ua.avg_secs - 1.625) < 1e-9
+    assert abs(ua.max_secs - 2.5) < 1e-9
+    assert abs(ua.p50_secs - 1.625) < 1e-9  # interpolated median of 2
+    au = rows[("assistant", "user")]
+    assert au.n_gaps == 1 and abs(au.avg_secs - 7.5) < 1e-9
+    # conv b's opening turn contributes nothing
+    assert len(rows) == 2
+
+
+def test_retry_loops_islands(spark):
+    from vector_spark.dataops.conversations import retry_loops
+
+    df = spark.createDataFrame(
+        [
+            # conv a: ERROR search x3 (run), then ok, then ERROR search
+            # again (new run, too short), then ERROR python x2 (run)
+            ("a", 0, "search", "ERROR"),
+            ("a", 1, "search", "ERROR"),
+            ("a", 2, "search", "ERROR"),
+            ("a", 3, "search", "INFO"),
+            ("a", 4, "search", "ERROR"),
+            ("a", 5, "python", "ERROR"),
+            ("a", 6, "python", "ERROR"),
+            # conv b: ERROR runs broken by a non-adjacent turn_idx gap
+            # (an intervening non-tool turn was filtered upstream)
+            ("b", 0, "browser", "ERROR"),
+            ("b", 2, "browser", "ERROR"),
+            # conv c: tool change breaks the run even when adjacent
+            ("c", 0, "search", "ERROR"),
+            ("c", 1, "python", "ERROR"),
+            # 'none' / NULL tools are never eligible
+            ("d", 0, "none", "ERROR"),
+            ("d", 1, None, "ERROR"),
+        ],
+        "conv_id string, turn_idx int, tool string, level string",
+    )
+    out = sorted(
+        retry_loops(df, min_len=2).collect(),
+        key=lambda r: (r.conv_id, r.start_turn),
+    )
+    assert [
+        (r.conv_id, r.tool, r.start_turn, r.end_turn, r.run_len)
+        for r in out
+    ] == [
+        ("a", "search", 0, 2, 3),
+        ("a", "python", 5, 6, 2),
+    ]

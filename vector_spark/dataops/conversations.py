@@ -376,3 +376,129 @@ def context_windows(
         .filter(F.col("role") == "assistant")
         .select("conv_id", "turn_idx", "context_len", "context", "response")
     )
+
+
+def tool_transitions(df: DataFrame) -> DataFrame:
+    """Tool-call sequence mining: (prev_tool, next_tool,
+    n_transitions, n_convs) over consecutive tool-bearing turns.
+
+    What agent-trace analytics runs to find common tool chains
+    (search -> python, python -> python, ...): filter to real tool
+    calls ('none' and NULL are not calls), lag within the
+    conversation in turn order, and count each ordered pair. The
+    transition pairs a tool call with the PREVIOUS tool call in the
+    same conversation, skipping non-tool turns in between — the
+    standard order-k=1 Markov transition count.
+
+    One window shuffle on conv_id; the pair rollup's key space is
+    |tools|^2, so the groupBy partial-aggregates to almost nothing
+    before its exchange. count_distinct(conv_id) is the only
+    expensive aggregate and is Spark's two-phase distinct expand —
+    still bounded by the pair key space at 100 TB.
+    """
+    calls = df.filter(
+        F.col("tool").isNotNull() & (F.col("tool") != "none")
+    ).select("conv_id", "turn_idx", "tool")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = calls.select(
+        "conv_id",
+        F.lag("tool").over(w).alias("prev_tool"),
+        F.col("tool").alias("next_tool"),
+    ).filter(F.col("prev_tool").isNotNull())
+    return pairs.groupBy("prev_tool", "next_tool").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.count_distinct("conv_id").cast("bigint").alias("n_convs"),
+    )
+
+
+def turn_latency(df: DataFrame) -> DataFrame:
+    """Inter-turn response latency per role transition: (prev_role,
+    role, n_gaps, avg_secs, max_secs, p50_secs).
+
+    The agent-operations question "how long does the assistant take
+    to answer a user turn" over the whole corpus: per conversation
+    lag(ts) in turn order, then one small-keyspace rollup keyed by
+    the (prev_role -> role) transition. Gap arithmetic is integer
+    microseconds (unix_micros both engines: epoch_us in DuckDB) so
+    the aggregate is exact; p50 is the exact interpolating
+    percentile — sortable inside each tiny group because the key
+    space is |roles|^2, NOT corpus-sized. One window shuffle plus
+    one partial-agg exchange.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # ts arrives TIMESTAMP_NTZ from parquet; unix_micros wants
+    # TIMESTAMP. The cast's zone shift is constant, so GAPS are
+    # unaffected and the oracle's epoch_us deltas match exactly.
+    t = df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+    )
+    gaps = t.select(
+        F.lag("role").over(w).alias("prev_role"),
+        "role",
+        (F.col("_us") - F.lag("_us").over(w)).alias("_gap_us"),
+    ).filter(F.col("prev_role").isNotNull())
+    return gaps.groupBy("prev_role", "role").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        (F.avg("_gap_us") / F.lit(1e6)).alias("avg_secs"),
+        (F.max("_gap_us") / F.lit(1e6)).cast("double").alias("max_secs"),
+        (F.percentile("_gap_us", F.lit(0.5)) / F.lit(1e6)).alias("p50_secs"),
+    )
+
+
+def retry_loops(parsed: DataFrame, min_len: int = 2) -> DataFrame:
+    """Error-retry run detection over PARSED transcripts: maximal
+    runs of contiguous turns in one conversation where the SAME real
+    tool is called and every call is level ERROR — (conv_id, tool,
+    start_turn, end_turn, run_len), runs shorter than ``min_len``
+    dropped.
+
+    The agent-trace pathology detector: an agent stuck re-invoking a
+    failing tool turn after turn. Gaps-and-islands like
+    repair_conversations: filter to eligible turns (real tool +
+    ERROR), mark a new run when the turn is not adjacent to its
+    predecessor (turn_idx is dense, so adjacency == diff 1) or the
+    tool changed, running-sum the marks into run ids, and roll each
+    run up. Both windows and the groupBy share the conv_id key — the
+    filter drops ~90%+ of rows BEFORE the window shuffle, and
+    per-run state is bounded by run length <= conversation length.
+    """
+    eligible = parsed.filter(
+        F.col("tool").isNotNull()
+        & (F.col("tool") != "none")
+        & (F.col("level") == "ERROR")
+    ).select("conv_id", "turn_idx", "tool")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    marked = eligible.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.when(
+            F.lag("turn_idx").over(w).isNull()
+            | (F.col("turn_idx") - F.lag("turn_idx").over(w) != 1)
+            | (F.lag("tool").over(w) != F.col("tool")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new_run"),
+    )
+    runs = marked.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.sum("_new_run")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_run"),
+    )
+    return (
+        runs.groupBy("conv_id", "_run", "tool")
+        .agg(
+            F.min("turn_idx").alias("start_turn"),
+            F.max("turn_idx").alias("end_turn"),
+            F.count(F.lit(1)).cast("bigint").alias("run_len"),
+        )
+        .filter(F.col("run_len") >= min_len)
+        .select("conv_id", "tool", "start_turn", "end_turn", "run_len")
+    )
