@@ -2275,8 +2275,12 @@ def q_docs_dedup_incremental(spark, sf_dir):
         "doc_id", "text"
     )
     n = 250  # deterministic split: ids are dense 0..N-1
+    # coalesce BEFORE md5, matching exact_dedup_incremental's own
+    # fingerprinting and the oracle's md5(coalesce(text, '')): a
+    # NULL-text doc must land in the store as md5(''), not as a NULL
+    # fingerprint that silently never matches anything
     store = docs.filter(F.col("doc_id") < n).select(
-        F.md5(F.col("text")).alias("fingerprint")
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fingerprint")
     )
     return exact_dedup_incremental(docs.filter(F.col("doc_id") >= n), store)
 

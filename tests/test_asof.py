@@ -55,3 +55,21 @@ def test_asof_multiple_value_columns(spark):
                 "key string, ts int, name string, n int")
     r = asof_join(left, right, ["key"], "ts", ["name", "n"]).collect()[0]
     assert (r.name, r.n, r.matched_ts) == ("v", 42, 3)
+
+
+def test_asof_join_rejects_output_column_collision(spark):
+    import pytest
+
+    from vector_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 1, "x")], "k string, ts int, prompt string"
+    )
+    right = spark.createDataFrame(
+        [("k", 0, "p")], "k string, ts int, prompt string"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, ["k"], "ts", ["prompt"])
+    left2 = left.withColumnRenamed("prompt", "matched_ts")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left2, right, ["k"], "ts", ["prompt"])

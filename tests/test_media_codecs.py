@@ -658,3 +658,26 @@ def test_png_adam7_interlaced_decode():
                + chunk(b"IDAT", zlib.compress(bytes(raw)))
                + chunk(b"IEND", b""))
         assert np.array_equal(decode_png(buf), img), (h, w)
+
+
+def test_jpeg_is_progressive_marker_walk():
+    import numpy as np
+
+    from vector_spark.dataops.media_codecs import (
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+        jpeg_is_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    base = encode_jpeg_baseline(img)
+    prog = encode_jpeg_progressive(img)
+    assert not jpeg_is_progressive(base)
+    assert jpeg_is_progressive(prog)
+    # adversarial: a COM segment whose payload contains the raw pair
+    # ff c2 must NOT flip a baseline stream to progressive (a
+    # substring scan would)
+    com = b"\xff\xfe" + (2 + 2).to_bytes(2, "big") + b"\xff\xc2"
+    salted = base[:2] + com + base[2:]
+    assert not jpeg_is_progressive(salted)

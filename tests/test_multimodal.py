@@ -115,3 +115,21 @@ def test_probe_media_poison_pill_rows_not_failures(spark):
     probed = probe_media(media).toPandas()
     assert len(probed) == 9
     assert probed.probe_error.notna().all()
+
+
+def test_frame_sample_container_respects_every_ms(spark):
+    # every_ms NOT a multiple of the 500 ms sample grid: a
+    # grid-advanced threshold drifts behind the timeline and keeps
+    # frames closer together than every_ms; the kept-sample-anchored
+    # threshold never does
+    from vector_spark.dataops.multimodal import (
+        frame_sample_container,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 12, real_payloads=True)
+    table = frame_sample_container(media, every_ms=750).toPandas()
+    for _, grp in table.groupby("media_id"):
+        ts = sorted(grp.frame_ts_ms)
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        assert all(g >= 750 for g in gaps), (ts, gaps)

@@ -117,6 +117,14 @@ def test_http_listener_path_and_headers(spark):
         )
         with urllib.request.urlopen(req, timeout=10) as resp:
             assert resp.status == 200
+        # query strings ride along in self.path; strict matching is on
+        # the path COMPONENT (http.rs:87-95 matches /ingest?x=1)
+        req_q = urllib.request.Request(
+            url + "/ingest?source=web", data=b'{"a":3}',
+            headers={"X-Tenant": "acme"}, method="POST",
+        )
+        with urllib.request.urlopen(req_q, timeout=10) as resp:
+            assert resp.status == 200
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(
                 urllib.request.Request(
@@ -126,11 +134,13 @@ def test_http_listener_path_and_headers(spark):
             )
         assert ei.value.code == 404
     df = lst.to_df(spark)
-    rows = df.collect()
-    assert len(rows) == 1
+    rows = sorted(df.collect(), key=lambda r: bytes(r.content))
+    assert len(rows) == 2
     assert rows[0].path == "/ingest"
+    assert rows[1].path == "/ingest?source=web"
     assert rows[0].headers == {"x-tenant": "acme"}
     assert bytes(rows[0].content) == b'{"a":1}\n{"a":2}'
+    assert bytes(rows[1].content) == b'{"a":3}'
 
 
 def test_http_sink_roundtrip(spark):

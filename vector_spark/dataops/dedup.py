@@ -669,6 +669,24 @@ def _span_windows(
     )
 
 
+def _merge_islands(hits: DataFrame, k: int) -> DataFrame:
+    """Shared gaps-and-islands merge for the ExactSubstr pair:
+    (id, start) window-hit rows -> (id, start, _island), where
+    _island labels each maximal run of overlapping/adjacent k-token
+    windows (fixed window length makes the overlap test a lag on
+    start alone: new island iff the gap exceeds k). Both the span
+    report and the removal rewrite derive from this one labeling —
+    keep the island rule here so they cannot drift apart."""
+    w_ord = Window.partitionBy("id").orderBy("start")
+    return hits.select(
+        "id",
+        "start",
+        F.when(
+            F.col("start") - F.lag("start").over(w_ord) > k, 1
+        ).otherwise(0).alias("_new"),
+    ).select("id", "start", F.sum("_new").over(w_ord).alias("_island"))
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -727,16 +745,7 @@ def duplicate_spans(
         cond = cond & (F.col("_occ") <= max_window_df)
     hits = marked.where(cond).select("id", "start")
     # merge overlapping/adjacent windows into maximal spans
-    # (gaps-and-islands; fixed window length k makes the overlap
-    # test a lag on start alone: new island iff the gap exceeds k)
-    w_ord = Window.partitionBy("id").orderBy("start")
-    isl = hits.select(
-        "id",
-        "start",
-        F.when(
-            F.col("start") - F.lag("start").over(w_ord) > k, 1
-        ).otherwise(0).alias("_new"),
-    ).select("id", "start", F.sum("_new").over(w_ord).alias("_island"))
+    isl = _merge_islands(hits, k)
     return (
         isl.groupBy("id", "_island")
         .agg(
@@ -797,14 +806,7 @@ def remove_duplicate_spans(
     hits = marked.where(cond).select("id", "start")
     # merge to maximal removal intervals per doc, then collect the
     # (start, end) list — bounded: intervals per doc <= n_tokens/1
-    w_ord = Window.partitionBy("id").orderBy("start")
-    isl = hits.select(
-        "id",
-        "start",
-        F.when(
-            F.col("start") - F.lag("start").over(w_ord) > k, 1
-        ).otherwise(0).alias("_new"),
-    ).select("id", "start", F.sum("_new").over(w_ord).alias("_island"))
+    isl = _merge_islands(hits, k)
     spans = (
         isl.groupBy("id", "_island")
         .agg(

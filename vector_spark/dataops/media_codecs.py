@@ -1453,6 +1453,33 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def jpeg_is_progressive(buf: bytes) -> bool:
+    """True iff the stream's frame header is SOF2 (progressive),
+    found by WALKING marker segments — a raw substring scan for
+    b'\\xff\\xc2' misfires on quantization/Huffman table bytes
+    (low-quality DQT values clip to 0xFF) and on embedded EXIF
+    thumbnails."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            return False  # entered entropy data without a frame header
+        marker = buf[pos + 1]
+        if marker in (0xC0, 0xC1):
+            return False
+        if marker == 0xC2:
+            return True
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF
+            return False
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", buf, pos + 2)
+        pos += 2 + seglen
+    return False
+
+
 def decode_jpeg_baseline(buf: bytes) -> np.ndarray:
     """JPEG (baseline SOF0/1 + progressive SOF2) -> (h, w, 3) uint8
     RGB (or (h, w, 1) for grayscale streams). Reads DQT/DHT from the

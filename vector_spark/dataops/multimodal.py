@@ -269,7 +269,12 @@ def frame_sample_container(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                         mid, s["ts_ms"], s["offset"], s["size"],
                         t["codec"],
                     ))
-                    next_keep += every_ms
+                    # anchor the next threshold to the KEPT sample's
+                    # timestamp, not a free-running grid: after a gap
+                    # in the sample timeline a grid-advanced threshold
+                    # lags behind ts and every subsequent sample gets
+                    # kept (denser than every_ms)
+                    next_keep = s["ts_ms"] + every_ms
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -321,7 +326,11 @@ def probe_media(df: DataFrame) -> DataFrame:
                            width=arr.shape[1], height=arr.shape[0])
             elif b.startswith(b"\xff\xd8"):
                 arr = mc.decode_jpeg_baseline(b)
-                mode = "progressive" if b"\xff\xc2" in b else "baseline"
+                mode = (
+                    "progressive"
+                    if mc.jpeg_is_progressive(b)
+                    else "baseline"
+                )
                 out.update(format="jpeg", codec=f"jpeg-{mode}",
                            width=arr.shape[1], height=arr.shape[0])
             elif b.startswith(b"P6"):

@@ -79,10 +79,17 @@ def build_candidates(
     ranker.
     """
     postings = doc_term_postings(docs, id_col, text_col)
-    stats = docs.agg(
+    # project the doc length ONCE before aggregating: Catalyst does
+    # not reliably CSE duplicate expressions ACROSS aggregate
+    # functions, so avg(size(tokens)) + sum(size(tokens)) would
+    # tokenize every document twice (same trap as shingles /
+    # dequantized_embeddings)
+    stats = docs.select(
+        F.size(tokens(F.col(text_col))).alias("_dl")
+    ).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"),
-        F.sum(F.size(tokens(F.col(text_col)))).cast("double").alias("c_len"),
+        F.avg("_dl").alias("avgdl"),
+        F.sum("_dl").cast("double").alias("c_len"),
     )
     qterms = (
         queries.select(

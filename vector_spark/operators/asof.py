@@ -40,6 +40,12 @@ def asof_join(
     ``matched_ts_col`` — NULLs when no right row precedes (left
     semantics, nothing dropped).
     """
+    clash = set(left.columns) & (set(value_cols) | {matched_ts_col})
+    if clash:
+        raise ValueError(
+            f"asof_join output columns collide with left columns: "
+            f"{sorted(clash)} — rename value_cols/matched_ts_col"
+        )
     payload_t = F.struct(
         *[F.col(c).alias(c) for c in value_cols],
         F.col(ts_col).alias(matched_ts_col),
@@ -51,10 +57,16 @@ def asof_join(
         F.lit(0).alias("_asof_tag"),
     )
     left_only = [c for c in left.columns if c not in set(key_cols) | {ts_col}]
-    # align the union schemas: right rows carry nulls for left-only
-    # columns, left rows carry a null payload
-    for c in left_only:
-        rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    # align the union schemas in ONE projection: right rows carry
+    # nulls for left-only columns, left rows carry a null payload (a
+    # per-column withColumn loop re-analyzes a growing plan per field)
+    rt = rt.select(
+        "*",
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_only
+        ],
+    )
     lt = left.select(
         *key_cols,
         F.col(ts_col),

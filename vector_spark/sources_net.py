@@ -247,10 +247,15 @@ class HttpListener:
 
         class Handler(BaseHTTPRequestHandler):
             def do_POST(self):  # noqa: N802 (stdlib casing)
+                # match on the PATH component only: self.path carries
+                # the query string too (stdlib), while the reference's
+                # warp path filter matches /ingest?source=web against
+                # path=/ingest (src/sources/http.rs:85-95)
+                req_path = self.path.split("?", 1)[0]
                 ok = (
-                    self.path == cfg.path
+                    req_path == cfg.path
                     if cfg.strict_path
-                    else self.path.startswith(cfg.path)
+                    else req_path.startswith(cfg.path)
                 ) or cfg.path == ""
                 if not ok:
                     self.send_response(404)
