@@ -219,3 +219,109 @@ def test_mixing_ops_match_pandas_models(spark):
             run += row.n_tokens
             assert sub.loc[row.doc_id, "cum_tokens"] == run
             assert bool(sub.loc[row.doc_id, "kept"]) == (run <= quotas[src])
+
+
+def test_agent_trace_trio_matches_pandas_models(spark):
+    """tool_transitions / turn_latency / retry_loops vs hand-rolled
+    pandas models over randomized traces (gaps in tool coverage,
+    repeated tools, error bursts, 1-turn conversations)."""
+    import datetime
+
+    from vector_spark.dataops.conversations import (
+        retry_loops,
+        tool_transitions,
+        turn_latency,
+    )
+
+    rng = random.Random(11)
+    tools = ["search", "python", "browser", "none", None]
+    levels = ["INFO", "ERROR", "WARN"]
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for c in range(80):
+        ts = 0.0
+        for i in range(rng.randint(1, 15)):
+            ts += rng.choice([0.25, 1.0, 3.5, 60.0])
+            rows.append(
+                (
+                    f"c{c:03d}", i, rng.choice(_ROLES),
+                    rng.choice(tools), rng.choice(levels),
+                    t0 + datetime.timedelta(seconds=ts),
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, tool string,"
+        " level string, ts timestamp",
+    )
+    pdf = pd.DataFrame(
+        rows,
+        columns=["conv_id", "turn_idx", "role", "tool", "level", "ts"],
+    ).sort_values(["conv_id", "turn_idx"])
+
+    # --- tool_transitions model
+    exp: dict = {}
+    for conv, grp in pdf.groupby("conv_id"):
+        calls = [
+            t for t in grp.tool if t is not None and t != "none"
+        ]
+        for a, b in zip(calls, calls[1:]):
+            n, convs = exp.get((a, b), (0, set()))
+            convs = convs | {conv}
+            exp[(a, b)] = (n + 1, convs)
+    got = {
+        (r.prev_tool, r.next_tool): (r.n_transitions, r.n_convs)
+        for r in tool_transitions(df).collect()
+    }
+    assert got == {k: (n, len(cs)) for k, (n, cs) in exp.items()}
+
+    # --- turn_latency model (avg + max; p50 checked via statistics)
+    import statistics
+
+    gaps: dict = {}
+    for _, grp in pdf.groupby("conv_id"):
+        g = grp.sort_values("turn_idx")
+        for (_, a), (_, b) in zip(g.iterrows(), g.iloc[1:].iterrows()):
+            us = (b.ts - a.ts) / datetime.timedelta(microseconds=1)
+            gaps.setdefault((a.role, b.role), []).append(us)
+    lat = {(r.prev_role, r.role): r for r in turn_latency(df).collect()}
+    assert set(lat) == set(gaps)
+    for k, v in gaps.items():
+        r = lat[k]
+        assert r.n_gaps == len(v)
+        assert abs(r.avg_secs - statistics.fmean(v) / 1e6) < 1e-6
+        assert abs(r.max_secs - max(v) / 1e6) < 1e-9
+        assert abs(r.p50_secs - statistics.median(v) / 1e6) < 1e-6
+
+    # --- retry_loops model
+    exp_runs = []
+    for conv, grp in pdf.groupby("conv_id"):
+        run: list = []
+        for t in grp.sort_values("turn_idx").itertuples():
+            ok = (
+                t.tool is not None
+                and t.tool != "none"
+                and t.level == "ERROR"
+            )
+            if (
+                ok
+                and run
+                and t.tool == run[-1][1]
+                and t.turn_idx == run[-1][0] + 1
+            ):
+                run.append((t.turn_idx, t.tool))
+            else:
+                if len(run) >= 2:
+                    exp_runs.append(
+                        (conv, run[0][1], run[0][0], run[-1][0], len(run))
+                    )
+                run = [(t.turn_idx, t.tool)] if ok else []
+        if len(run) >= 2:
+            exp_runs.append(
+                (conv, run[0][1], run[0][0], run[-1][0], len(run))
+            )
+    got_runs = sorted(
+        (r.conv_id, r.tool, r.start_turn, r.end_turn, r.run_len)
+        for r in retry_loops(df, min_len=2).collect()
+    )
+    assert got_runs == sorted(exp_runs)
