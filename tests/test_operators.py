@@ -209,3 +209,52 @@ def test_sample_counter(spark):
     )
     got2 = sorted(r.seq for r in kept2.collect())
     assert got2 == [0, 1, 2, 3, 4] + list(range(5, 100, 10))
+
+
+def test_tag_cardinality_drop_event_passes_null_tags(spark):
+    from vector_spark.operators.tag_cardinality import tag_cardinality_limit
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "c"), (5, None)],
+        "ord int, tag string",
+    )
+    out = tag_cardinality_limit(
+        df, "tag", value_limit=2, order_by="ord", mode="drop_event"
+    )
+    rows = sorted(r.ord for r in out.collect())
+    # a,b accepted; c over limit -> dropped; NULL-tag events pass
+    # untouched (tag_cardinality_limit.rs only limits present values)
+    assert rows == [1, 2, 3, 5]
+
+
+def test_reduce_flat_unique_flattens_array_columns(spark):
+    from vector_spark.operators.reduce import MergeStrategy, reduce_groups
+
+    df = spark.createDataFrame(
+        [("g", 0, ["a", "b"]), ("g", 1, ["b", "c"]), ("g", 2, None)],
+        "k string, ord int, tags array<string>",
+    )
+    out = reduce_groups(
+        df, ["k"], {"tags": (MergeStrategy.FLAT_UNIQUE, "tags")}, "ord"
+    ).collect()[0]
+    # elements, not sub-arrays (FlatUniqueMerger semantics)
+    assert sorted(out.tags) == ["a", "b", "c"]
+    # scalar columns still wrap correctly
+    df2 = spark.createDataFrame(
+        [("g", 0, "x"), ("g", 1, "y"), ("g", 2, "x")],
+        "k string, ord int, v string",
+    )
+    out2 = reduce_groups(
+        df2, ["k"], {"v": (MergeStrategy.FLAT_UNIQUE, "v")}, "ord"
+    ).collect()[0]
+    assert sorted(out2.v) == ["x", "y"]
+
+
+def test_dedupe_order_by_with_all_columns_as_keys(spark):
+    from vector_spark.operators.dedupe import dedupe
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2)], "k string, ts int"
+    )
+    out = dedupe(df, match=["k", "ts"], order_by=["ts"])
+    assert sorted((r.k, r.ts) for r in out.collect()) == [("a", 1), ("b", 2)]

@@ -70,9 +70,22 @@ def test_dedupe_kernel_lru():
     pdf2 = pd.DataFrame({"k": ["a", "b", "c", "a"]})
     kept2, _ = _dedupe_kernel(pdf2, [], ["k"], capacity=2)
     assert list(kept2["k"]) == ["a", "b", "c", "a"]
-    # state carries across batches
-    kept3, _ = _dedupe_kernel(pd.DataFrame({"k": ["x", "y"]}), ["x"], ["k"], 100)
+    # state carries across batches (state holds TAGGED fingerprints)
+    kept3, _ = _dedupe_kernel(
+        pd.DataFrame({"k": ["x", "y"]}), ["\x02x"], ["k"], 100
+    )
     assert list(kept3["k"]) == ["y"]
+
+
+def test_dedupe_kernel_null_vs_literal_none():
+    # NULL must NOT collide with the literal strings 'None'/'nan'
+    # (dedupe.rs type-tagged fingerprints)
+    pdf = pd.DataFrame({"k": [None, "None", float("nan"), "nan"]})
+    kept, seen = _dedupe_kernel(pdf, [], ["k"], capacity=100)
+    assert len(kept) == 3  # None and NaN share a null tag; strings kept
+    num = pd.DataFrame({"v": [1.5, None]})
+    kept2, _ = _dedupe_kernel(num, [], ["v"], capacity=100)
+    assert len(kept2) == 2
 
 
 def test_gcra_kernel():
@@ -323,3 +336,17 @@ def test_kafka_shaped_contract(spark, transcripts_dir, tmp_path):
         .groupBy("_route").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert res["counts"] == batch_counts
+
+
+def test_reduce_acc_add_null_after_value_max_min():
+    """max/min must SKIP nulls (batch F.max parity) instead of
+    raising on max(cur, None)."""
+    from vector_spark.streaming.stateful import _reduce_acc_add
+
+    strategies = {"v": "max", "w": "min"}
+    acc = _reduce_acc_add(None, {"ts": 1, "v": 5, "w": 5}, strategies, "ts")
+    acc = _reduce_acc_add(
+        acc, {"ts": 2, "v": float("nan"), "w": None}, strategies, "ts"
+    )
+    acc = _reduce_acc_add(acc, {"ts": 3, "v": 7, "w": 3}, strategies, "ts")
+    assert acc["f"]["v"] == 7 and acc["f"]["w"] == 3

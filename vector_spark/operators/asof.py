@@ -46,6 +46,13 @@ def asof_join(
             f"asof_join output columns collide with left columns: "
             f"{sorted(clash)} — rename value_cols/matched_ts_col"
         )
+    reserved = {"_asof_payload", "_asof_tag", "_asof_fill"}
+    taken = reserved & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(
+            f"asof_join reserves internal column names {sorted(taken)} "
+            f"— rename them on the input frames"
+        )
     payload_t = F.struct(
         *[F.col(c).alias(c) for c in value_cols],
         F.col(ts_col).alias(matched_ts_col),

@@ -40,6 +40,10 @@ def dedupe(
         return df.dropDuplicates(fields)
     # deterministic keep-first: min_by over the ordering struct
     others = [c for c in df.columns if c not in fields]
+    if not others:
+        # every column is a key: distinct IS the deterministic answer
+        # (groupBy().agg() rejects an empty aggregate list)
+        return df.dropDuplicates(fields)
     ordk = F.struct(*[F.col(c) for c in order_by])
     aggs = [F.min_by(F.col(c), ordk).alias(c) for c in others]
     return df.groupBy(*fields).agg(*aggs).select(*df.columns)

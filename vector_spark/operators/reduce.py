@@ -87,7 +87,12 @@ def merge_expr(
     if s is MergeStrategy.LONGEST_ARRAY:
         return F.max_by(col, F.size(col))
     if s is MergeStrategy.FLAT_UNIQUE:
-        return F.array_distinct(F.flatten(F.collect_list(F.array(col))))
+        # array values contribute their ELEMENTS (FlatUniqueMerger
+        # flattens each Value::Array item); scalars get a synthetic
+        # 1-element wrapper so one flatten serves both
+        return F.array_distinct(
+            F.flatten(F.collect_list(col if is_array else F.array(col)))
+        )
     raise ValueError(f"unknown strategy {strategy}")
 
 

@@ -46,7 +46,12 @@ def tag_cardinality_limit(
     )
     joined = df.join(F.broadcast(firsts), on=tag_col, how="left")
     if mode == "drop_event":
-        return joined.filter(F.col("_accepted").isNotNull()).drop("_accepted")
+        # events WITHOUT the tag pass untouched (the reference only
+        # limits values actually present); a bare isNotNull filter
+        # would silently delete every NULL-tag event
+        return joined.filter(
+            F.col("_accepted").isNotNull() | F.col(tag_col).isNull()
+        ).drop("_accepted")
     if mode == "drop_tag":
         return joined.withColumn(
             tag_col,

@@ -94,17 +94,27 @@ def _st_reduce(df: DataFrame, opts: dict, ctx) -> DataFrame:
 
     group_by = list(opts["group_by"])
     ts_col = opts.get("ts_col", "ts")
+    if "strategies" in opts:
+        # the batch tuple-form (out -> (strategy, src)) renames output
+        # columns, which the stateful kernel cannot express — fail
+        # loudly instead of silently reducing with defaults
+        raise ValueError(
+            "streaming reduce takes merge_strategies (field -> "
+            "strategy); the batch-only 'strategies' tuple form is not "
+            "supported in streaming specs"
+        )
     strategies = dict(opts.get("merge_strategies") or {})
     if not strategies:
         # reference defaults (reduce/mod.rs:52-56): numbers sum,
-        # everything else keeps the first value
+        # everything else keeps the first value — the same type list
+        # as the batch executor (pipeline._t_reduce), decimal included
         for f in df.schema.fields:
             if f.name in group_by or f.name == ts_col or f.name.startswith("_"):
                 continue
             tn = f.dataType.typeName()
             strategies[f.name] = (
                 "sum"
-                if tn in ("long", "integer", "double", "float", "short")
+                if tn in ("long", "integer", "double", "float", "decimal", "short")
                 else "discard"
             )
     helper_cols = []
@@ -349,13 +359,24 @@ def run_pipeline_streaming(
                     if epoch_id in st["epochs"]:
                         return
                     st["epochs"].add(epoch_id)
-                    st["rows"] += batch_df.count()
+                    # ONE compute per epoch: write first, then count
+                    # the WRITTEN epoch partition (footer-metadata
+                    # count, no rescan of the transform chain).
+                    # persist() cannot serve here — caching the
+                    # incremental plan of a stateful micro-batch trips
+                    # attribute rebinding (NoSuchElementException) on
+                    # this Spark version.
                     (
                         batch_df.withColumn("_epoch", F.lit(epoch_id))
                         .write.mode("overwrite")
                         .option("partitionOverwriteMode", "dynamic")
                         .partitionBy("_epoch")
                         .parquet(path)
+                    )
+                    st["rows"] += (
+                        batch_df.sparkSession.read.parquet(path)
+                        .where(F.col("_epoch") == epoch_id)
+                        .count()
                     )
                 return fb
             writer = df.writeStream.foreachBatch(make_pq(state))
@@ -374,7 +395,9 @@ def run_pipeline_streaming(
                     if epoch_id in st["epochs"]:
                         return
                     st["epochs"].add(epoch_id)
-                    st["rows"] += batch_df.count()
+                    # write once, count the written lines (a re-read
+                    # of the OUTPUT, not a recompute of the chain);
+                    # see the parquet sink for why persist() is out
                     enc_df, line = file_sink_line(batch_df, comp, name)
                     (
                         enc_df.select(
@@ -386,6 +409,11 @@ def run_pipeline_streaming(
                         .partitionBy("_epoch")
                         .text(path)
                     )
+                    st["rows"] += (
+                        batch_df.sparkSession.read.text(
+                            os.path.join(path, f"_epoch={epoch_id}")
+                        ).count()
+                    )
                 return fb
             writer = df.writeStream.foreachBatch(make_txt(state))
         elif kind == "memory":
@@ -396,12 +424,18 @@ def run_pipeline_streaming(
                     if epoch_id in st["epochs"]:
                         return
                     st["epochs"].add(epoch_id)
+                    # collect ONCE and count from the collected rows:
+                    # memory is a debug/test sink (reference console
+                    # analogue), and a count + limit pair would run
+                    # the chain twice (persist() is unusable on
+                    # stateful micro-batch plans — see parquet sink)
+                    rows = batch_df.collect()
+                    st["rows"] += len(rows)
                     room = limit - len(st["collected"])
                     if room > 0:
                         st["collected"].extend(
-                            r.asDict() for r in batch_df.limit(room).collect()
+                            r.asDict() for r in rows[:room]
                         )
-                    st["rows"] += batch_df.count()
                 return fb
             writer = df.writeStream.foreachBatch(make_mem(state))
         else:

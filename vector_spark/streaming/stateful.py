@@ -44,7 +44,16 @@ def _dedupe_kernel(
 ) -> tuple[pd.DataFrame, list]:
     """Emit rows whose fingerprint is not in the LRU; maintain LRU
     order (most-recent last) with eviction at `capacity`."""
-    fps = pdf[match].astype(str).agg("\x00".join, axis=1)
+    # null-safe, tag-prefixed components (dedupe.rs type-tagged
+    # fingerprints): a bare astype(str) makes NULL collide with the
+    # literal strings 'None'/'nan' and silently drops distinct events
+    comps = []
+    for c in match:
+        s = pdf[c]
+        comps.append(("\x02" + s.astype(str)).where(~s.isna(), "\x01"))
+    fps = comps[0]
+    for s in comps[1:]:
+        fps = fps + "\x00" + s
     lru: dict[str, None] = dict.fromkeys(seen)
     keep = []
     for fp in fps:
@@ -138,7 +147,11 @@ def streaming_throttle(
     def fn(
         key_: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
-        tat = float(state.get[0]) if state.exists else float("-inf")
+        # a fully-excluded first batch persists (None,) — treat a
+        # null stored TAT like no state (float(None) would kill the
+        # query on the key's next batch)
+        _v0 = state.get[0] if state.exists else None
+        tat = float(_v0) if _v0 is not None else float("-inf")
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
             if exclude_col is not None:
@@ -201,9 +214,12 @@ def _reduce_acc_add(acc: dict, row: dict, strategies: dict, ts_col: str) -> dict
         elif strat == "sum":
             acc["f"][fld] = (cur or 0) + (v or 0)
         elif strat == "max":
-            acc["f"][fld] = v if cur is None else max(cur, v)
+            # skip nulls like the batch F.max (max(cur, None) raises)
+            if v is not None:
+                acc["f"][fld] = v if cur is None else max(cur, v)
         elif strat == "min":
-            acc["f"][fld] = v if cur is None else min(cur, v)
+            if v is not None:
+                acc["f"][fld] = v if cur is None else min(cur, v)
         elif strat in ("array", "concat", "concat_newline", "concat_raw"):
             acc["f"].setdefault(fld, []).append(v)
         elif strat == "flat_unique":
@@ -310,6 +326,16 @@ def streaming_reduce(
         f for f, s in strategies.items() if s == "sum"
     }
 
+    # strategy fields that are themselves timestamps: json round-trips
+    # them as strings (default=str), so _load must restore them or a
+    # group carried across micro-batches emits strings into a
+    # TimestampType column and the Arrow conversion fails
+    ts_flds = {
+        f
+        for f in strategies
+        if in_types[f].typeName().startswith("timestamp")
+    }
+
     def _dump(acc: dict) -> str:
         a = dict(acc)
         if is_ts:
@@ -321,6 +347,14 @@ def streaming_reduce(
         if is_ts:
             a["ts_first"] = pd.Timestamp(a["ts_first"])
             a["ts_last"] = pd.Timestamp(a["ts_last"])
+        for f in ts_flds:
+            v = a["f"].get(f)
+            if isinstance(v, str):
+                a["f"][f] = pd.Timestamp(v)
+            elif isinstance(v, list):
+                a["f"][f] = [
+                    pd.Timestamp(x) if isinstance(x, str) else x for x in v
+                ]
         return a
 
     def _emit(key_, groups: list[dict]) -> pd.DataFrame:
