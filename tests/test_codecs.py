@@ -400,3 +400,29 @@ def test_is_event_kind_conditions(spark):
     plain = _lines(spark, ["a"])
     assert plain.filter(compile_condition({"type": "is_log"}, plain.schema)).count() == 1
     assert plain.filter(compile_condition({"type": "is_metric"}, plain.schema)).count() == 0
+
+
+def test_statsd_duplicate_tag_last_wins(spark):
+    from vector_spark.codecs import decode_statsd
+
+    df = spark.createDataFrame(
+        [("req:1|c|#env:a,env:b",)], "line string"
+    )
+    r = decode_statsd(df).collect()[0]
+    # duplicate tags are legal in dogstatsd — last value wins
+    # (spark.sql.mapKeyDedupPolicy=LAST_WIN) instead of the default
+    # EXCEPTION policy failing the whole job on one frame
+    assert r._decode_error is False
+    assert dict(r.tags) == {"env": "b"}
+
+
+def test_prometheus_decode_trailing_label_comma(spark):
+    from vector_spark.codecs import decode_prometheus
+
+    df = spark.createDataFrame(
+        [('m{a="1",} 5', 'm{a="1"} 5')], "good string, plain string"
+    ).selectExpr("stack(2, good, plain) as line")
+    rows = decode_prometheus(df).collect()
+    for r in rows:
+        assert r._decode_error is False
+        assert dict(r.labels) == {"a": "1"}

@@ -111,3 +111,19 @@ def test_decode_frame_dispatch_avro(spark):
     df = spark.createDataFrame([(buf,)], "avro binary")
     out = decode_frame(df, "avro", line_col="avro", schema=schema).collect()
     assert out[0]["event"]["x"] == 7 and out[0]["event"]["s"] == "hi"
+
+
+def test_nullable_long_column_roundtrip(spark):
+    """A LongType column with nulls arrives in the Arrow batch as
+    float64 — the encoder must coerce 1.0 back to 1 so the
+    ["null","long"] union matches instead of failing the job."""
+    from vector_spark.codecs_avro import decode_avro, encode_avro, schema_for
+
+    df = spark.createDataFrame([(1,), (None,)], "n long")
+    schema = schema_for(df)
+    assert schema["fields"][0]["type"] == ["null", "long"]
+    enc = encode_avro(df, schema)
+    back = decode_avro(enc.select("avro"), schema).select("event.*")
+    assert sorted(
+        (r.n for r in back.collect()), key=lambda v: (v is None, v)
+    ) == [1, None]

@@ -361,3 +361,58 @@ def test_sketch_travels_as_native_proto(spark):
         for r in sketch_quantiles(direct, ["scope"]).collect()
     }
     assert via_wire == want and want  # lossless through the wire hop
+
+
+def test_spark_decode_distribution_and_histogram(spark):
+    """distribution/aggregated_histogram payloads must surface in the
+    Spark decode schema, not silently decode to an all-null metric."""
+    from vector_spark.codecs_proto import (
+        decode_native_proto,
+        encode_event_array,
+        encode_metric,
+    )
+
+    dist = encode_metric(
+        "lat", value_type="distribution", samples=[(1.5, 2), (3.0, 1)]
+    )
+    hist = encode_metric(
+        "sz",
+        value_type="aggregated_histogram",
+        buckets=[(0.5, 3), (1.0, 7)],
+        agg_count=10,
+        agg_sum=6.5,
+    )
+    frames = [
+        (bytearray(encode_event_array(metrics=[dist])),),
+        (bytearray(encode_event_array(metrics=[hist])),),
+    ]
+    df = spark.createDataFrame(frames, "frame binary")
+    rows = {r.metric.name: r for r in decode_native_proto(df).collect()}
+    assert not rows["lat"]._decode_error
+    assert [
+        (s.value, s.rate) for s in rows["lat"].metric.distribution.samples
+    ] == [(1.5, 2), (3.0, 1)]
+    h = rows["sz"].metric.aggregated_histogram
+    # Row.count is a method — use subscript access for these fields
+    assert [(b.upper_limit, b["count"]) for b in h.buckets] == [
+        (0.5, 3), (1.0, 7),
+    ]
+    assert h["count"] == 10 and abs(h["sum"] - 6.5) < 1e-12
+
+
+def test_spark_encode_integer_column_with_nulls_keeps_int_wire_type(spark):
+    """A LongType column whose Arrow batch carries a null must still
+    encode Value{integer}, not flip to Value{float} per batch."""
+    from vector_spark.codecs_proto import (
+        decode_native_proto,
+        encode_native_log_proto,
+    )
+
+    df = spark.createDataFrame(
+        [(200,), (None,)], "status long"
+    )
+    enc = encode_native_log_proto(df, ["status"])
+    rows = decode_native_proto(enc.select("proto"), frame_col="proto")
+    logs = [r.log for r in rows.collect()]
+    # integer JSON rendition '200', not '200.0'
+    assert '{"status": 200}' in logs and '{"status": null}' in logs

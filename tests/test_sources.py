@@ -168,3 +168,59 @@ def test_internal_logs_source(spark):
     df = snapshot()
     rows = {r.message: r for r in df.collect()}
     assert "pipeline started" in rows and rows["slow stage parse"].level == "WARNING"
+
+
+def test_frame_octet_counting_counts_bytes_not_chars(spark):
+    from vector_spark.sources import frame_octet_counting
+
+    # 'héllo' = 5 chars but 6 UTF-8 octets: the RFC6587 prefix counts
+    # OCTETS, so a char-sliced cursor would grab 'héllo4' and garble
+    # every later frame
+    buf = "6 héllo5 world"
+    df = spark.createDataFrame([(buf,)], "content string")
+    frames = [
+        r.frame for r in frame_octet_counting(df).select("frame").collect()
+    ]
+    assert frames == ["héllo", "world"]
+
+
+def test_multiline_leading_orphan_is_own_event(spark):
+    from vector_spark.sources import assemble_multiline_lines
+
+    df = spark.createDataFrame(
+        [("f", 0, "cont"), ("f", 1, "START a"), ("f", 2, "x")],
+        "file string, line_no int, line string",
+    )
+    out = sorted(
+        assemble_multiline_lines(
+            df, r"^START", mode="halt_before",
+            file_col="file", line_no_col="line_no", line_col="line",
+        ).collect(),
+        key=lambda r: r.first_line,
+    )
+    # the pre-marker orphan is its OWN event, not merged into the
+    # first marked one; ids stay dense from 0
+    assert [(r.event_idx, r.event) for r in out] == [
+        (0, "cont"), (1, "START a\nx"),
+    ]
+    # no-orphan file still starts at 0
+    df2 = spark.createDataFrame(
+        [("g", 0, "START a"), ("g", 1, "x")],
+        "file string, line_no int, line string",
+    )
+    out2 = assemble_multiline_lines(
+        df2, r"^START", mode="halt_before",
+        file_col="file", line_no_col="line_no", line_col="line",
+    ).collect()
+    assert [(r.event_idx, r.event) for r in out2] == [(0, "START a\nx")]
+
+
+def test_exec_source_stamps_pid(spark):
+    from vector_spark.sources import exec_source
+
+    rows = exec_source(
+        spark, ["sh", "-c", "echo out1; echo err1 >&2"],
+        include_stderr=True,
+    ).collect()
+    assert {r.stream for r in rows} == {"stdout", "stderr"}
+    assert all(r.pid is not None and r.pid > 0 for r in rows)

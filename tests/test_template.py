@@ -104,3 +104,20 @@ def test_templated_metric_name(spark):
         tags=["id"],
     ).collect()
     assert {r["name"] for r in out} == {"requests_web", "requests_api"}
+
+
+def test_escaped_percent_before_s(spark):
+    import datetime
+
+    from vector_spark.template import render_template
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 0, 0, 0),)], "ts timestamp"
+    )
+    # '%%s' is the literal text '%s' (strftime eats %% first), NOT an
+    # escaped '%' followed by epoch seconds
+    got = df.select(render_template("a%%sb", "ts").alias("v")).collect()[0].v
+    assert got == "a%sb"
+    # a real %s still splices epoch seconds
+    got2 = df.select(render_template("t=%s", "ts").alias("v")).collect()[0].v
+    assert got2 == "t=1704067200"

@@ -229,6 +229,10 @@ def prometheus_labels(tags: Column, extra: Column | None = None) -> Column:
     )
     if extra is not None:
         parts = F.array_append(parts, extra)
+    # sort the FORMATTED 'k="v"' strings, extra included — exactly
+    # what the reference does (collector.rs:288 parts.sort() AFTER
+    # format_tag), so byte parity holds even for prefix-key pairs
+    # like {a, a0} where key-order and formatted-order differ
     parts = F.array_sort(parts)
     return F.when(
         F.size(parts) > 0,
@@ -377,7 +381,11 @@ def decode_prometheus(df: DataFrame, line_col: str = "line") -> DataFrame:
     labels_json = F.concat(
         F.lit("{"),
         F.regexp_replace(
-            labels_raw, r"(^|,)\s*([a-zA-Z_][a-zA-Z0-9_]*)\s*=", r'$1"$2":'
+            # a trailing comma after the last pair is legal in the
+            # exposition format ('{a="1",}') but not in JSON — strip
+            # it before the key rewrite
+            F.regexp_replace(labels_raw, r",\s*$", ""),
+            r"(^|,)\s*([a-zA-Z_][a-zA-Z0-9_]*)\s*=", r'$1"$2":'
         ),
         F.lit("}"),
     )

@@ -249,6 +249,21 @@ def encode_avro(
     names = [f["name"] for f in schema["fields"]]
     schema_js = _json.dumps(schema)
 
+    # int/long fields (incl. ["null","long"] unions with no float
+    # branch): Arrow hands them over as float64 whenever the batch
+    # carries a null, and _union_match's strict isinstance(int) would
+    # reject the legitimate 1.0-for-1 — coerce integral floats back
+    def _wants_int(ftype) -> bool:
+        branches = ftype if isinstance(ftype, list) else [ftype]
+        tnames = [
+            b if isinstance(b, str) else b.get("type") for b in branches
+        ]
+        return any(t in ("int", "long") for t in tnames) and not any(
+            t in ("float", "double") for t in tnames
+        )
+
+    int_fields = {f["name"] for f in schema["fields"] if _wants_int(f["type"])}
+
     @pandas_udf(T.BinaryType())
     def enc(*cols):
         import json as _j
@@ -264,6 +279,12 @@ def encode_avro(
                     v = v.item()
                 if isinstance(v, float) and v != v:  # NaN = null
                     v = None
+                if (
+                    n in int_fields
+                    and isinstance(v, float)
+                    and v.is_integer()
+                ):
+                    v = int(v)
                 ev[n] = v
             out.append(encode_datum(ev, sch))
         return pd.Series(out)

@@ -509,6 +509,16 @@ def encode_native_log_proto(
     (encoding/format/native.rs: EventArray::from(event))."""
     from pyspark.sql.functions import pandas_udf
 
+    # integral Spark columns arrive as float64 whenever the Arrow
+    # batch carries a null — restore int so the wire type stays
+    # Value{integer} (field 4) instead of flipping to float per batch
+    integral = {
+        f.name
+        for f in df.schema.fields
+        if f.name in set(fields)
+        and f.dataType.typeName() in ("long", "integer", "short", "byte")
+    }
+
     @pandas_udf(T.BinaryType())
     def enc(*cols):
         import pandas as pd
@@ -523,6 +533,8 @@ def encode_native_log_proto(
                     v = None
                 if isinstance(v, pd.Timestamp):
                     v = v.to_pydatetime()
+                if n in integral and isinstance(v, float):
+                    v = int(v)
                 ev[n] = v
             out.append(encode_event_array(logs=[encode_log(ev)]))
         return pd.Series(out)
@@ -610,6 +622,53 @@ _DECODED_SCHEMA = T.ArrayType(
                             ),
                         ),
                         T.StructField(
+                            "distribution",
+                            T.StructType(
+                                [
+                                    T.StructField(
+                                        "samples",
+                                        T.ArrayType(
+                                            T.StructType(
+                                                [
+                                                    T.StructField(
+                                                        "value", T.DoubleType()
+                                                    ),
+                                                    T.StructField(
+                                                        "rate", T.LongType()
+                                                    ),
+                                                ]
+                                            )
+                                        ),
+                                    ),
+                                ]
+                            ),
+                        ),
+                        T.StructField(
+                            "aggregated_histogram",
+                            T.StructType(
+                                [
+                                    T.StructField(
+                                        "buckets",
+                                        T.ArrayType(
+                                            T.StructType(
+                                                [
+                                                    T.StructField(
+                                                        "upper_limit",
+                                                        T.DoubleType(),
+                                                    ),
+                                                    T.StructField(
+                                                        "count", T.LongType()
+                                                    ),
+                                                ]
+                                            )
+                                        ),
+                                    ),
+                                    T.StructField("count", T.LongType()),
+                                    T.StructField("sum", T.DoubleType()),
+                                ]
+                            ),
+                        ),
+                        T.StructField(
                             "tags", T.MapType(T.StringType(), T.StringType())
                         ),
                     ]
@@ -667,6 +726,8 @@ def decode_native_proto(
                     )
                 elif kind == "metric":
                     sk = ev.get("sketch")
+                    dist = ev.get("distribution")
+                    hist = ev.get("aggregated_histogram")
                     rows.append(
                         (
                             "metric",
@@ -681,6 +742,22 @@ def decode_native_proto(
                                 and (
                                     sk["count"], sk["min"], sk["max"],
                                     sk["sum"], sk["avg"], sk["k"], sk["n"],
+                                ),
+                                dist
+                                and (
+                                    [
+                                        (s["value"], s["rate"])
+                                        for s in dist["samples"]
+                                    ],
+                                ),
+                                hist
+                                and (
+                                    [
+                                        (b["upper_limit"], b["count"])
+                                        for b in hist["buckets"]
+                                    ],
+                                    hist["count"],
+                                    hist["sum"],
                                 ),
                                 ev["tags"],
                             ),

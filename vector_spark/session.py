@@ -26,6 +26,11 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # duplicate map keys keep the LAST value instead of failing the
+    # job: statsd datagrams may legally repeat a tag ('#env:a,env:b')
+    # and logfmt's convention is last-wins — the default EXCEPTION
+    # policy would kill a 100 TB ingest on one such frame
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     # Arrow is the only sanctioned Python<->JVM path (no per-row UDFs)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

@@ -543,9 +543,14 @@ def assemble_multiline_lines(
         raise ValueError(f"unknown multiline mode {mode!r}")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     marker = F.when(new_event, 1).otherwise(0)
-    # first line of a file always opens an event
+    # leading orphan lines (cumsum 0) are their OWN event, distinct
+    # from the first marked event (cumsum 1) — a greatest(.,1)-style
+    # floor would merge them. Re-basing by the file's min keeps ids
+    # dense from 0 either way, on the same file partitioning (no
+    # extra exchange).
+    raw = F.sum(marker).over(run)
     with_id = df.withColumn(
-        "_event", F.greatest(F.sum(marker).over(run), F.lit(1)) - 1
+        "_event", raw - F.min(raw).over(Window.partitionBy(file_col))
     )
     pairs = F.collect_list(
         F.struct(F.col(line_no_col).alias("o"), F.col(line_col).alias("v"))
@@ -749,20 +754,25 @@ def exec_source(
     import socket
     import subprocess
 
-    proc = subprocess.run(
+    # Popen, not run(): CompletedProcess carries no pid, and the
+    # reference stamps PID_KEY on every event from the spawned child
+    with subprocess.Popen(
         command,
-        capture_output=True,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
         text=True,
         cwd=working_directory,
-        timeout=600,
-    )
+    ) as proc:
+        pid = proc.pid
+        try:
+            stdout, stderr = proc.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            raise
     host = socket.gethostname()
-    rows = [
-        (line, "stdout", proc.pid if hasattr(proc, "pid") else None)
-        for line in proc.stdout.splitlines()
-    ]
+    rows = [(line, "stdout", pid) for line in stdout.splitlines()]
     if include_stderr:
-        rows += [(line, "stderr", None) for line in proc.stderr.splitlines()]
+        rows += [(line, "stderr", pid) for line in stderr.splitlines()]
     schema = T.StructType(
         [
             T.StructField("message", T.StringType()),
@@ -885,10 +895,15 @@ def frame_octet_counting(
         def split(buf):
             if buf is None:
                 return None
+            # the length prefix counts OCTETS (RFC6587), so slice on
+            # the UTF-8 byte buffer, not the Python str — a char slice
+            # mis-frames any non-ASCII payload
+            if isinstance(buf, str):
+                buf = buf.encode("utf-8")
             out = []
             i, n = 0, len(buf)
             while i < n:
-                sp = buf.find(" ", i)
+                sp = buf.find(b" ", i)
                 if sp < 0:
                     break
                 try:
@@ -896,17 +911,19 @@ def frame_octet_counting(
                 except ValueError:
                     # non-conforming: fall back to newline framing for
                     # this line (octet_counting.rs NotDiscarding/newline)
-                    nl = buf.find("\n", i)
+                    nl = buf.find(b"\n", i)
                     if nl < 0:
                         break
-                    out.append(buf[i:nl])
+                    out.append(buf[i:nl].decode("utf-8", errors="replace"))
                     i = nl + 1
                     continue
                 start, end = sp + 1, sp + 1 + ln
                 if end > n:
                     break  # incomplete tail frame
                 if max_length is None or ln <= max_length:
-                    out.append(buf[start:end])
+                    out.append(
+                        buf[start:end].decode("utf-8", errors="replace")
+                    )
                 i = end
             return out
 

@@ -83,9 +83,14 @@ def _strftime_to_java(lit: str) -> str:
 def _literal_piece(lit: str, ts_col: str) -> Column:
     if "%" not in lit:
         return F.lit(lit)
-    if "%s" in lit:
+    # mask escaped percents BEFORE the %s split: '%%s' is the literal
+    # text '%s' (strftime consumes %% first), not an escaped '%'
+    # followed by epoch seconds
+    _SENT = "\x00"
+    masked = lit.replace("%%", _SENT)
+    if "%s" in masked:
         # epoch seconds: splice around each %s occurrence
-        parts = lit.split("%s")
+        parts = [p.replace(_SENT, "%%") for p in masked.split("%s")]
         cols: list[Column] = []
         for i, p in enumerate(parts):
             if p:
