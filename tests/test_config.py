@@ -186,3 +186,26 @@ def test_stdin_and_exec_sources(spark):
     assert len(cmd_rows) == 1
     assert cmd_rows[0]["message"] == "hello-from-exec"
     assert list(cmd_rows[0]["command"]) == ["echo", "hello-from-exec"]
+
+
+def test_load_config_missing_path_raises(tmp_path):
+    import pytest
+
+    from vector_spark.config import load_config
+
+    with pytest.raises(FileNotFoundError, match="cfng.toml"):
+        load_config(str(tmp_path / "cfng.toml"))
+
+
+def test_map_transform_key_field_translation():
+    from vector_spark.config import map_transform
+
+    t = map_transform(
+        "t", {"type": "throttle", "threshold": 100, "window_secs": 60,
+              "key_field": "{{ host }}"},
+    )
+    assert t["key"] == ["host"] and "key_field" not in t
+    s = map_transform(
+        "s", {"type": "sample", "rate": 10, "key_field": "message"},
+    )
+    assert s["key"] == "message"

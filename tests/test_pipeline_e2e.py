@@ -49,9 +49,15 @@ def test_write_and_resume(spark, tmp_path):
     out = str(tmp_path / "out")
     first = run_flagship(spark, SF, out_dir=out)
     assert "write_routed" in first["metrics"]
-    again = run_flagship(spark, SF, out_dir=out, resume=True)
+    again = run_flagship(spark, SF, out_dir=out, resume=True, lineage=True)
     assert again.get("resumed") is True
     assert again["counts"] == first["counts"]
+    # the resumed result keeps the normal contract keys
+    assert again["aggregate_rows"] == first["aggregate_rows"]
+    assert isinstance(again["metrics"], dict)
+    assert sum(p["rows"] for p in again["partition_lineage"]) == sum(
+        again["counts"].values()
+    )
 
 
 def test_partition_lineage(spark):

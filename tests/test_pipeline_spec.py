@@ -342,3 +342,105 @@ def test_sample_keyed_exclude_bypass(spark):
     assert len(vips) == 10  # every excluded row forwarded
     assert all(r["sample_rate"] is None for r in vips)
     assert 0 < len(norm) < 90 and all(r["sample_rate"] == 4 for r in norm)
+
+
+def test_reduce_expire_after_ms_batch_sessionizes(spark):
+    """expire_after_ms must gap-sessionize in batch exactly like the
+    streaming runner — not silently collapse each key to one row."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    df = spark.createDataFrame(
+        [("h1", at(0), 1), ("h1", at(10), 2), ("h1", at(100), 4),
+         ("h2", at(0), 8)],
+        "host string, ts timestamp, v long",
+    )
+    ctx = PipelineContext(spark)
+    spec = {
+        "sources": {"s": {"type": "mem"}},
+        "transforms": {
+            "r": {
+                "type": "reduce", "inputs": ["s"], "group_by": ["host"],
+                "order_by": "ts", "expire_after_ms": 30000,
+            },
+        },
+        "sinks": {"out": {"type": "memory", "inputs": ["r"]}},
+    }
+    outs = compile_pipeline(ctx, spec, {"s": df})
+    rows = sorted(
+        ((r.host, r.v) for r in outs["r"].collect())
+    )
+    # h1 splits into two sessions at the 90s gap: sums 3 and 4
+    assert rows == [("h1", 3), ("h1", 4), ("h2", 8)]
+
+
+def test_throttle_spec_defaults_order_to_ts(spark, transcripts):
+    ctx = PipelineContext(spark)
+    spec = {
+        "sources": {"s": {"type": "mem"}},
+        "transforms": {
+            "t": {"type": "throttle", "inputs": ["s"], "threshold": 2,
+                  "window_secs": 3600},
+        },
+        "sinks": {"out": {"type": "blackhole", "inputs": ["t"]}},
+    }
+    outs = compile_pipeline(ctx, spec, {"s": transcripts.limit(200)})
+    assert outs["t"].count() > 0  # no AnalysisException on unordered window
+
+
+def test_sample_spec_keyless_counter_mode(spark, transcripts):
+    ctx = PipelineContext(spark)
+    spec = {
+        "sources": {"s": {"type": "mem"}},
+        "transforms": {
+            "smp": {"type": "sample", "inputs": ["s"], "rate": 7},
+        },
+        "sinks": {"out": {"type": "blackhole", "inputs": ["smp"]}},
+    }
+    n = 210
+    outs = compile_pipeline(ctx, spec, {"s": transcripts.limit(n)})
+    assert outs["smp"].count() == n // 7  # every 7th by ts
+
+
+def test_dedupe_spec_default_fields(spark, transcripts):
+    ctx = PipelineContext(spark)
+    spec = {
+        "sources": {"s": {"type": "mem"}},
+        "transforms": {"d": {"type": "dedupe", "inputs": ["s"]}},
+        "sinks": {"out": {"type": "blackhole", "inputs": ["d"]}},
+    }
+    dup = transcripts.limit(50)
+    outs = compile_pipeline(ctx, spec, {"s": dup.union(dup)})
+    # default match (ts, text) collapses the duplicated half
+    assert outs["d"].count() == 50
+
+
+def test_reroute_dropped_requires_vrl_source(spark):
+    spec = {
+        "sources": {"s": {"type": "mem"}},
+        "transforms": {
+            "m": {"type": "remap", "inputs": ["s"],
+                  "assignments": {"a": "1"}, "reroute_dropped": True},
+        },
+        "sinks": {"out": {"type": "blackhole", "inputs": ["m.dropped"]}},
+    }
+    with pytest.raises(PipelineError, match="source"):
+        validate_spec(spec)
+
+
+def test_port_on_single_output_component_rejected(spark, transcripts):
+    ctx = PipelineContext(spark)
+    spec = {
+        "sources": {"s": {"type": "mem"}},
+        "transforms": {
+            "f": {"type": "filter", "inputs": ["s"],
+                  "condition": "role = 'user'"},
+        },
+        "sinks": {"out": {"type": "blackhole", "inputs": ["f.dropped"]}},
+    }
+    with pytest.raises(PipelineError):
+        compile_pipeline(ctx, spec, {"s": transcripts.limit(10)})

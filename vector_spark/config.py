@@ -42,6 +42,11 @@ def load_config(src: str) -> dict:
     reference's native format), then JSON, then YAML if a parser is
     importable."""
     is_path = len(src) < 4096 and "\n" not in src and os.path.exists(src)
+    if not is_path and src.endswith((".toml", ".json", ".yaml", ".yml")):
+        # a config-extension name that doesn't exist is a mistyped
+        # path — say so, instead of feeding the filename to the TOML
+        # parser and failing with an opaque parse error
+        raise FileNotFoundError(f"config file not found: {src}")
     if is_path:
         text = open(src).read()
         if src.endswith(".json"):
@@ -291,6 +296,22 @@ def map_transform(
             out["merge_strategies"] = comp["merge_strategies"]
         if "expire_after_ms" in comp:
             out["expire_after_ms"] = comp["expire_after_ms"]
+    elif t in ("sample", "throttle"):
+        out.update(
+            {
+                k: v
+                for k, v in comp.items()
+                if k not in ("type", "inputs", "key_field")
+            }
+        )
+        if "key_field" in comp:
+            # Vector's key_field (sample.rs/throttle.rs) is a field
+            # name or a simple '{{ field }}' template; the executors
+            # take `key` (sample: one column, throttle: key list)
+            kf = str(comp["key_field"]).strip()
+            m = re.fullmatch(r"\{\{\s*([\w.@]+)\s*\}\}", kf)
+            field = m.group(1) if m else kf
+            out["key"] = field if t == "sample" else [field]
     else:
         out.update(
             {k: v for k, v in comp.items() if k not in ("type", "inputs")}
@@ -410,7 +431,10 @@ def _decode_kw(spark: SparkSession, dec: dict, include: str | None) -> dict:
 
         return {"schema": _parse_datatype_string(ddl)}
     if include:
-        return {"schema": spark.read.json(str(include)).schema}
+        # include may be Vector's array spelling — spark.read.json
+        # accepts both a str and a list of paths; str() would mangle
+        # the list into a literal "['...']" path
+        return {"schema": spark.read.json(include).schema}
     raise ValueError("json decoding needs `schema` or a file include")
 
 
@@ -557,6 +581,19 @@ def _load_ctx_enrichment(ctx, spark, cfg, base_dir) -> None:
     )
 
 
+def _load_cfg(
+    config: str | dict, base_dir: str | None = None
+) -> tuple[dict, str | None]:
+    """Shared front door for run_config/run_config_tests/
+    run_config_streaming: parse `config` (path or literal/dict) and
+    derive base_dir from a path when the caller didn't supply one."""
+    if isinstance(config, str):
+        if base_dir is None and "\n" not in config and os.path.exists(config):
+            base_dir = os.path.dirname(os.path.abspath(config))
+        return load_config(config), base_dir
+    return config, base_dir
+
+
 def run_config(
     spark: SparkSession,
     config: str | dict,
@@ -569,13 +606,7 @@ def run_config(
     drained sources_net listeners for socket/http/syslog sources."""
     from vector_spark.pipeline import PipelineContext, run_pipeline
 
-    base_dir = None
-    if isinstance(config, str):
-        if "\n" not in config and os.path.exists(config):
-            base_dir = os.path.dirname(os.path.abspath(config))
-        cfg = load_config(config)
-    else:
-        cfg = config
+    cfg, base_dir = _load_cfg(config)
     spec = spec_from_config(cfg, base_dir=base_dir)
     frames = build_source_frames(
         spark, cfg, sf_dir, source_frames, listeners=listeners
@@ -598,18 +629,7 @@ def run_config_tests(
     `no_outputs_from` components must emit nothing. A test that
     errors (e.g. a documented typed-column divergence) records the
     exception instead of aborting the remaining tests."""
-    from vector_spark.pipeline import (
-        PipelineContext,
-        compile_condition,
-        unit_test,
-    )
-
-    if isinstance(config, str):
-        if base_dir is None and "\n" not in config and os.path.exists(config):
-            base_dir = os.path.dirname(os.path.abspath(config))
-        cfg = load_config(config)
-    else:
-        cfg = config
+    cfg, base_dir = _load_cfg(config, base_dir)
     results: dict[str, list[str]] = {}
     for test in cfg.get("tests") or []:
         try:
@@ -689,13 +709,7 @@ def run_config_streaming(
     from vector_spark.pipeline import PipelineContext
     from vector_spark.streaming.spec_runner import run_pipeline_streaming
 
-    base_dir = None
-    if isinstance(config, str):
-        if "\n" not in config and os.path.exists(config):
-            base_dir = os.path.dirname(os.path.abspath(config))
-        cfg = load_config(config)
-    else:
-        cfg = config
+    cfg, base_dir = _load_cfg(config)
     spec = spec_from_config(cfg, base_dir=base_dir)
     streams = dict(source_streams or {})
     for name, comp in (cfg.get("sources") or {}).items():
@@ -709,6 +723,17 @@ def run_config_streaming(
         include = comp.get("include")
         if not include:
             raise ValueError(f"source {name}: file needs `include`")
+        if isinstance(include, (list, tuple)):
+            # Vector's include is an array; readStream.load takes one
+            # path — accept the 1-element spelling, reject the rest
+            # loudly (endswith/isdir probes on a stringified list are
+            # silently false)
+            if len(include) != 1:
+                raise ValueError(
+                    f"source {name}: streaming file source takes ONE "
+                    f"include path, got {len(include)}"
+                )
+            include = include[0]
         codec = (comp.get("decoding") or {}).get("codec")
         is_parquet = str(include).endswith(".parquet") or (
             # a directory is a parquet table only if it holds parquet

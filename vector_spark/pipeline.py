@@ -203,12 +203,46 @@ def _t_sample(df, opts, ctx):
         compile_condition(opts["exclude"], df.schema)
         if "exclude" in opts else None
     )
+    if opts.get("key") is None and hash_expr is None:
+        # Vector's default sample has NO key: counter mode, every
+        # rate-th event by arrival (sample.rs:152-166). Arrival order
+        # needs an explicit key in batch; ts is the model's default.
+        from vector_spark.operators.sample import sample_counter
+
+        order = opts.get("order_by") or (
+            "ts" if "ts" in df.columns else None
+        )
+        if order is None:
+            raise PipelineError(
+                "sample: keyless counter mode needs an arrival order "
+                "— set order_by (no ts column to default to), or give "
+                "key/hash_expr for keyed sampling"
+            )
+        return sample_counter(
+            df, rate=opts["rate"], order_by=order, exclude=exclude
+        ).drop("sample_rate")
     return sample(df, rate=opts["rate"], key=opts.get("key"),
                   hash_expr=hash_expr, exclude=exclude)
 
 
 def _t_dedupe(df, opts, ctx):
-    return dedupe(df, match=opts.get("match"), ignore=opts.get("ignore"),
+    match, ignore = opts.get("match"), opts.get("ignore")
+    if match is None and ignore is None:
+        # reference default (dedupe.rs fill_default_fields_match):
+        # match on [timestamp, host, message] — mapped onto the log
+        # model's spellings and intersected with what exists
+        cols = set(df.columns)
+        match = [
+            next((c for c in group if c in cols), None)
+            for group in (("timestamp", "ts"), ("host",), ("message", "text"))
+        ]
+        match = [c for c in match if c is not None]
+        if not match:
+            raise PipelineError(
+                "dedupe: no match/ignore given and none of the default "
+                "fields (timestamp/ts, host, message/text) exist"
+            )
+    return dedupe(df, match=match, ignore=ignore,
                   order_by=opts.get("order_by"))
 
 
@@ -273,14 +307,45 @@ def _t_reduce(df, opts, ctx):
             order_by=order_by,
         )
         return out.drop("_session")
+    if "expire_after_ms" in opts:
+        # staleness flush (reduce/mod.rs:33,226-241) in batch =
+        # event-time gap sessionization, the same translation the
+        # streaming runner applies — silently collapsing all sessions
+        # into one row per key diverged between the two modes
+        from vector_spark.operators.reduce import sessionize_gap
+
+        ts_col = opts.get("ts_col", "ts")
+        df = sessionize_gap(
+            df,
+            group_by=group_by,
+            ts_col=ts_col,
+            expire_after_ms=opts["expire_after_ms"],
+        )
+        out = reduce_groups(
+            df, group_by=group_by + ["_session"], strategies=strategies,
+            order_by=order_by,
+        )
+        return out.drop("_session")
     return reduce_groups(df, group_by=group_by, strategies=strategies,
                          order_by=order_by)
 
 
 def _t_throttle(df, opts, ctx):
+    # Vector's throttle has no order option (arrival order); the
+    # batch rebuild needs an explicit one — default to event time
+    # instead of handing Spark an unordered window (AnalysisException
+    # for every reference-spelled config)
+    order_by = opts.get("order_by") or (
+        ["ts"] if "ts" in df.columns else None
+    )
+    if not order_by:
+        raise PipelineError(
+            "throttle: batch mode needs an event order — set order_by "
+            "(no ts column to default to)"
+        )
     return throttle(df, threshold=opts["threshold"],
                     window_secs=opts.get("window_secs", 3600),
-                    key=opts.get("key", []), order_by=opts.get("order_by", []),
+                    key=opts.get("key", []), order_by=order_by,
                     exclude=compile_condition(opts["exclude"], df.schema) if "exclude" in opts else None)
 
 
@@ -501,7 +566,20 @@ def validate_spec(spec: dict) -> None:
         if c.get("type") == "route"
     }
     # transforms with reroute_dropped expose the default output AND a
-    # `.dropped` port (remap.rs reroute_dropped)
+    # `.dropped` port (remap.rs reroute_dropped). The assignments-form
+    # remap (no `source`) never drops events, so reroute_dropped on it
+    # is a config error, not a silent no-op whose `.dropped` port
+    # would deliver the full stream.
+    for n, c in transforms.items():
+        if (
+            c.get("reroute_dropped")
+            and c.get("type") == "remap"
+            and not c.get("source")
+        ):
+            raise PipelineError(
+                f"{n}: reroute_dropped needs a VRL `source` — the "
+                "assignments form cannot drop events"
+            )
     dropped_ports: set[str] = {
         n
         for n, c in transforms.items()
@@ -584,6 +662,13 @@ def _resolve_inputs(
             # transforms); routes always name an explicit port
             dfs.append(out[port] if port else out[""])
         else:
+            if port:
+                # silently dropping the suffix would deliver the FULL
+                # stream to a consumer that asked for one port
+                raise PipelineError(
+                    f"input {inp!r}: component {base!r} has no named "
+                    f"ports (its output is a single stream)"
+                )
             dfs.append(out)
     merged = dfs[0]
     for other in dfs[1:]:

@@ -179,6 +179,10 @@ def run_flagship(
         agg_path = os.path.join(out_dir, "aggregates")
         marker = os.path.join(out_dir, "_COMMITTED")
         if resume and os.path.exists(marker):
+            # the resumed result keeps the NORMAL contract keys —
+            # aggregate_rows re-read from the committed output (tiny),
+            # metrics/lineage recomputed from the committed parquet,
+            # never from a re-run of the pipeline
             result["resumed"] = True
             routed = spark.read.parquet(routed_path)
             result["counts"] = {
@@ -187,6 +191,12 @@ def run_flagship(
                 .agg(F.count(F.lit(1)).alias("rows"))
                 .collect()
             }
+            result["aggregate_rows"] = spark.read.parquet(agg_path).count()
+            result["metrics"] = clock.stages
+            if lineage:
+                result["partition_lineage"] = [
+                    r.asDict() for r in partition_lineage(routed).collect()
+                ]
             return result
         clock.start("write_routed")
         (
