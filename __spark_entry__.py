@@ -4552,9 +4552,9 @@ m AS (
           / greatest(len(toks), 1), 6) AS mean_token_len,
     round(1 - len(list_distinct(toks)) / greatest(len(toks), 1), 6)
       AS dup_token_frac,
-    round(coalesce(list_max(list_transform(list_distinct({_BG}),
+    round(least(coalesce(list_max(list_transform(list_distinct({_BG}),
             g -> len(list_filter({_BG}, x -> x = g)) * strlen(g))), 0)
-          / greatest(strlen(array_to_string(toks, ' ')), 1), 6)
+          / greatest(strlen(array_to_string(toks, ' ')), 1), 1.0), 6)
       AS top_bigram_frac,
     round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
           / greatest(len(toks), 1), 6) AS alpha_word_frac

@@ -311,3 +311,92 @@ def test_bpe_ish_token_count_segments(spark):
     assert out["a"] == 6
     assert out["b"] == 0
     assert out["c"] == 1
+
+
+def test_kmeans_fit_k_larger_than_corpus(spark):
+    from vector_spark.dataops.clustering import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_fit(df, k=8, dim=2, n_iter=1)
+    assert len(cents) == 3  # degraded to |corpus|, no IndexError
+
+
+def test_numpy_kernels_tolerate_null_embeddings(spark):
+    from vector_spark.dataops.clustering import (
+        assign_cells,
+        assign_cells_numpy,
+    )
+    from vector_spark.dataops.similarity import (
+        ivf_cells_numpy,
+        lsh_buckets_numpy,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [0.5, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # lsh: NULL -> bucket 0 (JVM twin parity)
+    b = {
+        (r.id, r.table): r.bucket
+        for r in lsh_buckets_numpy(df, dim=2, n_tables=2).collect()
+    }
+    assert b[(1, 0)] == 0 and b[(1, 1)] == 0
+    # ivf + kmeans assignment: NULL -> NULL cell (JVM twin parity)
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    jvm = {r.id: r.cell for r in assign_cells(df, cents).collect()}
+    np_ = {r.id: r.cell for r in assign_cells_numpy(df, cents).collect()}
+    assert jvm == np_ and jvm[1] is None
+    iv = {r.id: r.cell for r in ivf_cells_numpy(df, dim=2, n_cells=4).collect()}
+    assert iv[1] is None and iv[0] is not None
+    # probe form: NULL row yields no probes
+    ivp = ivf_cells_numpy(df, dim=2, n_cells=4, n_probe=2)
+    assert ivp.filter("id = 1").count() == 0
+
+
+def test_cosine_zero_vector_is_zero_not_null(spark):
+    from vector_spark.dataops.similarity import cosine
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>"
+    )
+    r = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]
+    assert r.c == 0.0
+
+
+def test_unigram_logprob_join_keeps_empty_docs(spark):
+    from vector_spark.dataops.mixing import unigram_logprob_join
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, ""), (2, "   ")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("alpha", 10), ("beta", 5)], "token string, cnt long"
+    )
+    rows = {r.doc_id: r for r in unigram_logprob_join(docs, vocab).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[1].n_tokens == 0 and rows[1].avg_logprob == 0.0
+    assert rows[2].n_tokens == 0
+
+
+def test_top_bigram_frac_capped_at_one(spark):
+    from vector_spark.dataops.quality import top_bigram_frac
+
+    df = spark.createDataFrame([("a a a",)], "text string")
+    r = df.select(top_bigram_frac(F.col("text")).alias("f")).collect()[0]
+    assert r.f == 1.0  # overlapping 'a a' x2 would otherwise give 1.2
+
+
+def test_contiguous_fill_rejects_output_collision(spark):
+    import pytest
+
+    from vector_spark.dataops.packing import contiguous_fill
+
+    df = spark.createDataFrame(
+        [("p", 0, 5, 9)], "part string, ord int, n int, pack_id int"
+    )
+    with pytest.raises(ValueError, match="pack_id"):
+        contiguous_fill(df, "part", "ord", "n", budget=10)

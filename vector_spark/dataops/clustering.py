@@ -72,8 +72,23 @@ def assign_cells(
             lambda acc, v: acc + v,
         )
 
-    dists = F.array(*[dist2(cv) for cv in centroids])
-    cell = F.array_position(dists, F.array_min(dists)) - 1
+    # struct-array-min argmin: ONE evaluation of the k x dim distance
+    # array. array_position(dists, array_min(dists)) references the
+    # aggregate-lambda array twice, and Catalyst does not CSE lambda
+    # arrays across references — the same trap the IVF cell scores
+    # fix measured at ~2x (similarity.py ivf_topk). Struct comparison
+    # is lexicographic, so min-by-(dist, index) keeps the lowest-index
+    # tie rule.
+    entries = F.array(
+        *[
+            F.struct(dist2(cv).alias("d"), F.lit(i).alias("i"))
+            for i, cv in enumerate(centroids)
+        ]
+    )
+    # explicit NULL-vec guard: with a null vector every d is null and
+    # struct comparison would sort null-first, electing cell 0 — keep
+    # the NULL-cell contract the twins share
+    cell = F.when(vec.isNotNull(), F.array_min(entries)["i"])
     return df.select(
         F.col(id_col).alias("id"), vec.alias("vec"), cell.cast("int").alias("cell")
     )
@@ -104,9 +119,21 @@ def assign_cells_numpy(
     def cell_of(vecs):
         import pandas as pd
 
-        mat = np.array(vecs.tolist(), dtype=np.float64)
+        # NULL embedding -> NULL cell (JVM twin parity: null dists
+        # null the array_min); ragged np.array would kill the stage
+        lst = vecs.tolist()
+        mask = np.array([v is None for v in lst])
+        dim = cents.shape[1]
+        mat = np.array(
+            [v if v is not None else [0.0] * dim for v in lst],
+            dtype=np.float64,
+        )
         d = c2[None, :] - 2.0 * (mat @ cents.T)
-        return pd.Series(d.argmin(axis=1).astype("int32"))
+        out = pd.Series(d.argmin(axis=1).astype("int32"))
+        if mask.any():
+            out = out.astype("Int32")
+            out[mask] = None
+        return out
 
     return df.select(
         F.col(id_col).alias("id"),
@@ -176,6 +203,10 @@ def kmeans_fit(
     exactly, not just approximately."""
     if init == "data":
         cents = data_seeds(df, k, id_col, vec_col)
+        # a corpus smaller than k yields fewer seeds — degrade k to
+        # what exists (cents[c] for c >= |seeds| would IndexError in
+        # the update loop)
+        k = min(k, len(cents))
     else:
         cents = initial_centroids(k, dim)
     update = _update_exact if exact else _update_mean
@@ -217,9 +248,14 @@ def semdedup_pairs(
     cluster only — candidate generation cost is the sum of squared
     cluster sizes, not n². Output (cell, id_a, id_b, cosine)."""
     assign = assign_cells_numpy if kernel == "numpy" else assign_cells
-    # cache: both sides of the self-join read the assignment, and the
-    # cell-assignment expression is the expensive part of this plan
-    assigned = assign(df, centroids, id_col, vec_col).cache()
+    # materialize ONCE for both sides of the self-join via lazy
+    # localCheckpoint (the retrieval-module idiom): unlike a bare
+    # cache(), the blocks are released by the ContextCleaner when the
+    # returned plan is no longer referenced, so a driver loop over
+    # shards/thresholds doesn't accumulate leaked storage
+    assigned = assign(df, centroids, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     a = assigned.select(
         "cell", F.col("id").alias("id_a"), F.col("vec").alias("va")
     )

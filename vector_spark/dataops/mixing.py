@@ -200,12 +200,19 @@ def unigram_logprob_join(
             / F.lit(float(total))
         ).alias("lp"),
     )
-    return (
-        scored.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("lp"), 6).alias("avg_logprob"),
-        )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+    # zero-token docs produce no exploded rows and would vanish from
+    # the output — the literal-map twin emits (id, 0, 0.0) for them,
+    # and a downstream join on the scores must not silently drop
+    # documents. Left-join back from the id universe.
+    ids = df.select(F.col(id_col))
+    return ids.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+        F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
     )
 
 

@@ -22,9 +22,21 @@ def contiguous_fill(
     pack its FIRST token lands in — ``pack_id =
     floor(exclusive_cumsum / budget)``, ``pack_pos =
     exclusive_cumsum % budget``. One window per partition; appends
-    (pack_id, pack_pos) to the input columns."""
+    (pack_id, pack_pos) to the input columns.
+
+    PRECONDITION: ``order_col`` must be unique within each
+    ``part_col`` partition — the window has no tiebreak, so duplicate
+    order keys would make the cumulative sum (and the pack layout)
+    nondeterministic across runs. Both in-repo callers order by a
+    dense per-partition index."""
     if budget <= 0:
         raise ValueError("budget must be positive")
+    taken = {"pack_id", "pack_pos"} & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"contiguous_fill appends {sorted(taken)} but the input "
+            "already has those columns — rename them first"
+        )
     w = (
         Window.partitionBy(part_col)
         .orderBy(order_col)

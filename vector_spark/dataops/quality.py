@@ -101,7 +101,13 @@ def top_bigram_frac_tokens(toks: Column) -> Column:
         lambda acc: acc["best"],
     )
     stream_chars = F.length(F.array_join(toks, " "))
-    return F.round(best / F.greatest(stream_chars, F.lit(1)), 6)
+    # count x length over-counts OVERLAPPING occurrences ('a a a' has
+    # two 'a a' bigrams sharing the middle token: 6 covered chars in
+    # a 5-char stream) — clamp so the metric honors its [0,1]
+    # "fraction covered" contract; the oracle applies the same least()
+    return F.round(
+        F.least(best / F.greatest(stream_chars, F.lit(1)), F.lit(1.0)), 6
+    )
 
 
 def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -37,7 +37,14 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # zero-norm vectors: define cos = 0.0 (no direction, no
+    # similarity) instead of Spark's NULL-on-divide-by-zero, which
+    # would rank every candidate as an all-NULL "match" for a zero
+    # query and silently drop rows from near-dup thresholds
+    return F.coalesce(
+        _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0)),
+        F.lit(0.0),
+    )
 
 
 def brute_force_topk(
@@ -88,7 +95,7 @@ def _hyperplane(dim: int, h: int, table: int) -> list[float]:
     return out
 
 
-def lsh_bucket(vec_col, dim: int, n_bits: int = 12, table: int = 0):
+def lsh_bucket(vec_col, dim: int, n_bits: int = 10, table: int = 0):
     """Sign-bit bucket id for one LSH table, as a JVM expression.
     Each per-bit sum runs strictly left-to-right over dims, so the
     DuckDB oracle's list_reduce reproduces it bit-for-bit."""
@@ -138,7 +145,13 @@ def lsh_buckets_numpy(
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
-        mat = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        # NULL embeddings land in bucket 0, matching the JVM twin
+        # (aggregate over a null array -> null proj -> every bit 0) —
+        # np.array over a ragged list with None would kill the stage
+        lst = [
+            v if v is not None else [0.0] * dim for v in vecs.tolist()
+        ]
+        mat = np.array(lst, dtype=np.float64)  # (n, dim)
         out = []
         for t in range(n_tables):
             proj = mat @ planes[t].T  # (n, bits)
@@ -447,10 +460,22 @@ def ivf_cells_numpy(
     if n_probe is None:
         @pandas_udf(T.IntegerType())
         def best_cell(vecs: pd.Series) -> pd.Series:
-            mat = np.array(vecs.tolist(), dtype=np.float64)
-            return pd.Series(
+            # NULL embedding -> NULL cell, matching the JVM twin
+            # (aggregate over a null array nulls the whole score
+            # struct); a ragged np.array would kill the stage
+            lst = vecs.tolist()
+            mask = np.array([v is None for v in lst])
+            mat = np.array(
+                [v if v is not None else [0.0] * dim for v in lst],
+                dtype=np.float64,
+            )
+            out = pd.Series(
                 (mat @ cents.T).argmax(axis=1).astype("int32")
             )
+            if mask.any():
+                out = out.astype("Int32")
+                out[mask] = None
+            return out
 
         return df.select(
             F.col(id_col).alias("id"),
@@ -460,9 +485,17 @@ def ivf_cells_numpy(
 
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_cells(vecs: pd.Series) -> pd.Series:
-        mat = np.array(vecs.tolist(), dtype=np.float64)
+        lst = vecs.tolist()
+        mask = [v is None for v in lst]
+        mat = np.array(
+            [v if v is not None else [0.0] * dim for v in lst],
+            dtype=np.float64,
+        )
         order = np.argsort(-(mat @ cents.T), axis=1, kind="stable")
-        return pd.Series(order[:, :n_probe].astype("int32").tolist())
+        probes = order[:, :n_probe].astype("int32").tolist()
+        return pd.Series(
+            [None if m else p for m, p in zip(mask, probes)]
+        )
 
     return df.select(
         F.col(id_col).alias("id"),
