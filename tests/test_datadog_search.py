@@ -70,3 +70,33 @@ def test_datadog_check(spark, idx):
 
 def test_datadog_checks_no_silent_shrink():
     assert len(CHECKS) >= 120, f"fixture shrank to {len(CHECKS)}"
+
+
+def test_multiterm_keyword_word_boundary():
+    from vector_spark.datadog_search import parse_query
+
+    # 'ORbit' is a term, not the OR conjunction
+    q = parse_query("foo ORbit")
+    assert q.kind == "term" and q.value == "foo ORbit"
+    assert parse_query("foo OR bar").kind == "or"
+
+
+def test_comparison_negative_and_quoted_values():
+    from vector_spark.datadog_search import parse_query
+
+    q = parse_query("lat:>-1.5")
+    assert q.kind == "compare" and q.value == -1.5
+    q2 = parse_query('lat:>="-2"')
+    assert q2.kind == "compare" and q2.value == -2
+
+
+def test_bare_term_no_schema_compiles(spark):
+    from vector_spark.datadog_search import datadog_search
+
+    df = spark.createDataFrame(
+        [("error here",), ("fine",)], "message string"
+    )
+    # no schema argument: the '_default_' pseudo-field must be
+    # skipped, not emitted as a real column reference
+    out = df.filter(datadog_search("error", schema=df.schema)).collect()
+    assert len(out) == 1

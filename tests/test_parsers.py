@@ -271,3 +271,93 @@ def test_cloudwatch_subscription(spark):
 def test_parse_failure_flags(spark):
     for fn in (P.parse_apache_error, P.parse_nginx_log, P.parse_glog):
         assert fn(_one(spark, "garbage ###")).first()["_parse_error"]
+
+
+def test_syslog_3164_space_padded_day(spark):
+    from vector_spark.parsers import parse_syslog_3164
+
+    df = spark.createDataFrame(
+        [("<34>Dec  5 10:00:00 host01 app[77]: hello",)], "line string"
+    )
+    r = parse_syslog_3164(df, year=2024).collect()[0]
+    assert r._parse_error is False
+    assert r.timestamp is not None and r.timestamp.day == 5
+
+
+def test_unparseable_timestamp_sets_null_not_job_abort(spark):
+    # Spark 4 default ANSI mode: to_timestamp would throw
+    # CANNOT_PARSE_TIMESTAMP and kill the job; the parse contract is
+    # _parse_error / NULL timestamp
+    from vector_spark.parsers import parse_syslog_3164
+
+    df = spark.createDataFrame(
+        [("<34>Foo 99 99:99:99 host01 app[77]: hi",)], "line string"
+    )
+    rows = parse_syslog_3164(df, year=2024).collect()
+    assert len(rows) == 1  # no exception
+
+
+def test_apache_error_24_microsecond_timestamp(spark):
+    from vector_spark.parsers import parse_apache_error
+
+    df = spark.createDataFrame(
+        [("[Fri Sep 09 10:42:29.902022 2011] [core:error] [pid 35708]"
+          " [client 72.15.99.187:50000] File does not exist",)],
+        "line string",
+    )
+    r = parse_apache_error(df).collect()[0]
+    assert r._parse_error is False
+    assert r.timestamp is not None and r.timestamp.microsecond == 902022
+
+
+def test_ruby_hash_arrow_inside_string_value(spark):
+    from pyspark.sql import types as T
+
+    from vector_spark.parsers import parse_ruby_hash
+
+    schema = T.StructType([
+        T.StructField("a", T.StringType()),
+        T.StructField("n", T.StringType()),
+    ])
+    df = spark.createDataFrame(
+        [('{ "a" => "x => y", "n" => nil }',)], "line string"
+    )
+    r = df.select(
+        parse_ruby_hash(F.col("line"), schema).alias("h")
+    ).collect()[0].h
+    assert r.a == "x => y"  # value preserved, not rewritten
+    assert r.n is None
+
+
+def test_user_agent_version_keyed_by_family(spark):
+    from vector_spark.parsers import parse_user_agent
+
+    uas = [
+        ("Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like"
+         " Gecko) Chrome/119.0.0.0 Safari/537.36 Edg/119.0.2151.44",),
+        ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML,"
+         " like Gecko) Chrome/119.0.0.0 Safari/537.36 OPR/105.0.0.0",),
+    ]
+    df = spark.createDataFrame(uas, "ua string")
+    rows = df.select(parse_user_agent(F.col("ua")).alias("p")).collect()
+    assert rows[0].p.browser_family == "Edge"
+    assert rows[0].p.browser_version == "119.0.2151.44"
+    assert rows[1].p.browser_family == "Opera"
+    assert rows[1].p.browser_version == "105.0.0.0"
+
+
+def test_alb_processing_times_are_floats(spark):
+    from vector_spark.parsers import parse_aws_alb_log
+
+    line = (
+        'http app/my-lb/50dc 192.168.131.39:2817 10.0.0.1:80 0.001 '
+        '0.048 -1 200 200 34 366 "GET http://x:80/ HTTP/1.1" '
+        '"curl/7.46.0" - - arn:aws:elb:tg/my/73e '
+        '"Root=1-58-23" "-" "-" 0 2018-11-30T22:22:48.364000Z '
+        '"forward" "-" "-"'
+    )
+    df = spark.createDataFrame([(line,)], "line string")
+    r = parse_aws_alb_log(df).collect()[0]
+    assert r.request_processing_time == 0.001
+    assert r.target_processing_time == 0.048
+    assert r.response_processing_time == -1.0  # sentinel stays float

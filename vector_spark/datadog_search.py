@@ -285,9 +285,16 @@ class _Parser:
             while j < len(self.s) and self.s[j] in " \t\r\n":
                 j += 1
             rest = self.s[j:]
-            if j > self.i and (
-                rest.startswith("AND") or rest.startswith("OR")
-            ):
+
+            def _kw(r: str, kw: str) -> bool:
+                # word boundary like at_keyword: 'ORbit' is a term,
+                # not the OR conjunction
+                return r.startswith(kw) and (
+                    len(r) == len(kw)
+                    or not (r[len(kw)].isalnum() or r[len(kw)] == "_")
+                )
+
+            if j > self.i and (_kw(rest, "AND") or _kw(rest, "OR")):
                 if len(terms) == 0:
                     terms.append(_unescape(t))
                 else:
@@ -343,7 +350,26 @@ class _Parser:
             if self.peek_ch() == "=":
                 op += "="
                 self.i += 1
-            t = self.raw_term()
+            # comparison values may be negative or quoted
+            # (node.rs ComparisonValue) — raw_term rejects a leading
+            # '-'/'"', so probe those forms first
+            self.ws()
+            if self.peek_ch() == '"':
+                p = self.phrase()  # already unescaped
+                return Node(
+                    "compare",
+                    attr=_unescape(attr),
+                    comparator=op,
+                    # node.rs:65-78 strips the quotes then tries
+                    # integer -> float -> string, same as unquoted
+                    value=_num_or_str(p),
+                )
+            if self.peek_ch() == "-":
+                self.i += 1
+                inner = self.raw_term()
+                t = None if inner is None else "-" + inner
+            else:
+                t = self.raw_term()
             if t is None:
                 raise DatadogSearchError("expected comparison value")
             return Node(
@@ -509,6 +535,11 @@ class _Compiler:
         self.tags_col = tags_col
 
     def col(self, path: str) -> Column | None:
+        if path == DEFAULT_FIELD:
+            # the '_default_' pseudo-field is the expansion sentinel,
+            # never a real column — emitting F.col('_default_') in
+            # no-schema mode fails analysis on every bare term
+            return None
         if self.schema is not None and _schema_type(self.schema, path) is None:
             return None
         return F.col(path)

@@ -180,8 +180,17 @@ def parse_apache_error(
     redundant with the date, so it's stripped before to_timestamp."""
     g = _groups(F.col(line_col), APACHE_ERROR_PATTERN, 8)
     ts_raw = F.regexp_replace(_gi(g, 1), r"^\w{3} ", "")
+    # Apache >= 2.4 includes microseconds ('Sep 09 10:42:29.902022
+    # 2011') — try the fractional form first, then the caller's
+    # format. try_to_timestamp (not to_timestamp): under Spark 4's
+    # default ANSI mode an unparseable-but-matched timestamp would
+    # abort the JOB instead of setting _parse_error.
+    ts = F.coalesce(
+        F.try_to_timestamp(ts_raw, F.lit("MMM dd HH:mm:ss.SSSSSS yyyy")),
+        F.try_to_timestamp(ts_raw, F.lit(ts_format)),
+    )
     return (
-        df.withColumn("timestamp", F.to_timestamp(ts_raw, ts_format))
+        df.withColumn("timestamp", ts)
         .withColumn("module", _gi(g, 2))
         .withColumn("severity", _gi(g, 3))
         .withColumn("pid", _gi(g, 4).cast("int"))
@@ -229,7 +238,7 @@ def parse_nginx_log(
         return (
             df.withColumn("client", _gi(g, 1))
             .withColumn("user", F.when(_gi(g, 2) != "-", _gi(g, 2)))
-            .withColumn("timestamp", F.to_timestamp(_gi(g, 3), fmt))
+            .withColumn("timestamp", F.try_to_timestamp(_gi(g, 3), F.lit(fmt)))
             .withColumn("method", _gi(g, 4))
             .withColumn("path", _gi(g, 5))
             .withColumn("protocol", _gi(g, 6))
@@ -244,7 +253,7 @@ def parse_nginx_log(
         g = _groups(line, NGINX_ERROR_PATTERN, 10)
         fmt = ts_format or "yyyy/MM/dd HH:mm:ss"
         return (
-            df.withColumn("timestamp", F.to_timestamp(_gi(g, 1), fmt))
+            df.withColumn("timestamp", F.try_to_timestamp(_gi(g, 1), F.lit(fmt)))
             .withColumn("severity", _gi(g, 2))
             .withColumn("pid", _gi(g, 3).cast("int"))
             .withColumn("tid", _gi(g, 4).cast("int"))
@@ -289,7 +298,7 @@ def parse_glog(df: DataFrame, line_col: str = "line") -> DataFrame:
         df.withColumn("level", _glog_level(_gi(g, 1)))
         .withColumn(
             "timestamp",
-            F.to_timestamp(_gi(g, 2), "yyyyMMdd HH:mm:ss.SSSSSS"),
+            F.try_to_timestamp(_gi(g, 2), F.lit("yyyyMMdd HH:mm:ss.SSSSSS")),
         )
         .withColumn("id", _gi(g, 3).cast("long"))
         .withColumn("file", _gi(g, 4))
@@ -321,8 +330,9 @@ def parse_klog(
         return out.withColumn("timestamp", raw)
     return out.withColumn(
         "timestamp",
-        F.to_timestamp(
-            F.concat(F.lit(str(year)), raw), "yyyyMMdd HH:mm:ss.SSSSSS"
+        F.try_to_timestamp(
+            F.concat(F.lit(str(year)), raw),
+            F.lit("yyyyMMdd HH:mm:ss.SSSSSS"),
         ),
     )
 
@@ -359,9 +369,16 @@ def parse_syslog_3164(
     raw = _gi(g, 2)
     if year is None:
         return out.withColumn("timestamp", raw)
+    # RFC3164 space-pads single-digit days ('Dec  5') — collapse the
+    # double space or 'MMM d' never matches days 1-9
     return out.withColumn(
         "timestamp",
-        F.to_timestamp(F.concat(F.lit(f"{year} "), raw), "yyyy MMM d HH:mm:ss"),
+        F.try_to_timestamp(
+            F.concat(
+                F.lit(f"{year} "), F.regexp_replace(raw, r"\s+", " ")
+            ),
+            F.lit("yyyy MMM d HH:mm:ss"),
+        ),
     )
 
 
@@ -459,9 +476,22 @@ def parse_aws_alb_log(df: DataFrame, line_col: str = "line") -> DataFrame:
     # run the analyzer once per field over a growing plan (quadratic
     # driver-side work for wide formats)
     cols: dict[str, Column] = {}
+    # the reference types the three processing times as float
+    # (parse_aws_alb_log.rs:104-117 Kind::float; status codes stay
+    # bytes) — '-1' sentinels come through as -1.0 like the reference
+    _float = {
+        "request_processing_time",
+        "target_processing_time",
+        "response_processing_time",
+    }
     for i, (name, _, is_int) in enumerate(_ALB_FIELDS):
         raw = F.nullif(_gi(g, i + 1), F.lit("-"))
-        cols[name] = raw.cast("long") if is_int else raw
+        if is_int:
+            cols[name] = raw.cast("long")
+        elif name in _float:
+            cols[name] = raw.cast("double")
+        else:
+            cols[name] = raw
     cols["_parse_error"] = g.isNull()
     return df.withColumns(cols)
 
@@ -550,9 +580,26 @@ def parse_user_agent(col: Column) -> Column:
         .when(col.rlike(r"curl/"), "curl")
         .when(col.rlike(r"[Bb]ot|[Cc]rawler|[Ss]pider"), "Bot")
     )
-    browser_version = F.coalesce(
-        F.nullif(F.regexp_extract(col, r"(?:Edge?|OPR|Chrome|Firefox|Version|curl)/([\d.]+)", 1), F.lit("")),
-        F.nullif(F.regexp_extract(col, r"MSIE ([\d.]+)", 1), F.lit("")),
+    def _ver(pat: str) -> Column:
+        return F.nullif(F.regexp_extract(col, pat, 1), F.lit(""))
+
+    # version keyed off the DETECTED family: a leftmost-token extract
+    # reports Chrome's version for Edge/Opera UAs (the 'Chrome/x'
+    # token precedes 'Edg/x' and 'OPR/x' in real agents)
+    browser_version = (
+        F.when(browser == "Edge", _ver(r"Edge?/([\d.]+)"))
+        .when(
+            browser == "Opera",
+            F.coalesce(_ver(r"OPR/([\d.]+)"), _ver(r"Opera[/ ]([\d.]+)")),
+        )
+        .when(browser == "Chrome", _ver(r"Chrome/([\d.]+)"))
+        .when(browser == "Firefox", _ver(r"Firefox/([\d.]+)"))
+        .when(browser == "Safari", _ver(r"Version/([\d.]+)"))
+        .when(
+            browser == "Internet Explorer",
+            F.coalesce(_ver(r"MSIE ([\d.]+)"), _ver(r"rv:([\d.]+)")),
+        )
+        .when(browser == "curl", _ver(r"curl/([\d.]+)"))
     )
     os_family = (
         F.when(col.rlike(r"Windows NT"), "Windows")
@@ -595,8 +642,15 @@ def parse_ruby_hash(col: Column, schema) -> Column:
     nil -> null) and ride from_json; the reference's full grammar
     (symbol keys, unquoted idents) is out of scope and returns null
     via from_json's lax mode."""
-    json = F.regexp_replace(col, r"\s*=>\s*", ":")
-    json = F.regexp_replace(json, r":nil\s*([,}\]])", r":null$1")
+    # rewrite `=>` / nil only OUTSIDE quoted strings: the quote-parity
+    # lookahead (an even number of '"' remaining means the match sits
+    # between strings) keeps a value like "x => y" intact. Escaped
+    # quotes inside values are outside the supported subset (as
+    # documented above). java.util.regex lookahead — regexp_replace
+    # is JVM-side, not RE2.
+    _outside = r'(?=(?:[^"]*"[^"]*")*[^"]*$)'
+    json = F.regexp_replace(col, r"\s*=>\s*" + _outside, ":")
+    json = F.regexp_replace(json, r":nil\s*([,}\]])" + _outside, r":null$1")
     return F.from_json(json, schema)
 
 

@@ -231,7 +231,9 @@ def parse_common_log(df: DataFrame, line_col: str = "line") -> DataFrame:
         .withColumn("user", _g(line, p, 3))
         .withColumn(
             "timestamp",
-            F.to_timestamp(_g(line, p, 4), "dd/MMM/yyyy:HH:mm:ss Z"),
+            # try_: under Spark 4 ANSI, a matched-but-unparseable
+            # timestamp must set _parse_error, not abort the job
+            F.try_to_timestamp(_g(line, p, 4), F.lit("dd/MMM/yyyy:HH:mm:ss Z")),
         )
         .withColumn("method", _g(line, p, 5))
         .withColumn("path", _g(line, p, 6))
@@ -255,7 +257,7 @@ def parse_syslog(df: DataFrame, line_col: str = "line") -> DataFrame:
         df.withColumn("facility", (pri / 8).cast("int"))
         .withColumn("severity", pri % 8)
         .withColumn("version", _g(line, p, 2).cast("int"))
-        .withColumn("timestamp", F.to_timestamp(_g(line, p, 3)))
+        .withColumn("timestamp", F.try_to_timestamp(_g(line, p, 3)))
         .withColumn("hostname", _g(line, p, 4))
         .withColumn("appname", _g(line, p, 5))
         .withColumn("procid", _g(line, p, 6))
