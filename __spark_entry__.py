@@ -3982,8 +3982,10 @@ SELECT ts AS timestamp, role AS host, 'errors' AS name,
        'counter' AS kind, 1.0 AS value
 FROM parsed WHERE level = 'ERROR'
 UNION ALL
+-- a missing source field emits NO metric
+-- (log_to_metric.rs TransformError::FieldNotFound)
 SELECT ts, role, 'latency', 'gauge', CAST(latency_ms AS DOUBLE)
-FROM parsed
+FROM parsed WHERE latency_ms IS NOT NULL
 """
     )
 

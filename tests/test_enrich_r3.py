@@ -88,3 +88,32 @@ def test_wildcard_case_insensitive(spark):
     dim = EnrichmentTable(pat, key=[], case_sensitive=False)
     facts = spark.createDataFrame([("error",)], "msg string")
     assert dim.lookup_wildcard(facts, "msg", "pattern").collect()[0].label == "e"
+
+
+def test_values_df_backslash_and_between_case_fold(spark):
+    import datetime
+
+    from vector_spark.enrich import EnrichmentTable, _values_df
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("path", T.StringType()),
+    ])
+    dim = _values_df(spark, [("a", r"C:\temp"), ("b", "x\\ny")], schema)
+    rows = {r.k: r.path for r in dim.collect()}
+    # backslashes survive the VALUES literal (no \t -> TAB mangling)
+    assert rows["a"] == r"C:\temp" and rows["b"] == "x\\ny"
+
+    t0 = datetime.datetime(2024, 1, 1)
+    dim2 = spark.createDataFrame(
+        [("WEB01", t0, t0 + datetime.timedelta(days=1), "dc1")],
+        "host string, frm timestamp, thru timestamp, dc string",
+    )
+    table = EnrichmentTable(dim2, ["host"], "t", case_sensitive=False)
+    facts = spark.createDataFrame(
+        [("web01", t0 + datetime.timedelta(hours=1))],
+        "host string, ts timestamp",
+    )
+    out = table.lookup_between(facts, "ts", "frm", "thru").collect()[0]
+    assert out.dc == "dc1"  # case-insensitive key honored in range path

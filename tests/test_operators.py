@@ -258,3 +258,66 @@ def test_dedupe_order_by_with_all_columns_as_keys(spark):
     )
     out = dedupe(df, match=["k", "ts"], order_by=["ts"])
     assert sorted((r.k, r.ts) for r in out.collect()) == [("a", 1), ("b", 2)]
+
+
+def test_route_empty_routes_all_unmatched(spark):
+    from vector_spark.operators.route import route
+
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    out = route(df, {})
+    assert set(out) == {"_unmatched"}
+    assert out["_unmatched"].count() == 2
+
+
+def test_explode_metrics_wire_kind_and_null_field(spark):
+    from vector_spark.operators.log_to_metric import (
+        MetricSpec,
+        explode_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "2024-01-01 00:00:00"),
+         (2, None, "2024-01-01 00:00:01")],
+        "id long, lat double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = explode_metrics(
+        df,
+        [MetricSpec(kind="histogram", name="lat_h", field_="lat")],
+        tags=["id"],
+    ).collect()
+    # histogram config kind emits a distribution VALUE; the
+    # null-field row emits no metric at all
+    assert len(out) == 1
+    assert out[0].kind == "distribution" and out[0].value == 10.0
+
+
+def test_merge_metric_stream_null_kind_rows_ignored(spark):
+    from vector_spark.operators.aggregate import merge_metric_stream
+
+    df = spark.createDataFrame(
+        [("m", None, 5.0, "a", "2024-01-01 00:00:00"),
+         ("m", "incremental", 1.0, "b", "2024-01-01 00:10:00"),
+         ("m", "incremental", 2.0, "c", "2024-01-01 00:20:00")],
+        "name string, metric_kind string, value double, ord string,"
+        " ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = merge_metric_stream(
+        df, keys=["name"], metric_kind_col="metric_kind",
+        value_col="value", order_col="ord",
+    ).collect()[0]
+    # a NULL-kind row must not flip the group to last-wins
+    assert r.metric_kind == "incremental" and r.value == 8.0
+
+
+def test_agg_histogram_skips_null_samples(spark):
+    from vector_spark.operators.aggregate import (
+        distribution_to_agg_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, "2024-01-01 00:00:00"), (None, "2024-01-01 00:00:01")],
+        "v double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = distribution_to_agg_histogram(df, "v", bounds=[10.0]).collect()
+    assert len(rows) == 1
+    assert rows[0].bucket_count == 1 and rows[0].bucket_sum == 1.0

@@ -122,8 +122,14 @@ class EnrichmentTable:
         """BetweenDates enrich (file.rs:233-239): broadcast range join
         facts.ts BETWEEN dim.frm AND dim.to (+ equality key if any)."""
         cond = (F.col(ts_col) >= self.df[frm]) & (F.col(ts_col) <= self.df[to])
+        fact_types = dict(facts.dtypes)
         for k in self.key:
-            cond = cond & (facts[k] == self.df[k])
+            # honor the table's case mode like lookup(): raw equality
+            # here would silently miss rows lookup() matches
+            if not self.case_sensitive and fact_types.get(k) == "string":
+                cond = cond & (F.lower(facts[k]) == F.lower(self.df[k]))
+            else:
+                cond = cond & (facts[k] == self.df[k])
         return facts.join(F.broadcast(self.df), cond, how)
 
 
@@ -150,7 +156,15 @@ def _values_df(spark: SparkSession, rows: list[tuple], schema) -> "DataFrame":
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
         if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
+            # double backslashes too: with the default
+            # escapedStringLiterals=false the SQL parser would turn
+            # '\t'/'\n' inside a value like 'C:\temp' into control
+            # characters, silently corrupting the dimension key
+            s = v.replace("\\", "\\\\").replace("'", "''")
+            return "'" + s + "'"
+        if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+            name = "NaN" if v != v else ("Infinity" if v > 0 else "-Infinity")
+            return f"CAST('{name}' AS DOUBLE)"
         if isinstance(v, (int, float)):
             return str(v)
         raise TypeError(

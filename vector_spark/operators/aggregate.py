@@ -59,13 +59,19 @@ def merge_metric_stream(
     max_by(value, order) for absolute — Vector's arrival-order "last"
     becomes an explicit order key (SURVEY §2.7)."""
     mk = F.col(metric_kind_col)
+    # F.max, not F.first: first() with an arbitrary in-group row order
+    # is nondeterministic and does NOT skip nulls — a NULL-kind first
+    # row would silently last-wins-merge incremental data. max()
+    # ignores nulls and, should a group ever mix kinds (caller error),
+    # deterministically prefers 'incremental' (sum — the lossless
+    # choice).
     merged = F.when(
-        F.first(mk) == "incremental", F.sum(value_col)
+        F.max(mk) == "incremental", F.sum(value_col)
     ).otherwise(F.max_by(value_col, F.col(order_col)))
     return (
         df.groupBy(F.window(ts_col, interval).alias("w"), *keys)
         .agg(
-            F.first(mk).alias(metric_kind_col),
+            F.max(mk).alias(metric_kind_col),
             merged.alias(value_col),
             F.count(F.lit(1)).alias("n"),
         )
@@ -103,6 +109,11 @@ def distribution_to_agg_histogram(
     bucket = F.size(
         F.filter(barr, lambda b: b < F.col(value_col).cast("double"))
     )
+    # NULL samples would land in bucket 0 with bucket_count
+    # incremented but bucket_sum unchanged (sum skips nulls) — a
+    # Distribution has no null samples; drop them like
+    # sketch_from_values does
+    df = df.filter(F.col(value_col).isNotNull())
     return (
         df.withColumn("_bucket", bucket)
         .groupBy(F.window(ts_col, interval).alias("w"), *(keys or []), "_bucket")

@@ -96,6 +96,21 @@ def explode_metrics(
     for s in specs:
         cond = s.condition if s.condition is not None else F.lit(True)
         value = F.col(s.field_).cast("double") if s.field_ else F.lit(1.0)
+        if s.field_:
+            # the reference emits NO metric when the source field is
+            # missing (log_to_metric.rs TransformError::FieldNotFound)
+            # — and the grouped path's aggregates skip nulls, so the
+            # two paths must agree. Numeric-cast nulls (e.g. a
+            # non-numeric set member) drop the same way: this flat
+            # (name, kind, value) shape is numeric by construction.
+            cond = cond & value.isNotNull()
+        # config kinds histogram/summary EMIT distribution values
+        # (log_to_metric.rs -> MetricValue::Distribution with the
+        # statistic kind) — the wire kind must be a MetricValue
+        # variant name or metric_to_log serializes no value at all
+        wire_kind = {"histogram": "distribution", "summary": "distribution"}.get(
+            s.kind, s.kind
+        )
         if "{{" in s.name:
             # templated metric name ({{ field }} + strftime,
             # log_to_metric.rs render_template) — per-row rendering
@@ -109,7 +124,7 @@ def explode_metrics(
                 cond,
                 F.struct(
                     name_col.alias("name"),
-                    F.lit(s.kind).alias("kind"),
+                    F.lit(wire_kind).alias("kind"),
                     value.alias("value"),
                 ),
             )

@@ -33,6 +33,10 @@ UNMATCHED = "_unmatched"
 
 
 def _any(conds: list[Column]) -> Column:
+    if not conds:
+        # zero routes: nothing matches anything (route({}) sends every
+        # row to _unmatched, like route_single_pass)
+        return F.lit(False)
     out = conds[0]
     for c in conds[1:]:
         out = out | c

@@ -84,8 +84,15 @@ def sample_counter(
     pool = df.filter(~exclude) if exclude is not None else df
 
     n = partitions or pool.sparkSession.sparkContext.defaultParallelism
-    ranged = pool.repartitionByRange(n, order).withColumn(
-        "_pid", F.spark_partition_id()
+    # pin the ranged layout ONCE (lazy localCheckpoint): the counts
+    # branch and the join branch both read it, and recomputing
+    # repartitionByRange re-samples range bounds — the offsets and
+    # ranks must come from the SAME physical layout, and the upstream
+    # lineage shouldn't run twice either
+    ranged = (
+        pool.repartitionByRange(n, order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     offsets = counts.select(

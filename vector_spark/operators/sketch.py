@@ -121,25 +121,27 @@ def sketch_quantiles(
         F.sum("cnt").over(w).alias("cum"),
         F.sum("cnt").over(wn).alias("n"),
     )
-    per_q = []
-    for q in qs:
-        rank = F.ceil(F.lit(float(q)) * F.col("n")).cast("bigint")
-        hit = cum.filter(F.col("cum") >= rank)
-        first = (
-            hit.groupBy(*keys)
-            .agg(F.min("bucket").alias("bucket"), F.first("n").alias("n"))
-            .select(
-                *keys,
-                F.lit(float(q)).alias("q"),
-                hdr_bucket_mid(F.col("bucket")).alias("est"),
-                "n",
-            )
+    # ONE pass for every q: explode the quantile list against the
+    # cumulative rows and take min(bucket) per (keys, q). The per-q
+    # loop re-evaluated the whole cum-window plan (a shuffle over all
+    # sketch rows) once per quantile and unioned the results — cost
+    # grew linearly with len(qs) for no reason.
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    hits = cum.select(
+        *keys, "bucket", "cum", "n", F.explode(qarr).alias("q")
+    ).filter(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("n")).cast("bigint")
+    )
+    return (
+        hits.groupBy(*keys, "q")
+        .agg(F.min("bucket").alias("bucket"), F.max("n").alias("n"))
+        .select(
+            *keys,
+            "q",
+            hdr_bucket_mid(F.col("bucket")).alias("est"),
+            "n",
         )
-        per_q.append(first)
-    out = per_q[0]
-    for p in per_q[1:]:
-        out = out.unionByName(p)
-    return out
+    )
 
 
 def merge_agg_histograms(
