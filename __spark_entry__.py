@@ -3782,7 +3782,7 @@ corpus AS (
 
     o["docs_exact_dedup"] = f"""
 WITH {_corpus}
-SELECT md5(text) AS fingerprint,
+SELECT md5(coalesce(text, '')) AS fingerprint,
   min(doc_id) AS canonical_id,
   CAST(count(*) AS BIGINT) AS dup_count
 FROM corpus GROUP BY 1

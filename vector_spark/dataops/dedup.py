@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_spark.dataops.text import tokens
+
 P = 4294967311  # prime > 2^32
 N_HASHES = 64
 N_BANDS = 16
@@ -86,8 +88,13 @@ def shingle_sets(
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via text fingerprint groupBy: one row per distinct
     text with the canonical (min) id and duplicate count."""
+    # coalesce: NULL text fingerprints as md5('') so the output is a
+    # valid seen_fingerprints store for exact_dedup_incremental (a
+    # NULL fingerprint never equi-joins, silently never matching)
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        df.groupBy(
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fingerprint")
+        )
         .agg(
             F.min(id_col).alias("canonical_id"),
             F.count(F.lit(1)).alias("dup_count"),
@@ -156,10 +163,11 @@ def ngram_jaccard_pairs(
     max_shingle_df drops stop-shingles appearing in more than K docs
     before the self-join — the skew cap that keeps the shuffle sane
     at web scale (a shingle in D docs contributes D^2 pair rows).
-    NOTE: dropping shingles changes the candidate set but not the
-    final Jaccard (computed on full shingle sets), so threshold pairs
-    sharing ONLY ultra-common shingles may be missed; at default
-    settings on the fixture corpus no shingle hits the cap.
+    The final Jaccard is computed over the SAME capped shingle
+    universe on both sides (intersection AND set sizes exclude
+    capped shingles), so the metric is self-consistent; pairs sharing
+    ONLY ultra-common shingles never become candidates at all. At
+    default settings on the fixture corpus no shingle hits the cap.
     """
     # repartition the exploded shingle set by the JOIN/GROUP key before
     # caching: the scan has few input splits, so an un-redistributed
@@ -172,20 +180,31 @@ def ngram_jaccard_pairs(
     # groupBy(id) form shuffled the ENTIRE exploded shingle stream a
     # second time just to count it (at 100 TB that is the corpus's
     # whole token stream); re-tokenizing the doc row is a per-row map
-    sizes = shingle_sets(df, id_col, text_col, n).select(
+    sizes_full = shingle_sets(df, id_col, text_col, n).select(
         "id", F.size("_shingles").alias("sz")
     )
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    filtered = sh.join(
-        F.broadcast(df_counts.filter(F.col("df") > max_shingle_df)),
-        "shingle",
-        "left_anti",
+    capped = df_counts.filter(F.col("df") > max_shingle_df)
+    filtered = sh.join(F.broadcast(capped), "shingle", "left_anti")
+    # set sizes over the SAME capped universe as the intersection: a
+    # full-set size with a capped-set intersection would silently
+    # UNDERESTIMATE Jaccard for any pair sharing a stop shingle.
+    # The subtraction pass touches only capped-shingle occurrences
+    # and partial-aggregates on id before its (tiny) exchange.
+    capped_per_doc = (
+        sh.join(F.broadcast(capped.select("shingle")), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_capped"))
     )
     a, b = filtered.alias("a"), filtered.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sizes_full.join(capped_per_doc, "id", "left").select(
+        "id",
+        (F.col("sz") - F.coalesce(F.col("_capped"), F.lit(0))).alias("sz"),
     )
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
@@ -313,7 +332,15 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate pairs via LSH banding, similarity = fraction of
     equal minhash positions (unbiased Jaccard estimator)."""
-    sigs = minhash_signatures(df, id_col, text_col, n).cache()
+    # Null signatures (null/too-short text) are excluded BEFORE
+    # banding: concat_ws skips nulls, so every null-sig doc would
+    # share the md5('') band signature — one quadratic skew key of
+    # pure noise in the self-join at scale.
+    sigs = (
+        minhash_signatures(df, id_col, text_col, n)
+        .filter(F.col("sig").isNotNull())
+        .cache()
+    )
     # Materialize before the self-join: its two sides (and the two
     # signature re-joins) otherwise run as CONCURRENT stages that
     # each race the not-yet-populated cache and recompute the UDF.
@@ -643,10 +670,7 @@ def _span_windows(
     no shuffle. Docs shorter than k tokens yield no windows."""
     tokd = df.select(
         F.col(id_col).alias("id"),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"),
-            lambda t: t != "",
-        ).alias("_toks"),
+        tokens(F.col(text_col)).alias("_toks"),
     )
     toks = F.col("_toks")
     return (
@@ -818,10 +842,7 @@ def remove_duplicate_spans(
     )
     tokd = df.select(
         F.col(id_col).alias("id"),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"),
-            lambda t: t != "",
-        ).alias("_toks"),
+        tokens(F.col(text_col)).alias("_toks"),
     )
     joined = tokd.join(spans, "id", "left")
     toks = F.col("_toks")

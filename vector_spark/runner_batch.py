@@ -215,6 +215,11 @@ def run_flagship(
         # the aggregate was just written — read it back (tiny) instead
         # of recomputing the pipeline for counts
         agg_rows = spark.read.parquet(agg_path).collect()
+        # counts and lineage come from the COMMITTED parquet, exactly
+        # like the resume branch: the ts-window aggregate silently
+        # drops NULL-ts rows (TimeWindowing injects isnotnull), so
+        # agg-derived counts could disagree with what was written
+        routed = routed_read
     else:
         # one pass: the aggregate's per-group `turns` counts roll up
         # to exact per-sink routed-row counts, so a single collect
@@ -223,9 +228,23 @@ def run_flagship(
         clock.start("aggregate")
         agg_rows = flagship_aggregate(routed).collect()
         clock.stop(rows=len(agg_rows))
-    counts: dict[str, int] = {}
-    for r in agg_rows:
-        counts[r["sink"]] = counts.get(r["sink"], 0) + r["turns"]
+    if out_dir:
+        # count the committed parquet directly (same as resume):
+        # identical counts on every run, NULL-ts rows included
+        counts = {
+            r["_route"]: r["rows"]
+            for r in routed.groupBy("_route")
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        }
+    else:
+        # one-pass mode: counts roll up from the ts-window aggregate —
+        # exact whenever ts is non-null (the flagship derivation
+        # guarantees it; arbitrary inputs with NULL ts should write
+        # through out_dir mode for parquet-exact counts)
+        counts = {}
+        for r in agg_rows:
+            counts[r["sink"]] = counts.get(r["sink"], 0) + r["turns"]
     result["counts"] = counts
     result["aggregate_rows"] = len(agg_rows)
     if lineage:

@@ -90,8 +90,12 @@ class TcpListener:
                         break
                     chunks.append(b)
             buf = b"".join(chunks)
-            if self.max_length is not None:
-                buf = buf[: self.max_length]
+            # no stream-level truncation: the reference's max_length
+            # caps individual FRAMES (oversized frames are discarded
+            # by the framing decoder) — cutting the connection byte
+            # stream here would silently drop the rest of the
+            # connection and corrupt the frame at the cut. Pass
+            # self.max_length to the frame_* stage instead.
             with self._lock:
                 self._rows.append((cid, peer[0], peer[1], buf))
 
@@ -268,7 +272,11 @@ class HttpListener:
                     if self.headers.get(h) is not None
                 }
                 with store.lock:
-                    store.rows.append((self.path, kept, bytes(body)))
+                    # stamp the path COMPONENT (the reference's warp
+                    # FullPath carries no query string), so downstream
+                    # path equality filters/groupBys see '/ingest',
+                    # not '/ingest?source=web'
+                    store.rows.append((req_path, kept, bytes(body)))
                 self.send_response(200)
                 self.end_headers()
 
@@ -420,8 +428,9 @@ def syslog_tcp_source(spark: SparkSession, listener: TcpListener) -> DataFrame:
     Framing/parse run distributed across connections."""
     from vector_spark.sources import frame_octet_counting, parse_syslog
 
-    raw = listener.to_df(spark).withColumn(
-        "content", F.col("content").cast("string")
-    )
+    # keep content BINARY: a cast to string replaces non-UTF-8 bytes,
+    # desynchronizing the RFC6587 octet counts; the framing UDF
+    # handles bytes directly
+    raw = listener.to_df(spark)
     framed = frame_octet_counting(raw)
     return parse_syslog(framed, line_col="frame")

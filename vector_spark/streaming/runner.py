@@ -233,15 +233,13 @@ def run_streaming_flagship(
         lost) rewrites its own partitions instead of appending
         duplicates — exactly-once output, matching the checkpoint's
         epoch replay contract."""
-        if epoch_id in seen_epochs:  # same-process retry: counts once
-            return
-        seen_epochs.add(epoch_id)
         batch_df.persist()
         try:
-            for row in (
-                batch_df.groupBy("_route").agg(F.count(F.lit(1)).alias("n")).collect()
-            ):
-                counts[row["_route"]] = counts.get(row["_route"], 0) + row["n"]
+            # write FIRST, every delivery: a replayed epoch must be
+            # allowed to REWRITE its partition (a guard that skips the
+            # whole body would leave a half-written _epoch partition
+            # from a failed attempt on disk forever). The dynamic
+            # overwrite makes the rewrite idempotent.
             (
                 batch_df.withColumn("_epoch", F.lit(epoch_id))
                 .repartition("_route", "role")
@@ -250,6 +248,18 @@ def run_streaming_flagship(
                 .partitionBy("_epoch", "_route", "role")
                 .parquet(os.path.join(out_dir, "routed"))
             )
+            # counts accumulate ONCE per epoch (EventsSent telemetry),
+            # and only after a successful write
+            if epoch_id not in seen_epochs:
+                for row in (
+                    batch_df.groupBy("_route")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                ):
+                    counts[row["_route"]] = (
+                        counts.get(row["_route"], 0) + row["n"]
+                    )
+                seen_epochs.add(epoch_id)
         finally:
             batch_df.unpersist()
 
