@@ -347,3 +347,97 @@ def test_unnest_static_typedef_flows_to_closure_arg(spark):
             "timestamp": {"timestamp": True},
         }
     }
+
+
+def test_no_space_inequality_tokenizes_as_compare(spark):
+    from vector_spark.vrl_lang import compile_vrl
+
+    df = spark.createDataFrame([(200,), (500,)], "status int")
+    out = compile_vrl(df, '.bad = .status!=200')
+    rows = sorted((r.status, r.bad) for r in out.collect())
+    # '.status!=200' must be a comparison, not 'status! = 200'
+    assert rows == [(200, False), (500, True)]
+
+
+def test_value_or_only_false_and_null_are_falsy(spark):
+    from vector_spark.vrl_lang import compile_vrl
+
+    df = spark.createDataFrame(
+        [(0, "false"), (None, None), (3, "x")],
+        "count int, mode string",
+    )
+    out = compile_vrl(
+        df, '.retries = .count || 10\n.m = .mode || "default"'
+    )
+    rows = {
+        (r["count"], r["mode"]): (r["retries"], r["m"])
+        for r in out.collect()
+    }
+    assert rows[(0, "false")] == (0, "false")   # 0 and 'false' truthy
+    assert rows[(None, None)] == (10, "default")
+    assert rows[(3, "x")] == (3, "x")
+
+
+def test_exists_in_branch_keeps_sparse_and_one_sided_del(spark):
+    from vector_spark.vrl_lang import vrl_condition
+
+    df = spark.createDataFrame(
+        [("x", None), ("x", "v"), ("y", None)],
+        "type string, field string",
+    )
+    cond = vrl_condition(
+        df.schema, 'if .type == "x" { exists(.field) } else { true }'
+    )
+    got = [(r.type, r.field) for r in df.filter(cond).collect()]
+    # ('x', None) must NOT match: exists() stays per-row in branches
+    assert sorted(got) == [("x", "v"), ("y", None)]
+
+
+def test_one_sided_del_exists_per_row(spark):
+    from vector_spark.vrl_lang import compile_vrl
+
+    df = spark.createDataFrame(
+        [(True, "a1"), (False, "a2")], "flag boolean, a string"
+    )
+    out = compile_vrl(df, 'if .flag { del(.a) }\n.has = exists(.a)')
+    rows = {r.flag: r.has for r in out.collect()}
+    assert rows[True] is False and rows[False] is True
+
+
+def test_slice_on_array_column(spark):
+    from vector_spark.vrl_lang import compile_vrl
+
+    df = spark.createDataFrame(
+        [(["a", "b", "c", "d"],)], "tags array<string>"
+    )
+    out = compile_vrl(df, ".head = slice!(.tags, 0, 2)")
+    assert out.collect()[0].head == ["a", "b"]
+
+
+def test_fallible_division_survives_ansi(spark):
+    from vector_spark.vrl_lang import compile_vrl
+
+    df = spark.createDataFrame([(4, 2), (5, 0)], "a int, b int")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        out = compile_vrl(df, "ok, err = .a / .b\n.r = ok\n.e = err")
+        rows = sorted((r.a, r.r, r.e) for r in out.collect())
+        assert rows[0] == (4, 2.0, None)
+        # zero divisor: ok takes the float default, err the message —
+        # and crucially the JOB does not abort under ANSI
+        assert rows[1][1] == 0.0 and rows[1][2] is not None
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_dotted_column_ambiguity_guard(spark):
+    import pytest
+
+    from vector_spark.vrl_lang import VrlCompileError, compile_vrl
+
+    df = spark.createDataFrame(
+        [(("v",), "flat")], "a struct<b: string>, `a.b` string"
+    )
+    with pytest.raises(VrlCompileError, match="ambiguous"):
+        compile_vrl(df, ".x = .a.b")

@@ -110,7 +110,10 @@ def check_fields(**specs) -> Column:
         if predicate not in _PREDICATES or not field:
             raise ValueError(f"bad check_fields spec: {key}")
         c = _one(field, predicate, value)
-        conds.append(~c if negate else c)
+        # null-safe negation: ~NULL is NULL (row filtered out), but a
+        # missing field NOT equal to X must PASS — the same missing-
+        # field-counts-as-unequal rule the neq predicate applies
+        conds.append(~F.coalesce(c, F.lit(False)) if negate else c)
     out = conds[0]
     for c in conds[1:]:
         out = out & c

@@ -294,8 +294,10 @@ def parse_int(col: Column, base: int | None = None) -> Column:
     `0o` -> 8, `0x` -> 16, leading `0` -> 8, else 10."""
     if base is not None:
         if base == 10:
-            return col.cast("long")
-        return F.conv(col, base, 10).cast("long")
+            # try_cast: malformed input fails to null (the fallible
+            # contract) instead of aborting under default ANSI mode
+            return col.try_cast("long")
+        return F.conv(col, base, 10).try_cast("long")
     body = F.substring(col, 3, 1 << 30)
     return (
         F.when(col.startswith("0b"), F.conv(body, 2, 10))
@@ -303,7 +305,7 @@ def parse_int(col: Column, base: int | None = None) -> Column:
         .when(col.startswith("0x"), F.conv(body, 16, 10))
         .when(col.startswith("0") & (F.length(col) > 1), F.conv(col, 8, 10))
         .otherwise(col)
-        .cast("long")
+        .try_cast("long")
     )
 
 
@@ -395,11 +397,15 @@ def format_number(
         grouped = F.format_number(truncated, scale)
     else:
         grouped = F.regexp_replace(col.cast("string"), r"\.0$", "")
+    # swap through a sentinel: substituting the grouping separator
+    # first would let a '.' grouping separator be clobbered by the
+    # subsequent '.' -> decimal_separator replacement
+    # ('1.234.5' -> '1,234,5' instead of '1.234,5')
     sep = grouping_separator if grouping_separator is not None else ""
-    out = F.replace(grouped, F.lit(","), F.lit(sep))
+    out = F.replace(grouped, F.lit(","), F.lit("\x00"))
     if decimal_separator != ".":
         out = F.replace(out, F.lit("."), F.lit(decimal_separator))
-    return out
+    return F.replace(out, F.lit("\x00"), F.lit(sep))
 
 
 # ---------------------------------------------------------------------------

@@ -86,7 +86,7 @@ _TOKEN_RE = re.compile(
   | (?P<sstr>s'(?:[^'\\]|\\[\s\S])*')
   | (?P<tstr>t'(?:[^'\\]|\\[\s\S])*')
   | (?P<dstr>"(?:[^"\\]|\\[\s\S])*")
-  | (?P<ident>(?=[0-9@_]*[@A-Za-z])[A-Za-z0-9_@]+!?|_[A-Za-z0-9_]*)
+  | (?P<ident>(?=[0-9@_]*[@A-Za-z])[A-Za-z0-9_@]+!(?=\()|(?=[0-9@_]*[@A-Za-z])[A-Za-z0-9_@]+|_[A-Za-z0-9_]*)
   | (?P<int>\d[\d_]*)
   | (?P<op>\?\?|==|!=|<=|>=|&&|\|\||->|[-+*/%<>=!,;:(){}\[\].|])
     """,
@@ -839,6 +839,13 @@ class Env:
         e.tdef = dict(self.tdef)
         e.root_known = self.root_known
         e.event_closed = self.event_closed
+        # dynamically-attached context must survive the fork: dropping
+        # sparse_cols turns per-row exists() into a constant inside
+        # if-branches, and dropping enrichment_rows makes
+        # get_enrichment_table_record fail only when nested
+        for attr in ("sparse_cols", "enrichment_rows"):
+            if hasattr(self, attr):
+                setattr(e, attr, getattr(self, attr))
         return e
 
 
@@ -2846,9 +2853,13 @@ class Compiler:
         if node.op == "*":
             return left * right
         if node.op == "/":
-            return left / right
+            # try_divide: identical to `/` with ANSI off (null on a
+            # zero divisor) but does NOT abort the job when the
+            # session runs Spark 4's default ANSI mode — fallible
+            # arithmetic must fail-to-null for ?? / ok,err capture
+            return F.try_divide(left, right)
         if node.op == "%":
-            return left % right
+            return F.try_mod(left, right)
         if node.op == "==":
             return left.eqNullSafe(right)
         if node.op == "!=":
@@ -2868,10 +2879,20 @@ class Compiler:
                 right = right.cast("boolean")
             return left & right
         if node.op == "||":
-            # VRL || is value-or: left when truthy, else right
-            truthy = F.coalesce(
-                left.try_cast("boolean"), left.isNotNull()
-            )
+            # VRL || is value-or: left when truthy, else right. ONLY
+            # false and null are falsy (integer 0 and the string
+            # "false" are truthy) — a blanket try_cast('boolean')
+            # would treat 0/'false'/'no' as falsy. Use the inferred
+            # type: a value that cannot be boolean is truthy iff
+            # non-null.
+            td = self.infer_tdef(node.left)
+            can_be_bool = td is None or td.get("boolean")
+            if can_be_bool:
+                truthy = F.coalesce(
+                    left.try_cast("boolean"), left.isNotNull()
+                )
+            else:
+                truthy = left.isNotNull()
             return F.when(truthy, left).otherwise(right)
         if node.op == "index":
             i = node.right.value
@@ -3140,6 +3161,44 @@ class Compiler:
         )):
             # VRL's diagnostic log(msg, level:) — a no-op null here
             return F.lit(None)
+        if name in ("slice", "is_empty") and node.args:
+            # kind-dispatching kernels: an ARRAY-typed column must hit
+            # the array code path (the registry default is 'string',
+            # which would run F.length/F.substring on an array and
+            # fail analysis)
+            td = self.infer_tdef(node.args[0])
+            sh = self.infer_shape(node.args[0])
+            if (sh and sh[0] == "arr") or td == {"array": True}:
+                from vector_spark.vrl import is_empty as _vrl_is_empty
+                from vector_spark.vrl import slice_ as _vrl_slice
+
+                col0 = self.compile(node.args[0])
+                if name == "is_empty":
+                    return _vrl_is_empty(col0, dtype="array")
+                start_n = (
+                    node.args[1]
+                    if len(node.args) > 1
+                    else node.kwargs.get("start")
+                )
+                end_n = (
+                    node.args[2]
+                    if len(node.args) > 2
+                    else node.kwargs.get("end")
+                )
+                ks, sv = (
+                    self.py_value(start_n)
+                    if start_n is not None
+                    else (True, 0)
+                )
+                ke, ev = (
+                    self.py_value(end_n)
+                    if end_n is not None
+                    else (True, None)
+                )
+                if ks and ke and isinstance(sv, int) and (
+                    ev is None or isinstance(ev, int)
+                ):
+                    return _vrl_slice(col0, sv, ev, dtype="array")
         if name not in FUNCTIONS:
             raise VrlCompileError(f"unknown function {name!r}")
         fn = FUNCTIONS[name]
@@ -3861,7 +3920,17 @@ class Compiler:
             )
             merged[k] = base if same_as_base else F.when(cond, t).otherwise(e)
         self.env.bind = merged
-        self.env.deleted = then_env.deleted | else_env.deleted
+        # statically deleted only when BOTH paths deleted it; a
+        # one-sided del is per-row (the merged bind already carries
+        # when(cond, null)), so exists() on it must read null-ness,
+        # not a static False — route those keys through sparse_cols
+        one_sided = (
+            then_env.deleted | else_env.deleted
+        ) - (then_env.deleted & else_env.deleted)
+        self.env.deleted = then_env.deleted & else_env.deleted
+        if one_sided:
+            sparse = set(getattr(self.env, "sparse_cols", set()) or set())
+            self.env.sparse_cols = sparse | one_sided
         self.env.shape = {
             k: then_env.shape[k]
             for k in set(then_env.shape) & set(else_env.shape)
@@ -4351,6 +4420,25 @@ def _py_to_col(v) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _guard_dotted_ambiguity(schema) -> None:
+    """A literal column named 'a.b' and a struct column 'a' (with a
+    field b) both bind the event key '.a.b' — refuse the ambiguous
+    frame loudly instead of silently resolving to whichever wins."""
+    names = [f.name for f in schema.fields]
+    struct_heads = {
+        f.name for f in schema.fields if f.dataType.typeName() == "struct"
+    }
+    ambiguous = {
+        c for c in names if "." in c and c.split(".", 1)[0] in struct_heads
+    }
+    if ambiguous:
+        raise VrlCompileError(
+            f"ambiguous event paths: literal dotted column(s) "
+            f"{sorted(ambiguous)} collide with struct column paths — "
+            "rename one side"
+        )
+
+
 def compile_vrl(
     df: DataFrame, source: str,
     enrichment_rows: dict[str, list[dict]] | None = None,
@@ -4361,8 +4449,19 @@ def compile_vrl(
     `source:` key."""
     stmts = parse_program(source)
     # backticked col refs so literal dotted names like "c.c" resolve
+    _guard_dotted_ambiguity(df.schema)
     env = Env({"." + c: F.col(f"`{c}`" if "." in c else c) for c in df.columns})
     env.top = set(df.columns)
+    # seed type knowledge the schema already carries: kind-dispatching
+    # kernels (slice/is_empty) need to know a column is an ARRAY, and
+    # timestamps drive format_timestamp — without this the registry
+    # defaults to the string code path and fails analysis
+    for f in df.schema.fields:
+        tn = f.dataType.typeName()
+        if tn == "array":
+            env.tdef["." + f.name] = {"array": True}
+        elif tn.startswith("timestamp"):
+            env.tdef["." + f.name] = {"timestamp": True}
     if enrichment_rows:
         env.enrichment_rows = enrichment_rows
     comp = Compiler(env)
@@ -4524,6 +4623,8 @@ def vrl_condition(schema_or_cols, source: str) -> Column:
         else list(schema_or_cols)
     )
     stmts = parse_program(source)
+    if hasattr(schema_or_cols, "fields"):
+        _guard_dotted_ambiguity(schema_or_cols)
     env = Env({"." + c: F.col(f"`{c}`" if "." in c else c) for c in cols})
     env.top = set(cols)
     env.sparse_cols = {"." + c for c in cols}
