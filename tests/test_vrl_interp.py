@@ -256,3 +256,55 @@ def test_type_trace_cache_closure_stamps_per_shape():
             stmts, dict(ev)
         )
     assert len(cache2) == 2
+
+
+def test_stdlib_python_exceptions_become_fallible_errors():
+    from vector_spark.vrl_interp import Interp, parse_program
+
+    # split on an empty separator leaks ValueError from the kernel —
+    # it must surface as a per-event FALLIBLE error (catchable), not
+    # a task-killing raw exception
+    it = Interp({"t": "abc"})
+    _, ev = it.run(parse_program('.out = split(.t, "") ?? "caught"'))
+    assert ev["out"] == "caught"
+
+
+def test_assert_failures_stay_uncatchable():
+    import pytest
+
+    from vector_spark.vrl_interp import Interp, _AssertError, parse_program
+
+    it = Interp({})
+    with pytest.raises(_AssertError):
+        it.run(parse_program('x = assert_eq!(1, 2) ?? "caught"'))
+
+
+def test_round_half_away_from_zero_negative():
+    from vector_spark.vrl_interp import Interp, parse_program
+
+    _, ev = Interp({}).run(
+        parse_program(".a = round(-2.5)\n.b = round(-0.5)\n.c = round(2.5)")
+    )
+    assert (ev["a"], ev["b"], ev["c"]) == (-3.0, -1.0, 3.0)
+
+
+def test_format_number_truncates_decimal_string():
+    from vector_spark.vrl_interp import Interp, parse_program
+
+    _, ev = Interp({}).run(
+        parse_program(
+            ".a = format_number(4.56, 2)\n.b = format_number(0.29, 2)"
+        )
+    )
+    assert ev["a"] == "4.56" and ev["b"] == "0.29"
+
+
+def test_block_local_variable_types_do_not_leak():
+    from vector_spark.vrl_interp import Interp, parse_program
+
+    # x is block-local at runtime; its static type must not survive
+    # the block either (type_def would otherwise claim integer)
+    _, ev = Interp({}).run(
+        parse_program('{ x = 1 }\n.after = true')
+    )
+    assert ev["after"] is True

@@ -71,7 +71,7 @@ TRIGRAM_PROFILES: dict[str, list[str]] = {
         "er ", "en ", "et ", "det", " de", "og ", " og", "til", " ti",
         "il ", "av ", " av", "ikk", "kke", "ing", "ene", " fo", "for",
         "or ", "som", " so", "om ", " ha", "har", "ar ", "ed ", " me",
-        "med", "ter", "ere", " st", "den", "ikke"[:3], "ke ", "jon",
+        "med", "ter", "ere", " st", "den", " en", "ke ", "jon",
     ],
     "da": [
         "er ", "en ", "et ", "der", "det", " de", "og ", " og", "af ",
@@ -83,7 +83,7 @@ TRIGRAM_PROFILES: dict[str, list[str]] = {
         "en ", "in ", "an ", "een", "ssa", " ja", "ja ", "sta", "aan",
         "lla", "ist", "itt", "tä ", "ää ", "ksi", "ine", "sen", "ett",
         "tta", "ta ", "on ", " on", "nen", "ten", "mis", "lli", "ell",
-        "isi", "ää", "stä", " ka", " pa", "oit", "uks", "vat",
+        "isi", "än ", "stä", " ka", " pa", "oit", "uks", "vat",
         "lle", "emm", "nne", "maa", "ia ",
     ],
     "pl": [
@@ -95,13 +95,13 @@ TRIGRAM_PROFILES: dict[str, list[str]] = {
     "cs": [
         " je", "je ", "ní ", "ch ", " po", " pr", "pro", "ou ", "na ",
         " na", "ho ", "ně ", "ení", "ter", "kte", " kt", "se ", " se",
-        "sta", "ost", "pře", " př", "ře ", "é ", "ého", " do", "la ",
+        "sta", "ost", "pře", " př", "ře ", " ve", "ého", " do", "la ",
         "ce ", "en ", " ne", "by ", " by", "to ", " to", "ají",
     ],
     "ro": [
         " de", "de ", "ul ", "în ", " în", "re ", "are", " ca", "ea ",
         "le ", "și ", " și", "lor", "ui ", "ato", "tor", " pe", "ste",
-        "est", " es", "at ", "ate", "ele", "ntr", " în", "rea", "or ",
+        "est", " es", "at ", "ate", "ele", "ntr", "tru", "rea", "or ",
         "ilo", "ii ", "car", "tat", "pen", "ent", " co", "con",
     ],
     "hu": [
@@ -113,19 +113,19 @@ TRIGRAM_PROFILES: dict[str, list[str]] = {
     "tr": [
         "ir ", "bir", " bi", "lar", "ler", "an ", "in ", "ın ", "da ",
         "de ", "ve ", " ve", "eri", "ara", "nda", "ile", " il", "mek",
-        "lik", "dır", " ka", " ya", "ında"[:3], "ini", "ları", "arı",
+        "lik", "dır", " ka", " ya", "ında"[:3], "ini", "nın", "arı",
         "er ", "ek ", "iği", " ol", "ola", "yor", "uş ", "ası",
     ],
     "id": [
         "an ", "ang", "ng ", " me", "men", "kan", " ke", "ada", " ad",
         "dan", " da", "ah ", "nya", "ya ", " pe", "per", "ber", " be",
-        "ata", "ini", " in", "di ", " di", "eng", "yang", "yan", " ya",
+        "ata", "ini", " in", "di ", " di", "eng", "gan", "yan", " ya",
         "ter", " te", "ara", "ala", "aan", "ia ", "asi", "eri",
     ],
     "vi": [
-        "ng ", " ng", "nh ", " th", " ch", " nh", "ông", "ườ", " để",
-        " tr", " cá", "các", "ác ", "ại ", "ủa ", "của", " củ", "iệ",
-        " về", " về", " à ", " là", "là ", "một", " mộ", "ột ", "ợc ",
+        "ng ", " ng", "nh ", " th", " ch", " nh", "ông", "ười", " để",
+        " tr", " cá", "các", "ác ", "ại ", "ủa ", "của", " củ", "iện",
+        " về", "hôn", " à ", " là", "là ", "một", " mộ", "ột ", "ợc ",
         "ược", "đượ", " đư", "ến ", " vi", "việ", "ệc ", "ời ",
     ],
 }
@@ -141,7 +141,7 @@ DISTINCTIVE_CHARS: dict[str, tuple[str, ...]] = {
     "ř": ("cs",), "ě": ("cs",), "ů": ("cs",),
     "ș": ("ro",), "ț": ("ro",), "ă": ("ro",),
     "ő": ("hu",), "ű": ("hu",),
-    "ğ": ("tr",), "ş": ("tr",), "ı": ("tr",), "İ": ("tr",),
+    "ğ": ("tr",), "ş": ("tr",), "ı": ("tr",), "i\u0307": ("tr",),
     "ơ": ("vi",), "ư": ("vi",), "đ": ("vi",), "ạ": ("vi",),
     "ả": ("vi",), "ế": ("vi",), "ề": ("vi",), "ộ": ("vi",),
     "ợ": ("vi",), "ữ": ("vi",), "ị": ("vi",), "ọ": ("vi",),

@@ -61,14 +61,22 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for a decoded-media embedding: bytes ->
-    sha256 -> dim floats in [-1, 1]."""
-    h = hashlib.sha256(payload).digest()
+def _feature_from_digest(h: bytes, dim: int) -> list[float]:
+    """sha256 digest (counter-extended past 8 dims) -> dim floats in
+    [-1, 1]. One 32-byte digest covers 8 four-byte dims; larger dims
+    chain sha256(digest || counter) so every dimension varies —
+    silent constant -1.0 tails would poison downstream similarity."""
+    while len(h) < 4 * dim:
+        h += hashlib.sha256(h[-32:] + bytes([len(h) % 251])).digest()
     return [
         (int.from_bytes(h[4 * i : 4 * i + 4], "big") % 2000003) / 1000001.0 - 1.0
         for i in range(dim)
     ]
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a decoded-media embedding."""
+    return _feature_from_digest(hashlib.sha256(payload).digest(), dim)
 
 
 def _real_feature(payload: bytes, mime: str | None, dim: int) -> list[float]:
@@ -124,18 +132,23 @@ def extract_features(
                     _real_feature(b, m, batch_dim)
                     for b, m in zip(payloads, mimes)
                 ]
-            else:
-                feature = payloads.map(
-                    lambda b: _fake_feature(b, batch_dim)
+                content_hash = payloads.map(
+                    lambda b: hashlib.sha256(b).hexdigest()
                 )
+            else:
+                # hash each payload ONCE: feature and content_hash
+                # both derive from the same digest
+                digests = payloads.map(lambda b: hashlib.sha256(b).digest())
+                feature = digests.map(
+                    lambda h: _feature_from_digest(h, batch_dim)
+                )
+                content_hash = digests.map(lambda h: h.hex())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": payloads.map(len).astype("int64"),
-                    "content_hash": payloads.map(
-                        lambda b: hashlib.sha256(b).hexdigest()
-                    ),
+                    "content_hash": content_hash,
                     "feature": feature,
                 }
             )

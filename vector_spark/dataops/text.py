@@ -168,12 +168,22 @@ def guess_language(t: str) -> str:
     # full-head script census: kana/hangul outrank ideographs (range
     # list order), ja/ko text mixes kanji/hanja freely
     script_hits: dict[str, int] = {}
+    latin_alpha = 0
     for ch in head:
         cp = ord(ch)
+        if ch.isalpha() and cp < 0x250:  # Latin incl. extended
+            latin_alpha += 1
+            continue
         for lo, hi, lang in SCRIPT_RANGES:
             if lo <= cp <= hi:
                 script_hits[lang] = script_hits.get(lang, 0) + 1
                 break
+    # a quoted Greek letter or one Cyrillic name must not override a
+    # Latin-script document: the non-Latin census wins only when it's
+    # a real presence next to the Latin content, not a stray glyph
+    total_script = sum(script_hits.values())
+    if script_hits and total_script < max(3, latin_alpha // 5):
+        script_hits = {}
     if script_hits:
         for _, _, lang in SCRIPT_RANGES:  # priority order
             if script_hits.get(lang):

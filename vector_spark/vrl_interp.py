@@ -781,12 +781,20 @@ class Interp:
         if isinstance(node, Abort):
             return dict(TD_NEVER)
         if isinstance(node, Block):
-            st = None if node.paren else self.t_state()
+            # non-paren blocks open a runtime scope: variables FIRST
+            # introduced inside vanish at exit (set_var writes outer
+            # scopes for pre-existing names), so their static types
+            # must vanish too — event/metadata mutations persist
+            pre_vars = None if node.paren else set(self.tvars)
             td: dict = dict(TD_NULL)
             for s in node.stmts:
                 td = self.t_stmt(s)
                 if td.get("never"):
                     break
+            if pre_vars is not None:
+                self.tvars = {
+                    k: v for k, v in self.tvars.items() if k in pre_vars
+                }
             return td
         if isinstance(node, If):
             pre = self.t_state()
@@ -1211,11 +1219,27 @@ class Interp:
         kwargs = {k: self.eval(v) for k, v in node.kwargs.items()}
         try:
             return fn(args, kwargs)
+        except _AssertError:
+            # assertions ABORT the program; the span wrap below must
+            # not downgrade them into a ??-catchable runtime error
+            raise
         except VrlRuntimeError as e:
             span = node.span or (0, 0)
             raise VrlRuntimeError(
                 f'function call error for "{name}" at '
                 f"({span[0]}:{span[1]}): {e.message}"
+            )
+        except (TypeError, ValueError, KeyError, IndexError,
+                AttributeError, OverflowError) as e:
+            # stdlib kernels may leak raw Python exceptions on
+            # pathological inputs (split on an empty separator, slice
+            # with a non-int bound) — surface them as per-event
+            # FALLIBLE errors like the reference, never as a task
+            # kill that poisons the whole scan
+            span = node.span or (0, 0)
+            raise VrlRuntimeError(
+                f'function call error for "{name}" at '
+                f"({span[0]}:{span[1]}): {type(e).__name__}: {e}"
             )
 
     def _eval_closure_call(self, node: Call):
@@ -2547,8 +2571,15 @@ def _f_round(args, kwargs):
         )
     if isinstance(v, int):
         return v
-    out = round(v + 1e-12, int(precision))
-    return out if precision else float(int(out))
+    # half AWAY FROM ZERO like Rust f64::round (round.rs), for both
+    # signs: Python's banker's rounding gives round(2.5)=2, and the
+    # old +1e-12 nudge fixed positive halves but broke negatives
+    # (round(-2.5) -> -2 instead of -3)
+    import math as _math
+
+    factor = 10.0 ** int(precision)
+    out = _math.copysign(_math.floor(abs(v) * factor + 0.5), v) / factor
+    return out if precision else float(out)
 
 
 @_fn("abs")
@@ -2773,14 +2804,19 @@ def _f_format_number(args, kwargs):
             int_part, _, frac_part = s.partition(".")
     else:
         scale = int(scale)
-        # the reference truncates toward zero, not rounds
+        # the reference truncates the printed DECIMAL representation
+        # toward zero — int(v * 10**scale) would re-expose binary
+        # representation error (4.56 * 100 = 455.999..., truncating to
+        # "4.55"); cutting the repr string never does
         sign = "-" if v < 0 else ""
-        a = abs(float(v))
-        scaled = int(a * (10**scale))
-        int_part = sign + str(scaled // (10**scale))
-        frac_part = (
-            str(scaled % (10**scale)).rjust(scale, "0") if scale else ""
-        )
+        s = repr(abs(float(v)))
+        if "e" in s or "E" in s:  # scientific form: expand exactly
+            from decimal import Decimal
+
+            s = format(Decimal(s), "f")
+        int_part, _, frac = s.partition(".")
+        int_part = sign + int_part
+        frac_part = frac[:scale].ljust(scale, "0") if scale else ""
     if grp_sep:
         neg = int_part.startswith("-")
         digits = int_part.lstrip("-")
