@@ -185,7 +185,16 @@ def ngram_jaccard_pairs(
     )
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     capped = df_counts.filter(F.col("df") > max_shingle_df)
-    filtered = sh.join(F.broadcast(capped), "shingle", "left_anti")
+    # one tiny probe job (an agg over the cached shingle frame)
+    # decides whether the capped-universe size correction is needed at
+    # all — on corpora where nothing hits the cap it skips an entire
+    # extra pass over the shingle cache
+    any_capped = capped.limit(1).count() > 0
+    filtered = (
+        sh.join(F.broadcast(capped), "shingle", "left_anti")
+        if any_capped
+        else sh
+    )
     # set sizes over the SAME capped universe as the intersection: a
     # full-set size with a capped-set intersection would silently
     # UNDERESTIMATE Jaccard for any pair sharing a stop shingle.
@@ -195,6 +204,8 @@ def ngram_jaccard_pairs(
         sh.join(F.broadcast(capped.select("shingle")), "shingle")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("_capped"))
+        if any_capped
+        else None
     )
     a, b = filtered.alias("a"), filtered.alias("b")
     inter = (
@@ -202,9 +213,15 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = sizes_full.join(capped_per_doc, "id", "left").select(
-        "id",
-        (F.col("sz") - F.coalesce(F.col("_capped"), F.lit(0))).alias("sz"),
+    sizes = (
+        sizes_full.join(capped_per_doc, "id", "left").select(
+            "id",
+            (F.col("sz") - F.coalesce(F.col("_capped"), F.lit(0))).alias(
+                "sz"
+            ),
+        )
+        if capped_per_doc is not None
+        else sizes_full
     )
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
